@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with the noop writer (full computation, no collect
+funnel through the driver)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "trial_balance",
+    "sales_register",
+    "sales_daily",
+    "daily_cash_movement",
+    "account_ledger",
+    "latest_order_per_customer",
+    "workflow_dedup",
+    "hierarchy_closure",
+    "segment_pivot",
+    "event_hourly_windows",
+]
+
+
+def main() -> None:
+    from tally_database_loader_spark.plans import gate
+    from tally_database_loader_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    gate.QUERIES["version_probe"](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in gate.QUERIES:
+            continue
+        df = gate.QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

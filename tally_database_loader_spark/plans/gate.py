@@ -1,0 +1,692 @@
+"""Driver-gate analytics queries over the bench tables.
+
+Every reference report operator (SURVEY §2.F: reference ``reports/mssql/*.sql``)
+and incremental-sync operator (§2.E: reference ``src/tally.mts:88-307``) is
+re-expressed here against the TPC-H-ish bench schema (region nation customer
+supplier part orders lineitem events documents embeddings) so the driver can
+hash-match each Spark plan against a DuckDB oracle.
+
+Mapping convention: ``mst_ledger`` ≈ ``customer`` (opening_balance ≈
+c_acctbal), ``trn_voucher``/``trn_accounting`` ≈ ``orders`` (signed amount ≈
+o_totalprice signed by o_orderstatus), ``mst_group`` tree ≈ the
+region→nation→customer hierarchy, ``AlterId`` ≈ the monotonic ``event_id``.
+
+Scale notes (these run on 100 TB, not just sf0.1):
+- dimension joins (region/nation/supplier/part/customer) are explicitly
+  ``F.broadcast`` — no shuffle on the fact side for star joins;
+- aggregations are single groupBy so Catalyst plans partial (map-side)
+  aggregation before the shuffle;
+- every date/window filter is a plain column predicate → parquet pushdown;
+- window functions partition on the natural key so the shuffle feeding them
+  is reusable by later operators.
+
+Float discipline for oracle hash-matching: the bench money columns are
+exact 2-decimal values stored as doubles, so every money aggregate is
+computed in ``DecimalType`` (exact, order-insensitive) and the final
+aggregate cast to double — bit-identical in Spark and DuckDB, with no
+round-half boundary hazards. Raw per-row doubles pass through untouched.
+BIGINT aggregates are cast in DuckDB (whose SUM(BIGINT) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.hierarchy import transitive_closure
+from ..sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def gate_query(name: str, oracle: str | None = None):
+    """Register a driver-gate query and (optionally) its DuckDB oracle."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Exact-decimal casts for the 2-dp money domain (values < 1e10).
+_DEC = T.DecimalType(12, 2)
+
+
+def money(c) -> F.Column:
+    return c.cast(_DEC)
+
+
+def dzero():
+    return F.lit("0").cast(_DEC)
+
+
+def _signed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as a signed 'accounting' stream: finished (F) orders are
+    debits (negative), open/pending are credits (positive) — mirrors the
+    reference amount convention Credit=+/Debit=- (docs/data-structure.md:68-72)."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = money(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.when(F.col("o_orderstatus") == "F", -tp).otherwise(tp).alias("amount"),
+        "o_orderstatus",
+    )
+
+
+_SIGNED_ORDERS_SQL = """
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN o_orderstatus = 'F' THEN -CAST(o_totalprice AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS amount,
+         o_orderstatus
+  FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6/F7/F8/F17 + F2: trial balance (reference reports/mssql/trial-balance.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("trial_balance", oracle=f"""
+WITH amt AS ({_SIGNED_ORDERS_SQL}),
+op AS (
+  SELECT o_custkey, SUM(amount) AS amount FROM amt
+  WHERE d < DATE '1997-01-01' GROUP BY o_custkey
+),
+curr AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN amount < 0 THEN -amount ELSE CAST(0 AS DECIMAL(12,2)) END) AS debit,
+         SUM(CASE WHEN amount > 0 THEN amount ELSE CAST(0 AS DECIMAL(12,2)) END) AS credit
+  FROM amt
+  WHERE d BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY o_custkey
+)
+SELECT c.c_name AS ledger,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) + COALESCE(op.amount, 0) AS DOUBLE) AS opening,
+       CAST(COALESCE(curr.debit, 0) AS DOUBLE) AS debit,
+       CAST(COALESCE(curr.credit, 0) AS DOUBLE) AS credit,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) + COALESCE(op.amount, 0)
+            + COALESCE(curr.credit, 0) - COALESCE(curr.debit, 0) AS DOUBLE) AS closing
+FROM customer c
+LEFT JOIN op ON op.o_custkey = c.c_custkey
+LEFT JOIN curr ON curr.o_custkey = c.c_custkey
+""")
+def trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening/debit/credit/closing per ledger(customer).
+
+    Mirrors reference reports/mssql/trial-balance.sql:4-31 (two CTE aggs +
+    left joins + coalesce/isnull). Both aggs scan the fact once each with
+    the date filter pushed to parquet; the two small agg results are
+    broadcast onto the dimension."""
+    amt = _signed_orders(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    op = (amt.filter(F.col("d") < F.lit("1997-01-01").cast("date"))
+             .groupBy(F.col("o_custkey").alias("op_custkey"))
+             .agg(F.sum("amount").alias("op_amount")))
+    curr = (amt.filter(F.col("d").between("1997-01-01", "1998-12-31"))
+               .groupBy(F.col("o_custkey").alias("curr_custkey"))
+               .agg(F.sum(F.when(F.col("amount") < 0, -F.col("amount")).otherwise(dzero())).alias("debit_d"),
+                    F.sum(F.when(F.col("amount") > 0, F.col("amount")).otherwise(dzero())).alias("credit_d")))
+    opening = money(F.col("c_acctbal")) + F.coalesce(F.col("op_amount"), dzero())
+    debit = F.coalesce(F.col("debit_d"), dzero())
+    credit = F.coalesce(F.col("credit_d"), dzero())
+    return (cust
+            .join(F.broadcast(op), cust.c_custkey == F.col("op_custkey"), "left")
+            .join(F.broadcast(curr), cust.c_custkey == F.col("curr_custkey"), "left")
+            .select(F.col("c_name").alias("ledger"),
+                    opening.cast("double").alias("opening"),
+                    debit.cast("double").alias("debit"),
+                    credit.cast("double").alias("credit"),
+                    (opening + credit - debit).cast("double").alias("closing")))
+
+
+# ---------------------------------------------------------------------------
+# F6/F8: pricing summary (TPC-H Q1 shape; the flagship full-scan agg)
+# ---------------------------------------------------------------------------
+
+@gate_query("pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan hash aggregation with computed measures (SURVEY F6/F8).
+
+    One shuffle over 6 grouping values; partial map-side aggregation makes
+    the shuffle O(groups), not O(rows) — the 100 TB-safe shape. Money math
+    in exact decimals; averages as decimal-sum / count in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = money(F.col("l_quantity"))
+    price = money(F.col("l_extendedprice"))
+    disc = F.col("l_discount").cast(T.DecimalType(4, 2))
+    tax = F.col("l_tax").cast(T.DecimalType(4, 2))
+    one = F.lit("1").cast(T.DecimalType(4, 2))
+    disc_price = price * (one - disc)
+    cnt = F.count(F.lit(1))
+    return (li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                   F.sum(price).cast("double").alias("sum_base_price"),
+                   F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                   F.sum(disc_price * (one + tax)).cast("double").alias("sum_charge"),
+                   (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+                   (F.sum(price).cast("double") / cnt).alias("avg_price"),
+                   (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+                   cnt.alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# F11 + F2: daily series with calendar spine (reference sales-daily.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("sales_daily", oracle="""
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1998-01-01', DATE '1998-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS amount
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-12-31'
+  GROUP BY 1
+)
+SELECT s.date, CAST(COALESCE(daily.amount, 0) AS DOUBLE) AS amount
+FROM spine s LEFT JOIN daily ON daily.d = s.date
+""")
+def sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine daily totals (reference reports/mssql/sales-daily.sql:4-24).
+
+    The reference generates the spine with a recursive CTE capped at 500
+    (maxrecursion); Spark uses closed-form ``sequence()`` + explode — the
+    BigQuery formulation (reports/bigquery/sales-daily.sql:13) — which is
+    O(days), no recursion, trivially parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("1998-01-01").cast("date"),
+                             F.lit("1998-12-31").cast("date"))).alias("date"))
+    daily = (o.select(F.col("o_orderdate").cast("date").alias("d"),
+                      money(F.col("o_totalprice")).alias("tp"))
+              .filter(F.col("d").between("1998-01-01", "1998-12-31"))
+              .groupBy("d").agg(F.sum("tp").alias("amount")))
+    return (spine.join(F.broadcast(daily), spine.date == daily.d, "left")
+                 .select("date",
+                         F.coalesce("amount", dzero()).cast("double").alias("amount")))
+
+
+# ---------------------------------------------------------------------------
+# F16 + F6: monthly series (reference sales-monthly.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("sales_monthly", oracle="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""")
+def sales_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year/month rollup (reference reports/mssql/sales-monthly.sql:12-25)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("year"),
+                      F.month("o_orderdate").alias("month"))
+             .agg(F.sum(money(F.col("o_totalprice"))).cast("double").alias("amount"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# F5 + F9 + F4 + F14: account ledger / string_agg (reference account-ledger.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("account_ledger", oracle="""
+WITH led AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS date, o.o_totalprice,
+         c.c_nationkey
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+),
+entry AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         string_agg(DISTINCT s.s_name, ',' ORDER BY s.s_name) AS suppliers
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN led ON led.o_orderkey = l.l_orderkey AND s.s_nationkey <> led.c_nationkey
+  GROUP BY l.l_orderkey
+)
+SELECT led.o_orderkey AS orderkey, led.date,
+       led.o_totalprice AS total, e.suppliers
+FROM led JOIN entry e ON e.o_orderkey = led.o_orderkey
+""")
+def account_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger statement with co-entry string aggregation.
+
+    Mirrors reference reports/mssql/account-ledger.sql:6-26: a filtered
+    'ledger' CTE, a theta-joined (≠) co-ledger set aggregated with
+    string_agg(DISTINCT), and a final equi-join. Sorted collect_set makes
+    the aggregation order-deterministic for the oracle hash."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    led = (o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                  o.o_custkey == c.c_custkey)
+             .select("o_orderkey", F.col("o_orderdate").cast("date").alias("date"),
+                     "o_totalprice", "c_nationkey")
+             .filter(F.col("date").between("1997-01-01", "1997-12-31")))
+    entry = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+               .join(F.broadcast(led.select("o_orderkey", "c_nationkey")),
+                     (li.l_orderkey == F.col("o_orderkey"))
+                     & (s.s_nationkey != F.col("c_nationkey")))
+               .groupBy("l_orderkey")
+               .agg(F.array_join(F.sort_array(F.collect_set("s_name")), ",").alias("suppliers")))
+    return (led.join(entry, led.o_orderkey == entry.l_orderkey)
+               .select(F.col("o_orderkey").alias("orderkey"), "date",
+                       F.col("o_totalprice").alias("total"), "suppliers"))
+
+
+# ---------------------------------------------------------------------------
+# F1 + F4: 5-way star register (reference sales-register.sql / daily-cash-movement.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("sales_register", oracle="""
+SELECT o.o_orderkey AS orderkey, CAST(o.o_orderdate AS DATE) AS date,
+       c.c_name AS customer, n.n_name AS nation, r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-06-30'
+GROUP BY 1, 2, 3, 4, 5
+""")
+def sales_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join with a theta (non-equi) lineitem condition.
+
+    Mirrors the reference's 5-way star (reports/mssql/daily-cash-movement.sql:19-23,
+    sales-register.sql:13-16) plus the theta-join pattern of
+    account-ledger.sql:19. All dimensions broadcast; the only shuffle is the
+    orders⋈lineitem equi-join on orderkey + the final group-by, which AQE
+    coalesces."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1").cast(T.DecimalType(4, 2))
+    revenue = money(F.col("l_extendedprice")) * (one - F.col("l_discount").cast(T.DecimalType(4, 2)))
+    return (o.filter(F.col("o_orderdate").cast("date").between("1998-01-01", "1998-06-30"))
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .join(li, (li.l_orderkey == o.o_orderkey)
+                   & (li.l_shipdate.cast("date") > o.o_orderdate.cast("date")))
+             .groupBy(F.col("o_orderkey").alias("orderkey"),
+                      F.col("o_orderdate").cast("date").alias("date"),
+                      F.col("c_name").alias("customer"),
+                      F.col("n_name").alias("nation"),
+                      F.col("r_name").alias("region"))
+             .agg(F.sum(revenue).cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# F7 + F11 + F17: daily debit/credit movement (reference daily-cash-movement.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("daily_cash_movement", oracle="""
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+),
+mov AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS debit,
+         SUM(CASE WHEN event_type IN ('click', 'view')
+                  THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS credit
+  FROM events GROUP BY 1
+)
+SELECT s.date, CAST(COALESCE(m.debit, 0) AS DOUBLE) AS debit,
+       CAST(COALESCE(m.credit, 0) AS DOUBLE) AS credit
+FROM spine s LEFT JOIN mov m ON m.d = s.date
+""")
+def daily_cash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily debit/credit split with IN-list filter over the event stream.
+
+    Mirrors reference reports/mssql/daily-cash-movement.sql:8-30 (recursive
+    spine + conditional agg + IN list) with the spine as closed-form
+    sequence()."""
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("2024-01-01").cast("date"),
+                             F.lit("2024-01-31").cast("date"))).alias("date"))
+    val = money(F.col("value"))
+    mov = (e.select(F.col("ts").cast("date").alias("d"), "event_type", "value")
+            .groupBy("d")
+            .agg(F.sum(F.when(F.col("event_type").isin("purchase", "signup"), val)
+                        .otherwise(dzero())).alias("debit"),
+                 F.sum(F.when(F.col("event_type").isin("click", "view"), val)
+                        .otherwise(dzero())).alias("credit")))
+    return (spine.join(F.broadcast(mov), spine.date == mov.d, "left")
+                 .select("date",
+                         F.coalesce("debit", dzero()).cast("double").alias("debit"),
+                         F.coalesce("credit", dzero()).cast("double").alias("credit")))
+
+
+# ---------------------------------------------------------------------------
+# F10: latest-per-group window (reference profit-loss.sql:32-35)
+# ---------------------------------------------------------------------------
+
+@gate_query("latest_order_per_customer", oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS date,
+       o_totalprice AS total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key via ranking window.
+
+    Mirrors the closing-stock window of reference reports/mssql/profit-loss.sql:32-35
+    (row_number ... ORDER BY date DESC, keep 1). Deterministic tiebreak on the
+    key so the oracle hash is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select(F.col("o_custkey").alias("custkey"),
+                     F.col("o_orderkey").alias("orderkey"),
+                     F.col("o_orderdate").cast("date").alias("date"),
+                     F.col("o_totalprice").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# F10: workflow dedup (reference stock-voucher-view.sql:16, data-structure.md:242-258)
+# ---------------------------------------------------------------------------
+
+@gate_query("workflow_dedup", oracle="""
+SELECT l_partkey AS partkey, l_suppkey AS suppkey, l_orderkey AS orderkey,
+       CAST(l_shipdate AS DATE) AS shipdate, l_quantity AS quantity
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""")
+def workflow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-row-per-tracking-key dedup.
+
+    Mirrors the partial-workflow dedup (reference docs/data-structure.md:242-258;
+    reports/mssql/stock-voucher-view.sql:16): ROW_NUMBER PARTITION BY
+    tracking keys ORDER BY date, keep repetition 1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey", "l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (li.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select(F.col("l_partkey").alias("partkey"),
+                      F.col("l_suppkey").alias("suppkey"),
+                      F.col("l_orderkey").alias("orderkey"),
+                      F.col("l_shipdate").cast("date").alias("shipdate"),
+                      F.col("l_quantity").alias("quantity")))
+
+
+# ---------------------------------------------------------------------------
+# F13: opening-balance ∪ transactions view (reference accounting-voucher-view.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("voucher_view_union", oracle=f"""
+SELECT c_name AS ledger, DATE '1994-12-31' AS date,
+       c_acctbal AS amount, 'Opening Balance' AS voucher_type
+FROM customer
+UNION ALL
+SELECT c.c_name AS ledger, a.d AS date, CAST(a.amount AS DOUBLE) AS amount,
+       a.o_orderstatus AS voucher_type
+FROM ({_SIGNED_ORDERS_SQL}) a JOIN customer c ON c.c_custkey = a.o_custkey
+""")
+def voucher_view_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic opening rows UNION ALL transaction rows.
+
+    Mirrors reference reports/mssql/accounting-voucher-view.sql:2-13 and
+    post-import-scripts/opening-transaction.sql:4-13 (opening balance
+    materialized as a fake voucher dated before the books)."""
+    c = load_table(spark, sf_dir, "customer")
+    amt = _signed_orders(spark, sf_dir)
+    opening = c.select(F.col("c_name").alias("ledger"),
+                       F.lit("1994-12-31").cast("date").alias("date"),
+                       F.col("c_acctbal").alias("amount"),
+                       F.lit("Opening Balance").alias("voucher_type"))
+    trans = (amt.join(F.broadcast(c.select("c_custkey", "c_name")),
+                      amt.o_custkey == F.col("c_custkey"))
+                .select(F.col("c_name").alias("ledger"), F.col("d").alias("date"),
+                        F.col("amount").cast("double").alias("amount"),
+                        F.col("o_orderstatus").alias("voucher_type")))
+    return opening.unionByName(trans)
+
+
+# ---------------------------------------------------------------------------
+# F12: hierarchy closure (reference group-tree-*.sql; recursive CTE)
+# ---------------------------------------------------------------------------
+
+@gate_query("hierarchy_closure", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT n_name AS child, r_name AS parent
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT c_name AS child, n_name AS parent
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+cl AS (
+  SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+  UNION ALL
+  SELECT cl.node, e.parent, cl.depth + 1
+  FROM cl JOIN edges e ON cl.ancestor = e.child
+)
+SELECT node, ancestor, CAST(depth AS INT) AS depth FROM cl
+""")
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child transitive closure over region→nation→customer.
+
+    Mirrors the recursive group-tree CTEs (reference
+    reports/mssql/group-tree-parent-child.sql:4-9 and
+    group-tree-children-parent.sql:4-9). Spark (<4 recursive CTE) uses the
+    iterative frontier-join in operators/hierarchy.py: per level one join
+    against the (broadcast) edge set — depth-bounded, no recursion cap."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    edges = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select(F.col("n_name").alias("child"), F.col("r_name").alias("parent"))
+              .unionByName(
+                  c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                   .select(F.col("c_name").alias("child"), F.col("n_name").alias("parent"))))
+    return transitive_closure(edges)
+
+
+# ---------------------------------------------------------------------------
+# F20: pivot (reference sales-register "input for PIVOT")
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+@gate_query("segment_pivot", oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS AUTOMOBILE,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS BUILDING,
+       CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS FURNITURE,
+       CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS HOUSEHOLD,
+       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS MACHINERY
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+""")
+def segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (SURVEY F20). Explicit pivot value list so the plan
+    is a single pass (no distinct-values pre-query) — required at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"))
+             .pivot("c_mktsegment", _SEGMENTS)
+             .agg(F.sum(money(F.col("c_acctbal"))).cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# E1/E2: version probe (reference src/tally.mts:113-124, 406-446)
+# ---------------------------------------------------------------------------
+
+@gate_query("version_probe", oracle="""
+SELECT CAST(MAX(v) AS BIGINT) AS last_alter_id FROM (
+  SELECT MAX(event_id) AS v FROM events
+  UNION ALL
+  SELECT MAX(o_orderkey) AS v FROM orders
+)
+""")
+def version_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-max version probe.
+
+    Mirrors reference src/tally.mts:118-124: ``select max(...) from (select
+    max(alterid) from t1 union all ...)`` — the sink-side AlterId probe that
+    gates every incremental sync."""
+    e = load_table(spark, sf_dir, "events").agg(F.max("event_id").alias("v"))
+    o = load_table(spark, sf_dir, "orders").agg(F.max("o_orderkey").alias("v"))
+    return e.unionByName(o).agg(F.max("v").alias("last_alter_id"))
+
+
+# ---------------------------------------------------------------------------
+# E4: delete detection via anti-join (reference src/tally.mts:172)
+# ---------------------------------------------------------------------------
+
+@gate_query("delete_detect_antijoin", oracle="""
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1999-01-01')
+""")
+def delete_detect_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows present in the target but absent from the changed-set → deletes.
+
+    Mirrors reference src/tally.mts:172 (``guid not in (select guid from
+    _diff)``) as a distributed left_anti join — the scale-safe NOT IN. The
+    'changed-set' is the recent slice of orders (≥1999), so the delete set
+    is non-empty at every SF."""
+    c = load_table(spark, sf_dir, "customer")
+    diff = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+            .select(F.col("o_custkey").alias("c_custkey")))
+    return (c.join(diff, "c_custkey", "left_anti")
+             .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")))
+
+
+# ---------------------------------------------------------------------------
+# E5: modified detection via join + version mismatch (reference src/tally.mts:174)
+# ---------------------------------------------------------------------------
+
+@gate_query("modified_detect", oracle="""
+WITH cutoff AS (SELECT MAX(event_id) / 2 AS c FROM events),
+sink AS (
+  SELECT user_id, MAX(event_id) AS alterid FROM events, cutoff
+  WHERE event_id <= cutoff.c GROUP BY user_id
+),
+src AS (SELECT user_id, MAX(event_id) AS alterid FROM events GROUP BY user_id)
+SELECT s.user_id AS user_id,
+       CAST(t.alterid AS BIGINT) AS old_alterid,
+       CAST(s.alterid AS BIGINT) AS new_alterid
+FROM src s JOIN sink t ON t.user_id = s.user_id
+WHERE s.alterid <> t.alterid
+""")
+def modified_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the changed-set to the sink and keep version mismatches.
+
+    Mirrors reference src/tally.mts:174 (``join _diff s on s.guid = t.guid
+    where s.alterid <> t.alterid``). The 'sink snapshot' is simulated as the
+    first half of the monotonic event_id space."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("event_id") / 2).alias("c"))
+    sink = (e.join(F.broadcast(cutoff))
+             .filter(F.col("event_id") <= F.col("c"))
+             .groupBy("user_id").agg(F.max("event_id").alias("old_alterid")))
+    src = e.groupBy("user_id").agg(F.max("event_id").alias("new_alterid"))
+    return (src.join(sink, "user_id")
+               .filter(F.col("new_alterid") != F.col("old_alterid"))
+               .select("user_id", "old_alterid", "new_alterid"))
+
+
+# ---------------------------------------------------------------------------
+# E9: cascade update / denormalization repair (reference src/tally.mts:225-246)
+# ---------------------------------------------------------------------------
+
+@gate_query("cascade_update_join", oracle="""
+SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+       p.p_name AS part_name, s.s_name AS supplier_name,
+       l.l_extendedprice AS price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_orderkey % 10 = 0
+""")
+def cascade_update_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair denormalized parent-name columns on child rows.
+
+    Mirrors reference src/tally.mts:225-246 (``UPDATE child SET field =
+    parent.name FROM child JOIN parent ON parent.guid = child._field``) —
+    on immutable storage this is a broadcast join + projection, the MERGE
+    shape used by the incremental engine (operators/incremental.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .select(F.col("l_orderkey").alias("orderkey"),
+                      F.col("l_linenumber").alias("linenumber"),
+                      F.col("p_name").alias("part_name"),
+                      F.col("s_name").alias("supplier_name"),
+                      F.col("l_extendedprice").alias("price")))
+
+
+# ---------------------------------------------------------------------------
+# H: tumbling-window aggregation over the event stream (batch-equivalent)
+# ---------------------------------------------------------------------------
+
+@gate_query("event_hourly_windows", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream.
+
+    The reference's continuous mode is change-polling micro-batches
+    (src/index.mts:51-88) with no event-time windows; this is the Spark-native
+    upgrade. Batch form here (hash-matchable); the identical plan runs under
+    Structured Streaming with a watermark in streaming/continuous.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(money(F.col("value"))).cast("double").alias("total_value")))

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs are one JVM (``local[N]``); on a real cluster the same settings
+hold up: AQE re-plans skewed shuffles, shuffle partitions are sized by the
+driver env, and Arrow keeps any Python-side batch exchange vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults match the driver environment (local[32], 128 GiB). On a real
+# cluster SPARK_GRAFT_CPUS is irrelevant — master comes from spark-submit.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "tally_database_loader_spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Settings chosen for scale-out behavior, not just local speed:
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+      which is what saves a 100 TB groupBy/join when key skew shows up.
+    - ``autoBroadcastJoinThreshold`` raised to 64 MB: every ``mst_*``
+      dimension in the reference model (and TPC-H dims at bench SF) fits,
+      so star joins become broadcast-hash instead of shuffles.
+    - UTC session timezone so timestamp→date semantics are engine-stable
+      (and match a DuckDB/ANSI oracle).
+    - Arrow enabled for the pandas-UDF slow path.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", _DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bench events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in sources.catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

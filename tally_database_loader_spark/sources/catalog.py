@@ -1,0 +1,48 @@
+"""Parquet table catalog for the driver-provided bench tables.
+
+The reference drives everything off a YAML table list (reference
+src/tally.mts:76-86); here the analogous catalog maps table name → parquet
+path and registers temp views so plans can be written in either the
+DataFrame or the SQL API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BENCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one bench table. Plain ``spark.read.parquet`` so Catalyst gets
+    full pushdown (PushedFilters / ReadSchema) on every consumer.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    reader can't type as a timestamp; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond longs
+    and is converted here (floor to micros — same truncation DuckDB applies
+    casting TIMESTAMP_NS → TIMESTAMP)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = BENCH_TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after itself."""
+    out = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
