@@ -14,17 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from tally_database_loader_spark.plans.gate import QUERIES
+    from tally_database_loader_spark.plans import QUERIES
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from tally_database_loader_spark.plans.gate import QUERIES
+    from tally_database_loader_spark.plans import QUERIES
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    from tally_database_loader_spark.plans.gate import ORACLES
+    from tally_database_loader_spark.plans import ORACLES
     return dict(ORACLES)

@@ -30,6 +30,15 @@ HEADLINE = [
     "hierarchy_closure",
     "segment_pivot",
     "event_hourly_windows",
+    "token_counts",
+    "text_quality",
+    "fingerprints",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_metadata",
 ]
 
 

@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- Exact dedup is a fingerprint groupBy — one shuffle on a short hash key,
+  map-side combine, no skew (hashes are uniform).
+- N-gram Jaccard all-pairs is quadratic; it exists as the verifier and the
+  small-corpus baseline. The scale path is MinHash+LSH: O(docs × k) to
+  signature, O(docs × bands) to bucket, pairs only within buckets.
+- Banding join is a self-equi-join on (band_index, band_signature) —
+  uniform hash keys again, broadcast-free but skew-free.
+- Hash function: the default is xxhash64 (one JVM intrinsic per shingle);
+  ``parity_hash=True`` switches to an md5-prefix hash that a SQL oracle
+  can reproduce digit-for-digit (plans/llm_gate.py) — same plan shape,
+  pricier per-shingle constant.
+
+Reference note: the reference ETL (tally-database-loader) has no dedup
+operators; these are the training-data-pipeline extension required by the
+project charter (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalized_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) content; keep min id as canonical.
+
+    Returns (fingerprint, keep_id, n_copies). Drop dups with::
+
+        df.join(exact_duplicates(df,...).filter('n_copies>1'), ...)
+    """
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+              .groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (space-joined)."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded long table — input to Jaccard/MinHash."""
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(shingles(F.col(text_col), n)).alias("shingle")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verifier / small-corpus path)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(sh: DataFrame, threshold: float,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over a shingle table; optionally restricted to
+    candidate (d1, d2) pairs (the LSH output). Returns (d1, d2, jaccard)
+    with d1 < d2.
+
+    Without candidates this is the quadratic baseline (documents sharing
+    ≥1 shingle); with candidates it is the cheap LSH verification join.
+    """
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    common = (a.join(b, ["shingle"])
+                .filter(F.col("d1") < F.col("d2"))
+                .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("c")))
+    if candidates is not None:
+        common = common.join(candidates, ["d1", "d2"], "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (common.join(s1, "d1").join(s2, "d2")
+                  .select("d1", "d2", jac.alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+MINHASH_PRIME = 2147483647  # 2^31-1; (a*base + b) stays < 2^62 in int64
+
+
+def _permutation_constants(k: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) for the universal-hash family
+    ``h_i(x) = (a_i * x + b_i) mod p`` — derived from md5 so Spark and the
+    SQL oracle embed identical literals."""
+    import hashlib
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _parity_base(s: Column) -> Column:
+    """60-bit base hash from an md5 prefix — reproducible in ANSI SQL
+    (DuckDB: md5 hex → fold hex digits). One md5 per shingle total;
+    the k permutations are arithmetic on this base."""
+    return F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
+def _fast_base(s: Column) -> Column:
+    """xxhash64 — the production per-shingle base hash (JVM intrinsic)."""
+    return F.xxhash64(s)
+
+
+def minhash_signature_table(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 16, n: int = 3,
+                            parity_hash: bool = False) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) MinHash signature columns.
+
+    Plan shape chosen for scale AND local speed: explode shingles, hash
+    each ONCE, then one groupBy(doc) with k arithmetic min-aggregates.
+    Everything is flat codegen'd expressions — no nested higher-order
+    functions (those run interpreted per element and were 50× slower) —
+    and the shuffle carries partial mins (k longs per doc per mapper)."""
+    base_fn = _parity_base if parity_hash else _fast_base
+    sh = shingle_table(df, id_col, text_col, n)
+    base = F.pmod(base_fn(F.col("shingle")), F.lit(MINHASH_PRIME))
+    hashed = sh.select("doc_id", base.alias("base"))
+    aggs = [F.min((F.col("base") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_permutation_constants(k))]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 16, bands: int = 4, n: int = 3,
+                   parity_hash: bool = False) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of k/bands
+    rows; docs agreeing on any full band are candidate pairs (d1 < d2).
+
+    Plan shape: signature → explode band structs (×bands rows) →
+    self-join on (band_idx, band_sig). At 100 TB the join keys are
+    uniformly distributed hashes, so no skew; AQE coalesces the mostly
+    tiny buckets."""
+    r = k // bands
+    sig = minhash_signature_table(df, id_col, text_col, k, n, parity_hash)
+    band_structs = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.concat_ws(",", *[F.col(f"mh{j * r + i}").cast("string")
+                                    for i in range(r)]).alias("bsig"))
+        for j in range(bands)])
+    banded = (sig.select("doc_id", F.explode(band_structs).alias("b"))
+                 .select("doc_id", F.col("b.band").alias("band"),
+                         F.col("b.bsig").alias("bsig")))
+    a = banded.select(F.col("doc_id").alias("d1"), "band", "bsig")
+    b = banded.select(F.col("doc_id").alias("d2"), "band", "bsig")
+    return (a.join(b, ["band", "bsig"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2").distinct())
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.7, k: int = 16, bands: int = 4,
+                            n: int = 3, parity_hash: bool = False) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard verify.
+
+    Returns (d1, d2, jaccard ≥ threshold). The verification join is
+    restricted to documents that appear in some candidate pair (semi-join
+    first), so the quadratic shingle self-join touches only the LSH
+    survivors — the property that keeps this viable at 100 TB."""
+    cand = lsh_candidates(df, id_col, text_col, k, bands, n, parity_hash)
+    cand_docs = (cand.select(F.col("d1").alias("doc_id"))
+                     .unionByName(cand.select(F.col("d2").alias("doc_id")))
+                     .distinct())
+    sh = (shingle_table(df, id_col, text_col, n)
+          .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    return jaccard_pairs(sh, threshold, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """64-bit SimHash per document: bit b of the result is the sign of
+    Σ_shingles (±1 depending on bit b of xxhash64(shingle)).
+
+    Plan shape: explode shingles → hash once → groupBy(doc) with 64 flat
+    conditional-sum aggregates (all codegen'd, partial-agg'd map-side),
+    then fold the 64 sign columns into one long. The earlier nested
+    higher-order-function formulation ran interpreted and was ~100×
+    slower. Docs with no shingles get simhash 0 via the left join."""
+    sh = shingle_table(df, id_col, text_col, n)
+    h = F.xxhash64(F.col("shingle"))
+    aggs = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                   .otherwise(-1)).alias(f"b{b}")
+            for b in range(64)]
+    sums = sh.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0,
+                     F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    sums = sums.select("doc_id", sim.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(sums, "doc_id", "left")
+               .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))

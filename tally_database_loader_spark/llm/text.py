@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each builder returns Column
+expressions so callers compose them into a single projection pass over the
+corpus: at 100 TB one parquet scan computes every signal.
+
+Determinism note: every expression here has an exact DuckDB twin (see
+plans/llm_gate.py) so the driver can hash-match results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# token pattern shared by counting/quality/lang-id; ASCII-only on purpose:
+# identical semantics in Java regex (Spark) and RE2 (DuckDB)
+TOKEN_PATTERN = "[a-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "les", "des", "une", "dans"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased alnum token array."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count: count pre-tokenizer pieces (letter runs
+    count once — real BPE splits long words further, so this is a lower
+    bound, adequate for mixture/length bucketing)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(toks: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality signals (length, punctuation density,
+    stopword density, mean word length) and a composite [0,1] score.
+
+    The formula is arbitrary-but-fixed; what matters is that it is pure
+    double arithmetic evaluated identically by Spark and the SQL oracle."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    lower = F.lower(text)
+    alpha_chars = F.length(F.regexp_replace(lower, "[^a-z0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(lower, "[a-z0-9\\s]", ""))
+    denom_t = F.greatest(n_tokens, F.lit(1)).cast("double")
+    denom_c = F.greatest(n_chars, F.lit(1)).cast("double")
+    avg_word_len = alpha_chars.cast("double") / denom_t
+    punct_ratio = punct_chars.cast("double") / denom_c
+    stop_ratio = stopword_hits(toks, "en").cast("double") / denom_t
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0)) * F.lit(0.5)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))) * F.lit(0.3)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.2)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID over {en,de,es,fr,zh}.
+
+    CJK characters force 'zh'; otherwise argmax of per-language stopword
+    hits with a fixed priority tiebreak (en > de > es > fr). A real
+    pipeline would use fastText/CLD3 — not installable here; the operator
+    shape (single projection, no UDF) is the point."""
+    toks = tokens(text)
+    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    cjk = F.size(F.regexp_extract_all(text, F.lit("[\\x{4e00}-\\x{9fff}]"), 0))
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    return (F.when(cjk > 0, F.lit("zh"))
+             .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+             .when((de >= es) & (de >= fr), F.lit("de"))
+             .when(es >= fr, F.lit("es"))
+             .otherwise(F.lit("fr")))
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed lower-case normalization for fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of normalized text (exact-dup key)."""
+    return F.md5(F.encode(normalized_text(text), "utf-8"))
+
+
+POLY_MOD = 2147483647  # 2^31-1; keeps acc*31+c < 2^36, safe in int64
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Polynomial rolling hash over the normalized character stream:
+    ``h = (h*31 + codepoint) mod (2^31-1)`` — the classic document
+    fingerprint, computed with the higher-order ``aggregate`` (codegen'd,
+    no UDF; left-to-right fold matches the SQL oracle's list_reduce)."""
+    chars = F.split(normalized_text(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(POLY_MOD),
+    )

@@ -1,0 +1,357 @@
+"""Driver-gate queries for the LLM training-data pipeline operators
+(llm/: dedup, similarity, text analysis, multimodal plumbing).
+
+Oracle strategy (every query below is hash-matched against DuckDB):
+
+- hash parity: the Spark-side md5-prefix hash ``conv(substr(md5(x),1,15),
+  16,10)`` is reproduced in SQL by folding the hex digits with
+  ``list_reduce`` — so MinHash/LSH bucketing matches digit-for-digit;
+- float parity: dot products are computed as a left fold over doubles in
+  both engines (zip_with+aggregate ↔ list_zip+list_apply+list_reduce);
+  float→double casts and double add/mul/sqrt/div are IEEE-deterministic,
+  so cosine scores are bit-identical — no rounding tolerance needed;
+- count columns are cast to INT/BIGINT explicitly on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..llm import multimodal as mm
+from ..llm import text as tx
+from ..llm.dedup import (exact_duplicates, jaccard_pairs, lsh_candidates,
+                         minhash_near_duplicates, shingle_table, simhash_table)
+from ..llm.similarity import cosine_topk, lsh_topk, _planes
+from ..sources.catalog import load_table
+from .gate import gate_query
+
+
+# --- DuckDB SQL fragments mirroring the Spark expressions -------------------
+
+def _dd_hex15(expr: str) -> str:
+    """Fold a 15-hex-digit string into a BIGINT (== Spark conv(x,16,10))."""
+    return ("list_reduce(list_apply(string_split(" + expr + ", ''), "
+            "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a, b) -> a * 16 + b)")
+
+
+def _dd_minhash_core() -> str:
+    """Shared CTE block: per-shingle base hash + k min-aggregate signature
+    + band signatures, mirroring llm/dedup.py minhash_signature_table /
+    lsh_candidates (k=16, 4 bands × 4 rows, md5-parity base hash)."""
+    from ..llm.dedup import MINHASH_PRIME, _permutation_constants
+    p = MINHASH_PRIME
+    consts = _permutation_constants(16)
+    base = _dd_hex15("substr(md5(shingle), 1, 15)") + f" % {p}"
+    mins = ",\n         ".join(
+        f"MIN((base * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(consts))
+    band_structs = ", ".join(
+        "struct_pack(band := {j}, bsig := {concat})".format(
+            j=j, concat=" || ',' || ".join(f"CAST(mh{j*4+i} AS VARCHAR)" for i in range(4)))
+        for j in range(4))
+    return f"""
+hashed AS (SELECT doc_id, {base} AS base FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band AS band, b.bsig AS bsig
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS b FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+                            AND a.doc_id < b.doc_id
+)"""
+
+
+_DD_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_DD_SHINGLES = ("CASE WHEN len(t) >= 3 THEN "
+                "list_distinct([array_to_string(t[i:i+2], ' ') "
+                "for i in range(1, len(t) - 1)]) ELSE [] END")
+
+_DD_SHINGLE_TABLE = f"""
+  tok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+  sh AS (SELECT doc_id, unnest({_DD_SHINGLES}) AS shingle FROM tok)
+"""
+
+
+def _dd_dot(a: str, b: str) -> str:
+    """Left-fold double dot product (== Spark zip_with + aggregate)."""
+    return ("list_reduce(list_apply(list_zip(" + a + ", " + b + "), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@gate_query("token_counts", oracle=f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+       CAST(len({_DD_TOKENS}) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish
+FROM documents
+""")
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, word, and BPE-ish pre-tokenizer counts —
+    one projection pass, all JVM-side regex (llm/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select("doc_id",
+                    tx.whitespace_token_count(t).alias("n_ws_tokens"),
+                    tx.word_token_count(t).alias("n_words"),
+                    tx.bpe_ish_token_count(t).alias("n_bpe_ish"))
+
+
+_DD_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         / CAST(greatest(len(t), 1) AS DOUBLE) AS avg_word_len,
+       CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+         / CAST(greatest(len(t), 1) AS DOUBLE) AS stopword_ratio
+FROM (SELECT doc_id, text, {_DD_TOKENS} AS t FROM documents)
+"""
+
+@gate_query("text_quality", oracle=f"""
+SELECT doc_id, n_chars, n_tokens, avg_word_len, punct_ratio, stopword_ratio,
+       least(1.0, n_tokens / 100.0) * 0.5
+       + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+       + least(1.0, stopword_ratio * 5.0) * 0.2 AS quality_score
+FROM ({_DD_QUALITY})
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/punct/stopword signals) — llm/text.py."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = tx.quality_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _dd_lang_hits(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+@gate_query("lang_id", oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+            WHEN {_dd_lang_hits('en')} >= {_dd_lang_hits('de')}
+             AND {_dd_lang_hits('en')} >= {_dd_lang_hits('es')}
+             AND {_dd_lang_hits('en')} >= {_dd_lang_hits('fr')} THEN 'en'
+            WHEN {_dd_lang_hits('de')} >= {_dd_lang_hits('es')}
+             AND {_dd_lang_hits('de')} >= {_dd_lang_hits('fr')} THEN 'de'
+            WHEN {_dd_lang_hits('es')} >= {_dd_lang_hits('fr')} THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM (SELECT doc_id, lang, text, {_DD_TOKENS} AS t FROM documents)
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword/CJK heuristic (llm/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@gate_query("fingerprints", oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+       list_reduce(list_apply(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+FROM documents
+""")
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + polynomial rolling
+    hash folded with the higher-order aggregate (llm/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
+                    tx.fingerprint_rolling(F.col("text")).alias("fp_rolling"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@gate_query("dedup_exact", oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint
+    (llm/dedup.py exact_duplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+@gate_query("ngram_jaccard_pairs", oracle=f"""
+WITH {_DD_SHINGLE_TABLE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (quadratic baseline;
+    llm/dedup.py jaccard_pairs). The scale path is minhash_lsh_dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, threshold=0.8)
+
+
+_DD_MINHASH = f"""
+WITH {_DD_SHINGLE_TABLE},
+{_dd_minhash_core()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT common.d1, common.d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = common.d1
+JOIN sizes s2 ON s2.doc_id = common.d2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.7
+"""
+
+@gate_query("minhash_lsh_dedup", oracle=_DD_MINHASH)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup detection with exact
+    Jaccard verification — the 100 TB dedup path (llm/dedup.py). Uses the
+    md5-parity hash so the SQL oracle reproduces bucketing exactly; the
+    production default is xxhash64 (same plan, cheaper per shingle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                   k=16, bands=4, n=3, parity_hash=True)
+
+
+@gate_query("lsh_candidates_probe", oracle=f"""
+WITH {_DD_SHINGLE_TABLE},
+{_dd_minhash_core()}
+SELECT d1, d2 FROM cand
+""")
+def lsh_candidates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation alone (pre-verification) — exposes the
+    banding join for correctness checking (llm/dedup.py lsh_candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidates(d, "doc_id", "text", k=16, bands=4, n=3, parity_hash=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DD_COS = (_dd_dot("q.q_vec", "e.embedding")
+           + " / (sqrt(" + _dd_dot("q.q_vec", "q.q_vec") + ") * sqrt("
+           + _dd_dot("e.embedding", "e.embedding") + "))")
+
+@gate_query("cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 5
+""")
+def cosine_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 8 query vectors
+    (llm/similarity.py cosine_topk). Dot products are double left-folds →
+    bit-identical to the SQL oracle, no tolerance."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+def _dd_srp_bucket(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ",".join(repr(w) for w in plane) + "]"
+        proj = _dd_dot(vec, f"CAST({lits} AS DOUBLE[])")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_PLANES4 = _planes(4, 64)
+
+@gate_query("ann_lsh_topk", oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_dd_srp_bucket('embedding', _PLANES4)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS.replace('e.embedding', 'e.embedding')} AS cos
+  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 5
+""")
+def ann_lsh_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-random-projection buckets (16 buckets,
+    llm/similarity.py lsh_topk) — compares only same-bucket vectors; the
+    scale path where brute force is O(n²). Recall vs exact top-k is
+    asserted in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5, n_bits=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@gate_query("multimodal_metadata", oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST({_dd_hex15("substr(md5(text), 1, 15)")} % 448 + 64 AS INT) AS width,
+       CAST({_dd_hex15("substr(md5(text), 16, 15)")} % 448 + 64 AS INT) AS height
+FROM documents
+""")
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata projection: byte length, content hash,
+    synthetic decoded dimensions (llm/multimodal.py payload_metadata).
+    With real data the payload is image/audio bytes from binaryFile."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.payload_metadata(d, "doc_id", mm.binary_payload(F.col("text")))
+
+
+@gate_query("multimodal_decode")  # mapInPandas — rows-only driver check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode over binary payloads via mapInPandas
+    (llm/multimodal.py) — deterministic byte statistics standing in for a
+    real image decoder (not installable here). Exact values are asserted
+    in tests/test_llm.py; the driver records rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
+    return mm.fake_decode_features(payload, "doc_id", "payload")
+
+
+@gate_query("simhash_dedup")  # xxhash64-based — rows-only driver check
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (llm/dedup.py simhash64; xxhash64-based,
+    so no SQL oracle — the driver records rows-only; Hamming-neighbor
+    behavior is asserted in tests/test_llm.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_table(d, "doc_id", "text")

@@ -10,9 +10,8 @@ from tests.oracle_utils import compare_spark_duckdb
 
 
 def _pairs():
-    from tally_database_loader_spark.plans import gate
-    # import side-effect modules that register more gate queries
-    return sorted(gate.QUERIES)
+    from tally_database_loader_spark import plans
+    return sorted(plans.QUERIES)
 
 
 @pytest.mark.parametrize("name", _pairs())

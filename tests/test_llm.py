@@ -1,0 +1,81 @@
+"""Behavioral tests for LLM-pipeline operators whose driver check is
+rows-only (no SQL oracle): ANN recall, SimHash neighborhood, fake decode,
+and fast-vs-parity MinHash agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tally_database_loader_spark.llm.dedup import minhash_near_duplicates, simhash_table
+from tally_database_loader_spark.llm.multimodal import (binary_payload,
+                                                        fake_decode_features)
+from tally_database_loader_spark.llm.similarity import cosine_topk, lsh_topk
+from tally_database_loader_spark.sources.catalog import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.q_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    single = {(r.q_id, r.neighbor_id) for r in lsh_topk(e, q, k=5, n_bits=2).collect()}
+    multi = {(r.q_id, r.neighbor_id)
+             for r in lsh_topk(e, q, k=5, n_bits=2, multiprobe=1).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    # 4 buckets ⇒ ~25% of corpus scanned; multiprobe(1) scans ~75% and must
+    # recover most true neighbors on these weakly-clustered vectors
+    assert r_single >= 0.15, f"single-probe recall too low: {r_single}"
+    assert r_multi >= 0.6, f"multiprobe recall too low: {r_multi}"
+    assert r_multi > r_single
+
+
+def test_simhash_near_dups_are_hamming_close(spark, duck):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    sh = {r.doc_id: r.simhash for r in simhash_table(d, "doc_id", "text").collect()}
+    # ground truth near-dups (jaccard ≥ 0.9) from the exact shingle join
+    pairs = duck.sql("""
+      WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      s AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                                 for i in range(1, len(t)-1)])) AS sh FROM tok),
+      sizes AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+      c AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM s a
+            JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+      SELECT d1, d2 FROM c JOIN sizes s1 ON s1.doc_id=d1 JOIN sizes s2 ON s2.doc_id=d2
+      WHERE CAST(c AS DOUBLE)/(s1.n+s2.n-c) >= 0.9
+    """).fetchall()
+    assert pairs, "fixture should contain near-duplicates"
+    hamming = [bin((sh[d1] ^ sh[d2]) & (2**64 - 1)).count("1") for d1, d2 in pairs]
+    # near-identical shingle sets ⇒ small Hamming distance (random pairs ≈ 32)
+    assert sum(hamming) / len(hamming) <= 12, f"mean hamming {sum(hamming)/len(hamming)}"
+
+
+def test_fake_decode_features_deterministic(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents").limit(20)
+    payload = d.select("doc_id", binary_payload(F.col("text")).alias("payload"))
+    rows = {r.doc_id: r for r in fake_decode_features(payload).collect()}
+    src = {r.doc_id: r.text for r in d.collect()}
+    assert set(rows) == set(src)
+    for doc_id, text in src.items():
+        b = text.encode("utf-8")
+        r = rows[doc_id]
+        assert r.n_bytes == len(b)
+        assert r.max_byte == max(b)
+        assert abs(r.mean_byte - sum(b) / len(b)) < 1e-12
+        assert r.width == int.from_bytes(b[:4], "big") % 448 + 64
+
+
+def test_minhash_fast_path_matches_parity_path(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    fast = {(r.d1, r.d2) for r in
+            minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                    parity_hash=False).collect()}
+    parity = {(r.d1, r.d2) for r in
+              minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                      parity_hash=True).collect()}
+    # different hash families ⇒ slightly different candidate sets, but the
+    # verified (jaccard ≥ 0.7) pairs they find should overlap heavily
+    assert parity, "parity path should find the planted near-dups"
+    assert fast, "fast path should find the planted near-dups"
+    inter = len(fast & parity) / max(len(fast | parity), 1)
+    assert inter >= 0.8, f"fast/parity overlap too low: {inter}"
