@@ -1,0 +1,241 @@
+"""Incremental sync engine: the reference's AlterId diff/merge protocol
+(reference src/tally.mts:88-307; SURVEY §2.E) on immutable storage.
+
+Protocol per sync (maps E1-E11):
+
+1. probe source + sink max AlterIds; early-exit when equal (E1/E2, H2)
+2. per Primary table: pull the (guid, alterid) changed-set; deletes =
+   sink ⟕̸ changed-set (anti-join, E4); modified = equi-join with
+   alterid ≠ (E5); drop both from the sink (E6) and cascade-delete child
+   rows via their FK edges (E7)
+3. re-extract rows with alterid > last sink id and append — deleted +
+   modified rows were removed, so append ≡ upsert (E8, C8 filter)
+4. cascade-update: refresh denormalized parent-name columns on children
+   via broadcast join (E9)
+5. auto voucher renumbering: re-pull (guid, voucher_number) of vouchers
+   whose type numbers automatically and join-update (E10)
+
+Storage is a versioned-parquet store (``v{n}`` directories, latest wins) —
+the UPDATE/DELETE statements of the reference become write-new-version;
+on Delta Lake the same plans become MERGE/DELETE without code changes.
+Temp tables (_diff/_delete/_vchnumber, E11) are just DataFrames.
+
+Scale: every step is an anti-/semi-/equi-join on guid or alterid —
+uniform keys, partial-agg probes, broadcast for dimension-sized sides.
+Nothing is collected to the driver except the two scalar version probes
+(the reference does the identical scalar probe over HTTP,
+src/tally.mts:406-446).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import TableSpec
+from .flatten import extract_all
+
+
+class ParquetStore:
+    """Versioned parquet target: each write lands in ``{table}/v{n+1}``;
+    readers resolve the latest version. Stand-in for a Delta/Iceberg
+    table — same engine code, pluggable commit semantics."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _versions(self, table: str) -> list[int]:
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(v[1:]) for v in os.listdir(d)
+                      if v.startswith("v") and v[1:].isdigit())
+
+    def exists(self, table: str) -> bool:
+        return bool(self._versions(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        vs = self._versions(table)
+        if not vs:
+            raise FileNotFoundError(f"no versions for table {table}")
+        return spark.read.parquet(os.path.join(self.root, table, f"v{vs[-1]}"))
+
+    def write(self, df: DataFrame, table: str) -> None:
+        nxt = (self._versions(table) or [0])[-1] + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.root, table, f"v{nxt}"))
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return [t for t in os.listdir(self.root) if self._versions(t)]
+
+
+def sink_max_alterid(spark: SparkSession, store: ParquetStore,
+                     tables: list[str]) -> int:
+    """Union-of-max probe over Primary tables (reference src/tally.mts:118-124:
+    ``select max(coalesce(alterid,0)) from (select max(alterid) ... union all ...)``)."""
+    frames = [store.read(spark, t).agg(F.max("alterid").alias("v"))
+              for t in tables if store.exists(t)]
+    if not frames:
+        return 0
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    row = out.agg(F.coalesce(F.max("v"), F.lit(0)).alias("m")).collect()[0]
+    return int(row.m)
+
+
+class IncrementalSync:
+    """Drives full + incremental syncs of a spec set against a store."""
+
+    def __init__(self, spark: SparkSession, store: ParquetStore,
+                 specs: dict[str, TableSpec]):
+        self.spark = spark
+        self.store = store
+        self.specs = specs
+
+    # -- full sync: truncate-and-load (reference B9 truncate + bulk load) --
+
+    def full_sync(self, source_by_root: dict[str, DataFrame]) -> dict[str, int]:
+        frames = extract_all(source_by_root, self.specs, include_alterid=True)
+        counts = {}
+        for name, df in frames.items():
+            self.store.write(df, name)
+            counts[name] = self.store.read(self.spark, name).count()
+        return counts
+
+    # -- incremental sync --------------------------------------------------
+
+    def _primary_tables(self, roots: set[str]) -> list[str]:
+        return [n for n, s in self.specs.items()
+                if s.nature == "Primary" and s.collection.split(".")[0] in roots
+                and any(f.name == "guid" for f in s.fields)]
+
+    def incremental_sync(self, source_by_root: dict[str, DataFrame]) -> dict:
+        roots = set(source_by_root)
+        primaries = self._primary_tables(roots)
+        stats = {"deleted": {}, "appended": {}, "skipped": False}
+
+        # E1/E2: version probes; H2 change gate
+        src_max = 0
+        for root, df in source_by_root.items():
+            if "AlterId" in df.columns:
+                row = df.agg(F.coalesce(F.max("AlterId"), F.lit(0)).alias("m")).collect()[0]
+                src_max = max(src_max, int(row.m))
+        sink_max = sink_max_alterid(self.spark, self.store, primaries)
+        if src_max == sink_max:
+            stats["skipped"] = True
+            return stats
+
+        frames = extract_all(source_by_root, self.specs, include_alterid=True)
+
+        removed_keys: dict[str, DataFrame] = {}
+        for name in primaries:
+            if not self.store.exists(name):
+                continue
+            spec = self.specs[name]
+            # E3: slim changed-set (guid, alterid)
+            diff = frames[name].select("guid", F.col("alterid").alias("src_alterid"))
+            target = self.store.read(self.spark, name)
+            # E4: delete detection — in sink, gone from source
+            deletes = (target.join(diff, "guid", "left_anti").select("guid"))
+            # E5: modified detection — version mismatch
+            modified = (target.join(diff, "guid")
+                              .filter(F.col("alterid") != F.col("src_alterid"))
+                              .select("guid"))
+            remove = deletes.unionByName(modified).distinct()
+            removed_keys[name] = remove
+            # E6: apply removal (anti-join rewrite ≡ DELETE WHERE IN)
+            kept = target.join(remove, "guid", "left_anti")
+            # E8: fresh rows — alterid beyond the sink watermark (C8), or
+            # re-extraction of modified rows (their alterid > old one too)
+            fresh = frames[name].join(kept.select("guid"), "guid", "left_anti") \
+                                .filter(F.col("alterid") > sink_max)
+            merged = kept.unionByName(fresh)
+            self.store.write(merged, name)
+            stats["deleted"][name] = remove.count()
+            stats["appended"][name] = fresh.count()
+
+            # E7: cascade delete through FK edges; children of fresh
+            # (new/modified) parents are re-derived from the source
+            fresh_parents = (frames[name].filter(F.col("alterid") > sink_max)
+                                         .select("guid"))
+            for child, fk in spec.cascade_delete.items():
+                if not self.store.exists(child):
+                    continue
+                child_df = self.store.read(self.spark, child)
+                if fk == "guid":
+                    kept_c = child_df.join(F.broadcast(remove), "guid", "left_anti")
+                    if child in frames:
+                        refreshed = frames[child].join(F.broadcast(fresh_parents),
+                                                       "guid", "left_semi")
+                        kept_c = (kept_c.join(F.broadcast(fresh_parents),
+                                              "guid", "left_anti")
+                                        .unionByName(refreshed))
+                else:
+                    # FK is by parent NAME: map removed guids → names via the
+                    # pre-removal sink image
+                    gone = (target.join(F.broadcast(remove), "guid", "left_semi")
+                                  .select(F.col("name").alias(fk)).distinct())
+                    kept_c = child_df.join(F.broadcast(gone), fk, "left_anti")
+                    if child in frames:
+                        fresh_names = (frames[name]
+                                       .filter(F.col("alterid") > sink_max)
+                                       .select(F.col("name").alias(fk)).distinct())
+                        refreshed = frames[child].join(F.broadcast(fresh_names),
+                                                       fk, "left_semi")
+                        kept_c = (kept_c.join(F.broadcast(fresh_names), fk, "left_anti")
+                                        .unionByName(refreshed))
+                self.store.write(kept_c, child)
+
+        # E9: cascade update — repair denormalized parent-name columns
+        self.apply_cascade_updates()
+
+        # E10: auto voucher renumbering
+        if "trn_voucher" in frames and "mst_vouchertype" in frames:
+            self._renumber_vouchers(frames)
+        return stats
+
+    def apply_cascade_updates(self) -> None:
+        """UPDATE child SET col = parent.name FROM child JOIN parent — as a
+        broadcast-join rewrite (reference src/tally.mts:225-246 has three
+        dialect-specific UPDATE forms; one plan here)."""
+        for name, spec in self.specs.items():
+            if not spec.cascade_update or not self.store.exists(name):
+                continue
+            child = self.store.read(self.spark, name)
+            changed = False
+            for col, target_ref in spec.cascade_update.items():
+                parent_table, parent_col = target_ref.split(".")
+                fk = f"_{col}"
+                if fk not in child.columns or not self.store.exists(parent_table):
+                    continue
+                parent = self.store.read(self.spark, parent_table).select(
+                    F.col("guid").alias(fk), F.col(parent_col).alias(f"__new_{col}"))
+                child = (child.join(F.broadcast(parent), fk, "left")
+                              .withColumn(col, F.coalesce(f"__new_{col}", col))
+                              .drop(f"__new_{col}"))
+                changed = True
+            if changed:
+                self.store.write(child, name)
+
+    def _renumber_vouchers(self, frames: dict[str, DataFrame]) -> None:
+        """Reference src/tally.mts:248-298: an insert shifts every later
+        auto-assigned voucher number, so re-pull numbers for vouchers of
+        auto-numbered types and join-update the sink."""
+        vt = frames["mst_vouchertype"]
+        auto = vt.filter(F.col("numbering_method").contains("Auto")).select("name")
+        if auto.isEmpty() or not self.store.exists("trn_voucher"):
+            return
+        fresh_numbers = (frames["trn_voucher"]
+                         .join(F.broadcast(auto),
+                               frames["trn_voucher"].voucher_type == auto.name, "left_semi")
+                         .select("guid", F.col("voucher_number").alias("__new_no")))
+        target = self.store.read(self.spark, "trn_voucher")
+        updated = (target.join(F.broadcast(fresh_numbers), "guid", "left")
+                         .withColumn("voucher_number",
+                                     F.coalesce("__new_no", "voucher_number"))
+                         .drop("__new_no"))
+        self.store.write(updated, "trn_voucher")

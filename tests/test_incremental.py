@@ -1,0 +1,106 @@
+"""Incremental-sync engine tests: the convergence invariant.
+
+After any mutation batch (modify / delete / insert / renumber), the state
+reached by ``incremental_sync`` must equal a from-scratch ``full_sync`` of
+the mutated source (the invariant the reference warns manual edits break,
+reference docs/incremental-sync.md:25-30)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tally_database_loader_spark.operators.incremental import (IncrementalSync,
+                                                               ParquetStore)
+from tally_database_loader_spark.sources.registry import default_tables
+from tests.tally_fixtures import tally_source
+
+
+def _mutate(spark, src):
+    """modify a ledger (with name-keyed children), delete a voucher, add a
+    voucher, renumber the auto journal — alterids bumped per Tally rules."""
+    out = dict(src)
+    led = src["Ledger"]
+    # modify: Stock Ledger's closing stock list changes (alterid 5 → 14)
+    out["Ledger"] = (led.withColumn(
+        "ClosingStockValues",
+        F.when(F.col("Guid") == "l-005",
+               F.array(F.struct(F.lit("2020-06-30").alias("Date"),
+                                F.lit(-800.0).alias("Amount")),
+                       F.struct(F.lit("2021-03-31").alias("Date"),
+                                F.lit(-950.0).alias("Amount"))))
+         .otherwise(F.col("ClosingStockValues")))
+        .withColumn("AlterId", F.when(F.col("Guid") == "l-005", F.lit(14))
+                                .otherwise(F.col("AlterId"))))
+    vch = src["Voucher"]
+    # delete contra v-006; renumber journal v-012 (no alterid bump — that is
+    # the point of E10); insert new journal v-013 with alterid 13
+    vch = vch.filter(F.col("Guid") != "v-006")
+    vch = vch.withColumn("VoucherNumber",
+                         F.when(F.col("Guid") == "v-012", F.lit("2"))
+                          .otherwise(F.col("VoucherNumber")))
+    from tests.tally_fixtures import VOUCHER_SCHEMA, _vch
+    extra = spark.createDataFrame(
+        [_vch("v-013", "2021-02-01", "Journal", "1", alter=13,
+              ledger_entries=[("Staff Advance", -25.0, None, None, None),
+                              ("Cash", 25.0, None, None, None)])],
+        schema=VOUCHER_SCHEMA)
+    out["Voucher"] = vch.unionByName(extra)
+    return out
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    specs = default_tables()
+    src1 = tally_source(spark)
+    src2 = _mutate(spark, src1)
+
+    inc_store = ParquetStore(str(tmp_path_factory.mktemp("inc")))
+    inc = IncrementalSync(spark, inc_store, specs)
+    inc.full_sync(src1)
+    stats = inc.incremental_sync(src2)
+
+    full_store = ParquetStore(str(tmp_path_factory.mktemp("full")))
+    full = IncrementalSync(spark, full_store, specs)
+    full.full_sync(src2)
+    return inc_store, full_store, stats, specs
+
+
+def _rows(spark, store, table):
+    df = store.read(spark, table)
+    return sorted([tuple(r) for r in df.select(sorted(df.columns)).collect()],
+                  key=lambda t: tuple(str(x) for x in t))
+
+
+def test_sync_not_skipped(stores):
+    _, _, stats, _ = stores
+    assert not stats["skipped"]
+    assert stats["deleted"].get("trn_voucher", 0) == 1   # v-006
+    assert stats["appended"].get("trn_voucher", 0) == 1  # v-013
+    assert stats["deleted"].get("mst_ledger", 0) == 1    # modified l-005
+    assert stats["appended"].get("mst_ledger", 0) == 1   # re-extracted l-005
+
+
+def test_incremental_converges_to_full_resync(spark, stores):
+    inc_store, full_store, _, specs = stores
+    mismatches = []
+    for table in sorted(specs):
+        if not full_store.exists(table):
+            continue
+        a = _rows(spark, inc_store, table)
+        b = _rows(spark, full_store, table)
+        if a != b:
+            only_inc = [r for r in a if r not in b][:3]
+            only_full = [r for r in b if r not in a][:3]
+            mismatches.append((table, len(a), len(b), only_inc, only_full))
+    assert not mismatches, f"diverged: {mismatches}"
+
+
+def test_noop_sync_is_skipped(spark, stores, tmp_path_factory):
+    specs = default_tables()
+    store = ParquetStore(str(tmp_path_factory.mktemp("noop")))
+    eng = IncrementalSync(spark, store, specs)
+    src = tally_source(spark)
+    eng.full_sync(src)
+    stats = eng.incremental_sync(src)
+    assert stats["skipped"]  # AlterIds unchanged ⇒ change gate short-circuits
