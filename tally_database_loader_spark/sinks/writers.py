@@ -1,0 +1,207 @@
+"""Sink layer (SURVEY §2.B): the reference's 7 load targets re-expressed on
+``DataFrameWriter``.
+
+Reference behaviors reproduced (citations are reference files):
+
+- B7 CSV file sink — UTF-8 BOM for Excel, ISO dates, ``"``→``""`` quoting,
+  blank for null dates (src/tally.mts:365-388, src/database.mts:60-79).
+- B8 JSON file sink — typed rows, null dates as JSON null
+  (src/database.mts:81-119).
+- B1-B4 relational sinks — batched inserts ≤1000 rows (src/database.mts:12,
+  140) become the Spark JDBC writer's ``batchsize``; partition-parallel
+  connections replace the reference's single connection.
+- B5 BigQuery / B6 ADLS-CDM — CDM ``model.json`` (entity/attribute/partition
+  metadata, type map at src/database.mts:341-360) + per-table CSV parts.
+- B9 truncate-before-load (src/database.mts:269-288) — ``mode('overwrite')``.
+- B10 config-table writer (src/tally.mts:580-591).
+
+Scale notes: every writer is a distributed ``df.write`` — no driver
+collect. ``single_file=True`` (Excel-parity mode) concatenates part files
+driver-side and is intended for report-sized exports, not the 100 TB path;
+the default keeps one file per partition so a 1000-executor write stays
+parallel.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BOM = b"\xef\xbb\xbf"
+
+# logical type → CDM dataType (reference src/database.mts:341-360)
+_CDM_TYPES = {
+    "text": "string", "custom": "string",
+    "number": "int64", "logical": "int64",
+    "amount": "decimal", "quantity": "decimal", "rate": "decimal",
+    "date": "date",
+}
+
+
+def _finalize_single_file(tmp_dir: str, dest: str, bom: bool) -> None:
+    """Concatenate the part files of ``tmp_dir`` into one file at ``dest``.
+
+    Driver-side but streamed (no whole-file buffering, unlike the
+    reference's fs.readFileSync at src/database.mts:129); meant for
+    report-sized Excel/BI exports only.
+    """
+    parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*")))
+    with open(dest, "wb") as out:
+        if bom:
+            out.write(_BOM)
+        for i, part in enumerate(parts):
+            with open(part, "rb") as src:
+                if i > 0:  # drop the duplicated header of later parts
+                    src.readline()
+                shutil.copyfileobj(src, out)
+    shutil.rmtree(tmp_dir)
+
+
+def write_csv(df: DataFrame, path: str, *, single_file: bool = False,
+              bom: bool = True, quote_all: bool = False,
+              mode: str = "overwrite") -> None:
+    """CSV sink (B7). ISO dates, ``"``→``""`` escaping, header row, null →
+    empty field (the reference's ñ-sentinel dance, src/database.mts:64,
+    collapses to native nulls here — SURVEY §2.D3)."""
+    writer = (df.write.mode(mode)
+              .option("header", "true")
+              .option("dateFormat", "yyyy-MM-dd")
+              .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+              .option("escape", '"')           # RFC-4180 "" doubling
+              .option("quoteAll", str(quote_all).lower())
+              .option("emptyValue", "\"\"")
+              .option("nullValue", ""))
+    if single_file:
+        tmp = path + "._parts"
+        writer.csv(tmp)
+        _finalize_single_file(tmp, path, bom)
+    else:
+        writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, single_file: bool = False,
+               mode: str = "overwrite") -> None:
+    """JSON sink (B8): typed values, null dates as JSON null. Default is
+    JSON-lines (the scalable layout); ``single_file`` wraps rows into the
+    reference's one JSON array (src/database.mts:81-119)."""
+    if single_file:
+        tmp = path + "._parts"
+        df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(tmp)
+        rows = []
+        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            with open(part, "r", encoding="utf-8") as src:
+                rows.extend(line.rstrip("\n") for line in src if line.strip())
+        with open(path, "w", encoding="utf-8") as out:
+            out.write("[\n" + ",\n".join(rows) + "\n]\n")
+        shutil.rmtree(tmp)
+    else:
+        df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(path)
+
+
+def jdbc_writer_options(technology: str, *, batchsize: int = 1000,
+                        truncate: bool = True) -> dict[str, str]:
+    """Writer options for the relational sinks (B1-B4, B9).
+
+    The reference caps insert batches at 1000 rows (src/database.mts:140;
+    the cap exists because >1000-row inserts failed, docs/
+    release-history.md:132) — the JDBC writer batches natively, so the cap
+    becomes ``batchsize``. ``truncate`` keeps the target's DDL in place on
+    overwrite, matching the reference's truncate-then-load protocol
+    (src/database.mts:269-288) instead of drop/recreate.
+    """
+    opts = {
+        "batchsize": str(batchsize),
+        "truncate": str(truncate).lower(),
+        "isolationLevel": "READ_COMMITTED",
+    }
+    if technology == "mysql":
+        # multi-row VALUES rewriting ≈ the reference's hand-built
+        # multi-row INSERT batching (src/database.mts:128-167)
+        opts["rewriteBatchedStatements"] = "true"
+    if technology == "mssql":
+        # reference disables the 15 s default timeout for bulk loads
+        # (docs/release-history.md:40, src/database.mts:672)
+        opts["queryTimeout"] = "0"
+    return opts
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, *, technology: str,
+               properties: dict[str, str] | None = None,
+               mode: str = "overwrite", batchsize: int = 1000) -> None:
+    """Relational sink (B1-B4): partition-parallel batched JDBC write.
+
+    Each partition opens one connection and streams ≤``batchsize``-row
+    batches — the distributed replacement for the reference's
+    single-connection sequential loader.
+    """
+    opts = jdbc_writer_options(technology, batchsize=batchsize)
+    if properties:
+        opts.update(properties)
+    writer = df.write.mode(mode).format("jdbc") \
+        .option("url", url).option("dbtable", table)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """Truncate-before-load (B9) on file storage = atomic overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_cdm(dfs: dict[str, DataFrame], specs: dict, out_dir: str, *,
+              model_name: str = "tally") -> str:
+    """ADLS-CDM sink (B6): per-table CSV folders + a ``model.json``
+    describing entities/attributes/partitions (reference
+    src/database.mts:307-397; type map :341-360).
+
+    ``specs`` maps table name → ``TableSpec`` (sources/registry.py) so the
+    CDM attribute types come from the same registry that owns the Spark
+    schema — one source of truth (SURVEY §1.3).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    entities = []
+    for name, df in dfs.items():
+        table_dir = os.path.join(out_dir, name)
+        write_csv(df, table_dir, single_file=False, bom=False)
+        parts = sorted(glob.glob(os.path.join(table_dir, "part-*.csv")))
+        spec = specs[name]
+        entities.append({
+            "$type": "LocalEntity",
+            "name": name,
+            "attributes": [
+                {"name": f.name, "dataType": _CDM_TYPES[f.type]}
+                for f in spec.fields
+            ],
+            "partitions": [
+                {"name": os.path.basename(p),
+                 "location": os.path.relpath(p, out_dir)}
+                for p in parts
+            ],
+        })
+    model_path = os.path.join(out_dir, "model.json")
+    with open(model_path, "w", encoding="utf-8") as fh:
+        json.dump({"name": model_name, "version": "1.0", "entities": entities},
+                  fh, indent=2)
+    return model_path
+
+
+def write_config_table(spark: SparkSession, path: str, *, company: str,
+                       from_date: str, to_date: str,
+                       updated_at: str) -> DataFrame:
+    """Config-table writer (B10): the 4 KV rows the reference records per
+    sync (src/tally.mts:580-591). ``updated_at`` is caller-supplied so runs
+    are reproducible."""
+    df = spark.createDataFrame(
+        [("Update Timestamp", updated_at),
+         ("Company Name", company),
+         ("Period From", from_date),
+         ("Period To", to_date)],
+        "name string, value string")
+    df.write.mode("overwrite").parquet(path)
+    return df
