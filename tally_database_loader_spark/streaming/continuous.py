@@ -1,0 +1,132 @@
+"""Continuous / incremental sync on Structured Streaming (SURVEY §2.H).
+
+The reference's streaming model is change-polling micro-batches: a
+``setInterval`` loop (reference src/index.mts:51-88) probes Tally's max
+AlterIds (H2 gate), skips when unchanged, and otherwise runs the E1-E11
+diff protocol; a flag guards reentrancy (H3). No watermarks, no event-time
+windows.
+
+Spark-first restatement:
+
+- **The poll loop is a streaming query.** Snapshot drops land as parquet
+  under a landing dir plus one JSON manifest line; ``readStream.json`` on
+  the manifest dir is the change feed. ``foreachBatch`` runs the idempotent
+  merge (H4) — micro-batches are serialized by the engine, so H3 is free,
+  and checkpointing makes the feed exactly-once across restarts (the
+  reference's in-memory ``lastAlterId`` cache dies with the process).
+- **The H2 gate stays**: ``IncrementalSync.incremental_sync`` early-exits
+  on equal source/sink AlterIds, so replayed or no-op snapshots are cheap.
+- **Triggers** map one-to-one: ``frequency: 0`` one-shot →
+  ``availableNow``; ``frequency: n`` minutes → ``processingTime``
+  (reference README.md:245).
+- **Watermarked windows** (beyond the reference): event streams get real
+  event-time tumbling windows with late-data bounds — the operation a
+  large-scale pipeline needs that polling can't express.
+
+Scale: the streamed records are manifest rows (one per snapshot drop), so
+driver-side ``collect()`` of a micro-batch is bounded by drop count, never
+by data volume; all row-level work happens in the distributed merge plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import IncrementalSync, ParquetStore
+from ..sources.registry import TableSpec
+
+_MANIFEST_SCHEMA = "drop_id string, roots array<string>, path string"
+
+
+def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
+                     drop_id: str | None = None) -> str:
+    """Producer side of the change feed: persist one poll's nested source
+    snapshot and announce it with a manifest line. (The reference's
+    analog is each ``setInterval`` tick completing its Tally extraction.)"""
+    drop_id = drop_id or uuid.uuid4().hex
+    snap_dir = os.path.join(landing_dir, "snapshots", drop_id)
+    for root, df in source_by_root.items():
+        df.write.mode("overwrite").parquet(os.path.join(snap_dir, root))
+    manifest_dir = os.path.join(landing_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    line = json.dumps({"drop_id": drop_id,
+                       "roots": sorted(source_by_root),
+                       "path": snap_dir})
+    with open(os.path.join(manifest_dir, f"{drop_id}.json"), "w",
+              encoding="utf-8") as fh:
+        fh.write(line + "\n")
+    return drop_id
+
+
+class ContinuousTallySync:
+    """H1-H5: a streaming query whose micro-batches run the incremental
+    merge. One query per store — micro-batch serialization is the
+    reentrancy guard."""
+
+    def __init__(self, spark: SparkSession, store: ParquetStore,
+                 specs: dict[str, TableSpec], landing_dir: str,
+                 checkpoint_dir: str):
+        self.spark = spark
+        self.sync = IncrementalSync(spark, store, specs)
+        self.landing_dir = landing_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.batch_stats: list[dict] = []   # (test/observability hook)
+
+    def _merge_batch(self, manifest: DataFrame, batch_id: int) -> None:
+        # manifest rows are drop announcements — tiny by construction
+        for row in manifest.orderBy("drop_id").collect():
+            src = {root: self.spark.read.parquet(os.path.join(row.path, root))
+                   for root in row.roots}
+            if self.sync.store.tables():
+                stats = self.sync.incremental_sync(src)
+            else:
+                stats = {"full": self.sync.full_sync(src)}
+            self.batch_stats.append({"batch_id": batch_id,
+                                     "drop_id": row.drop_id, **stats})
+
+    def start(self, *, processing_time: str | None = None,
+              available_now: bool = False):
+        """Run the sync query. ``available_now`` = the reference's one-shot
+        ``frequency: 0``; ``processing_time`` = its polling minutes."""
+        feed = (self.spark.readStream
+                .schema(_MANIFEST_SCHEMA)
+                .json(os.path.join(self.landing_dir, "manifest")))
+        writer = (feed.writeStream
+                  .foreachBatch(self._merge_batch)
+                  .option("checkpointLocation", self.checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_once(self) -> None:
+        """Synchronous one-shot poll (reference ``frequency: 0``)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "1 hour",
+                          watermark: str = "1 hour",
+                          ts_col: str = "ts") -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark.
+
+    Works identically on a batch DataFrame and a ``readStream`` source —
+    the same plan serves backfill and live tailing, which is the Spark
+    answer to the reference's batch-only polling. State size is bounded by
+    the watermark horizon, which is what keeps a 100 TB/day stream's state
+    store finite.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (src.groupBy(F.window(F.col(ts_col), window).alias("w"),
+                        F.col("event_type"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.col("w.start").alias("window_start"),
+                       "event_type", "n_events"))

@@ -1,0 +1,103 @@
+"""Streaming-mode tests (SURVEY §2.H): the continuous sync query converges
+to full-resync state, replays are exactly-once, and the windowed event
+aggregation matches its batch twin."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tally_database_loader_spark.operators.incremental import (IncrementalSync,
+                                                               ParquetStore)
+from tally_database_loader_spark.sources.registry import default_tables
+from tally_database_loader_spark.streaming.continuous import (
+    ContinuousTallySync, publish_snapshot, windowed_event_counts,
+)
+from tests.tally_fixtures import tally_source
+
+
+def _mutate(spark, src):
+    """Delete one voucher, add one (alterid 13) — a minimal poll delta."""
+    out = dict(src)
+    vch = src["Voucher"].filter(F.col("Guid") != "v-006")
+    from tests.tally_fixtures import VOUCHER_SCHEMA, _vch
+    extra = spark.createDataFrame(
+        [_vch("v-013", "2021-02-01", "Journal", "9", alter=13,
+              ledger_entries=[("Staff Advance", -25.0, None, None, None),
+                              ("Cash", 25.0, None, None, None)])],
+        schema=VOUCHER_SCHEMA)
+    out["Voucher"] = vch.unionByName(extra)
+    return out
+
+
+def _state(spark, store):
+    out = {}
+    for t in sorted(store.tables()):
+        df = store.read(spark, t)
+        out[t] = sorted([tuple(str(x) for x in r)
+                         for r in df.select(sorted(df.columns)).collect()])
+    return out
+
+
+@pytest.fixture(scope="module")
+def synced(spark, tmp_path_factory):
+    landing = str(tmp_path_factory.mktemp("landing"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    store = ParquetStore(str(tmp_path_factory.mktemp("store")))
+    specs = default_tables()
+    cts = ContinuousTallySync(spark, store, specs, landing, ckpt)
+
+    src1 = tally_source(spark)
+    src2 = _mutate(spark, src1)
+    publish_snapshot(landing, src1, drop_id="drop-001")
+    cts.run_once()                       # batch 1: bootstrap full sync
+    publish_snapshot(landing, src2, drop_id="drop-002")
+    cts.run_once()                       # batch 2: incremental merge
+    return spark, store, cts, src2, specs
+
+
+def test_converges_to_full_resync(synced, tmp_path_factory):
+    spark, store, cts, src2, specs = synced
+    full_store = ParquetStore(str(tmp_path_factory.mktemp("full")))
+    IncrementalSync(spark, full_store, specs).full_sync(src2)
+    got, want = _state(spark, store), _state(spark, full_store)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == want[t], f"divergence in {t}"
+
+
+def test_exactly_once_replay(synced):
+    spark, store, cts, src2, specs = synced
+    seen = [(s["batch_id"], s["drop_id"]) for s in cts.batch_stats]
+    assert len(seen) == 2                       # one merge per drop
+    cts.run_once()                              # no new manifest entries
+    assert len(cts.batch_stats) == 2            # checkpoint skips replays
+    # the second batch was a real incremental merge, not a re-bootstrap
+    assert "deleted" in cts.batch_stats[1]
+    assert cts.batch_stats[1]["deleted"]["trn_voucher"] == 1
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    rows = [(datetime.datetime(2024, 1, 1, h, m), t)
+            for h in range(3) for m in (5, 25, 45)
+            for t in ("click", "view")]
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    src_dir = str(tmp_path / "events")
+    batch.write.parquet(src_dir)
+
+    stream = (spark.readStream.schema("ts timestamp, event_type string")
+              .parquet(src_dir))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(tuple(str(x) for x in r)
+                 for r in spark.sql("select * from winagg").collect())
+    want = sorted(tuple(str(x) for x in r)
+                  for r in windowed_event_counts(batch, window="1 hour").collect())
+    assert got == want and len(got) == 6

@@ -1,0 +1,106 @@
+"""Tally XML source tests (SURVEY §2.A1-A3): TDL program compilation,
+parameter substitution, and distributed response parsing."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+
+from tally_database_loader_spark.sources.registry import (
+    FieldSpec, TableSpec, default_tables,
+)
+from tally_database_loader_spark.sources.tally_xml import (
+    auto_dates, generate_tdl_xml, read_tdl_response, substitute_parameters,
+)
+
+LEDGER_SPEC = TableSpec("mst_test", "Ledger", [
+    FieldSpec("guid", "$Guid"),
+    FieldSpec("name", "$Name"),
+    FieldSpec("opening_balance", "$OpeningBalance", "amount"),
+    FieldSpec("first_date", "$FirstDate", "date"),
+    FieldSpec("is_revenue", "$IsRevenue", "logical"),
+], filters=["NOT $IsCancelled"])
+
+
+def _response_xml() -> str:
+    """A Tally TDL response in the wire shape the reference rewrites at
+    src/tally.mts:514-539: rows as <F01>..</F01><F02>..</F02> runs inside
+    one ENVELOPE, with entities, blank dates (ñ) and negative amounts."""
+    rows = [
+        ("g-001", "Cash &amp; Bank", "1200.50", "2024-04-01", "0"),
+        ("g-002", "Sharma &lt;Traders&gt;", "-99.25", "ñ", "1"),
+        ("g-003", "O&apos;Brien &quot;Exports&quot;", "0.00", "2024-07-15", "0"),
+    ]
+    body = "\r\n".join(
+        f"  <F01>{r[0]}</F01><F02>{r[1]}</F02><F03>{r[2]}</F03>"
+        f"<F04>{r[3]}</F04><F05>{r[4]}</F05>" for r in rows)
+    return f"<ENVELOPE>\r\n{body}\r\n</ENVELOPE>"
+
+
+def test_read_tdl_response(spark, tmp_path):
+    p = tmp_path / "resp.xml"
+    p.write_text(_response_xml(), encoding="utf-8")
+    df = read_tdl_response(spark, str(p), LEDGER_SPEC)
+    assert [f.name for f in df.schema.fields] == \
+           ["guid", "name", "opening_balance", "first_date", "is_revenue"]
+    got = {r["guid"]: r for r in df.collect()}
+    assert len(got) == 3
+    assert got["g-001"]["name"] == "Cash & Bank"            # entity unescape
+    assert got["g-002"]["name"] == "Sharma <Traders>"
+    assert got["g-003"]["name"] == 'O\'Brien "Exports"'
+    assert got["g-002"]["first_date"] is None               # ñ sentinel → NULL
+    assert got["g-001"]["first_date"] == datetime.date(2024, 4, 1)
+    assert got["g-002"]["opening_balance"] == decimal.Decimal("-99.25")
+    assert got["g-002"]["is_revenue"] == 1
+
+
+def test_read_tdl_response_is_distributed(spark, tmp_path):
+    """The parse must not hinge on a single record/partition: a many-row
+    response still yields exactly one DataFrame row per source row."""
+    rows = "\r\n".join(
+        f"<F01>g-{i:05d}</F01><F02>L{i}</F02><F03>{i}.00</F03>"
+        f"<F04>ñ</F04><F05>0</F05>" for i in range(5000))
+    p = tmp_path / "big.xml"
+    p.write_text(f"<ENVELOPE>\r\n{rows}\r\n</ENVELOPE>", encoding="utf-8")
+    df = read_tdl_response(spark, str(p), LEDGER_SPEC)
+    assert df.count() == 5000
+    assert df.filter("first_date is not null").count() == 0
+
+
+def test_generate_tdl_xml_nesting_and_filters():
+    spec = default_tables()["trn_bank"]  # 3-level nested collection
+    xml = generate_tdl_xml(spec, company="Demo & Co")
+    # one PART per nesting level: root + AllLedgerEntries + BankAllocations
+    assert xml.count("<PART NAME=") == 3
+    assert "MyLine01 : MyCollection" in xml
+    assert "MyLine02 : AllLedgerEntries" in xml
+    assert "MyLine03 : BankAllocations" in xml
+    assert "<TYPE>Voucher</TYPE>" in xml
+    assert "Demo &amp; Co" in xml
+    v = generate_tdl_xml(default_tables()["trn_voucher"])
+    assert '<SYSTEM TYPE="Formulae" NAME="Fltr01">NOT $IsCancelled</SYSTEM>' in v
+    assert "<SVCURRENTCOMPANY>" not in v                    # no company given
+    # date fields carry the ñ-sentinel TDL encoding
+    assert "$$StrByCharCode:241" in v
+
+
+def test_substitute_parameters():
+    xml = "<A>{fromDate}</A><B>{flag}</B><C>{company}</C><D>{n}</D>"
+    out = substitute_parameters(xml, {
+        "fromDate": datetime.date(2024, 4, 1),
+        "flag": True,
+        "company": 'P&L "Demo"',
+        "n": 42,
+    })
+    assert "<A>1-Apr-2024</A>" in out                       # d-MMM-yyyy
+    assert "<B>Yes</B>" in out
+    assert "&amp;" in out and "42" in out
+
+
+def test_auto_dates(spark):
+    df = spark.createDataFrame(
+        [("g1", datetime.date(2024, 5, 2)), ("g2", datetime.date(2023, 4, 1))],
+        "guid string, date date")
+    assert auto_dates(df) == ("2023-04-01", "2024-05-02")
