@@ -61,7 +61,15 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded long table — input to Jaccard/MinHash."""
+    """(doc_id, shingle) exploded long table — input to Jaccard/MinHash.
+
+    The input is fanned out to the cluster's parallelism first when the
+    scan arrived narrower (sources/catalog.fan_out): shingling cost scales
+    with exploded tokens (~100× the input bytes), so a few-MB parquet
+    would otherwise pin the whole explode+hash pipeline to a couple of
+    cores."""
+    from ..sources.catalog import fan_out
+    df = fan_out(df, id_col)
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(shingles(F.col(text_col), n)).alias("shingle")))
 
@@ -129,7 +137,8 @@ def _fast_base(s: Column) -> Column:
 
 def minhash_signature_table(df: DataFrame, id_col: str, text_col: str,
                             k: int = 16, n: int = 3,
-                            parity_hash: bool = False) -> DataFrame:
+                            parity_hash: bool = False,
+                            _shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) MinHash signature columns.
 
     Plan shape chosen for scale AND local speed: explode shingles, hash
@@ -138,7 +147,8 @@ def minhash_signature_table(df: DataFrame, id_col: str, text_col: str,
     functions (those run interpreted per element and were 50× slower) —
     and the shuffle carries partial mins (k longs per doc per mapper)."""
     base_fn = _parity_base if parity_hash else _fast_base
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else \
+        shingle_table(df, id_col, text_col, n)
     base = F.pmod(base_fn(F.col("shingle")), F.lit(MINHASH_PRIME))
     hashed = sh.select("doc_id", base.alias("base"))
     aggs = [F.min((F.col("base") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
@@ -148,7 +158,8 @@ def minhash_signature_table(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                    k: int = 16, bands: int = 4, n: int = 3,
-                   parity_hash: bool = False) -> DataFrame:
+                   parity_hash: bool = False,
+                   _shingles: DataFrame | None = None) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of k/bands
     rows; docs agreeing on any full band are candidate pairs (d1 < d2).
 
@@ -157,7 +168,8 @@ def lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     uniformly distributed hashes, so no skew; AQE coalesces the mostly
     tiny buckets."""
     r = k // bands
-    sig = minhash_signature_table(df, id_col, text_col, k, n, parity_hash)
+    sig = minhash_signature_table(df, id_col, text_col, k, n, parity_hash,
+                                  _shingles=_shingles)
     band_structs = F.array(*[
         F.struct(F.lit(j).alias("band"),
                  F.concat_ws(",", *[F.col(f"mh{j * r + i}").cast("string")
@@ -182,12 +194,16 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     restricted to documents that appear in some candidate pair (semi-join
     first), so the quadratic shingle self-join touches only the LSH
     survivors — the property that keeps this viable at 100 TB."""
-    cand = lsh_candidates(df, id_col, text_col, k, bands, n, parity_hash)
+    sh_all = shingle_table(df, id_col, text_col, n)
+    # the same logical shingle subtree feeds the signature and the verify
+    # join; recomputing the codegen'd explode twice measures faster than
+    # persisting it (cache serialization breaks pipelining)
+    cand = lsh_candidates(df, id_col, text_col, k, bands, n, parity_hash,
+                          _shingles=sh_all)
     cand_docs = (cand.select(F.col("d1").alias("doc_id"))
                      .unionByName(cand.select(F.col("d2").alias("doc_id")))
                      .distinct())
-    sh = (shingle_table(df, id_col, text_col, n)
-          .join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    sh = sh_all.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     return jaccard_pairs(sh, threshold, candidates=cand)
 
 

@@ -37,6 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Widen a narrow scan to the cluster's parallelism before CPU-heavy
+    projections (regex extraction, shingling, hashing).
+
+    Spark sizes scan partitions by input bytes; a compact text/binary
+    column whose per-row compute is 100× its storage otherwise pins the
+    pipeline to a few cores. One cheap shuffle of the small input buys
+    full-width codegen stages downstream — same reasoning at 100 TB, where
+    it instead argues for keeping ``maxPartitionBytes`` small on
+    compute-dense columns."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = BENCH_TABLES) -> dict[str, DataFrame]:
     """Register each table as a temp view named after itself."""
