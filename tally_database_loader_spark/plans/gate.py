@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.hierarchy import transitive_closure
+from ..operators.hierarchy import transitive_closure, tree_paths
 from ..sources.catalog import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -690,3 +690,311 @@ def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.sum(money(F.col("value"))).cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# E7: cascade delete through FK edges (reference src/tally.mts:180-186)
+# ---------------------------------------------------------------------------
+
+@gate_query("cascade_delete_counts", oracle="""
+SELECT n_name AS nation,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS customers_removed,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS orders_removed
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+LEFT JOIN orders ON o_custkey = c_custkey
+WHERE n_nationkey IN (0, 7, 14)
+GROUP BY n_name
+""")
+def cascade_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level cascade delete: removing parents (nations) removes their
+    children (customers) and grandchildren (orders) via FK edges.
+
+    Mirrors reference src/tally.mts:180-186 (`cascade_delete` edges from
+    tally-export-config-incremental.yaml:598-610): each level is one
+    semi-join against the deleted key set — here accounted rather than
+    applied, so the oracle can check the blast radius exactly. Dimension
+    side broadcast; the orders probe is the only shuffle."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey").isin(0, 7, 14))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    victims = c.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                     c.c_nationkey == F.col("n_nationkey"))
+    return (victims.join(o, victims.c_custkey == o.o_custkey, "left")
+            .groupBy("n_name")
+            .agg(F.countDistinct("c_custkey").alias("customers_removed"),
+                 F.count("o_orderkey").alias("orders_removed"))
+            .select(F.col("n_name").alias("nation"),
+                    "customers_removed", "orders_removed"))
+
+
+# ---------------------------------------------------------------------------
+# E8: upsert merge — remove-then-append ≡ MERGE (reference src/tally.mts:190-223)
+# ---------------------------------------------------------------------------
+
+@gate_query("upsert_merge", oracle="""
+WITH sink AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+src  AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1996-07-01'),
+merged AS (
+  SELECT * FROM sink WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM merged GROUP BY 1, 2
+""")
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert as anti-join + append: the fresh batch replaces overlapping
+    keys and appends the rest, the exact merge the reference performs by
+    deleting changed rows then bulk-appending re-extracted ones
+    (src/tally.mts:190-223; operators/incremental.py E8). The overlap
+    window (1996-07 … 1996-12) plays the 'modified rows' role. On Delta
+    the same plan is `MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT`."""
+    o = load_table(spark, sf_dir, "orders")
+    sink = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    src = o.filter(F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+    merged = (sink.join(src.select("o_orderkey"), "o_orderkey", "left_anti")
+                  .unionByName(src))
+    return (merged.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                           F.col("o_orderstatus").alias("status"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(money(F.col("o_totalprice"))).cast("double").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# E10: auto renumbering via window + join-update (reference src/tally.mts:248-298)
+# ---------------------------------------------------------------------------
+
+@gate_query("renumber_join_update", oracle="""
+WITH renum AS (
+  SELECT o_orderkey,
+         CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS new_no
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+)
+SELECT o.o_orderkey AS orderkey,
+       COALESCE(r.new_no, CAST(o.o_orderkey AS VARCHAR)) AS voucher_number
+FROM orders o LEFT JOIN renum r ON r.o_orderkey = o.o_orderkey
+WHERE year(o.o_orderdate) = 1995
+""")
+def renumber_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto voucher renumbering: sequence numbers recomputed for the
+    auto-numbered series (urgent orders ≈ 'Automatic' voucher types), then
+    applied to the target with a left-join + coalesce — the UPDATE-join the
+    reference issues in three SQL dialects (src/tally.mts:248-298,
+    operators/incremental.py E10). The window is the numbering series
+    itself — inherently sequential, so one global ordering inside the
+    filtered year-slice (per-series partitioning at scale)."""
+    o = load_table(spark, sf_dir, "orders") \
+        .filter(F.year("o_orderdate") == 1995)
+    renum = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey",
+                      F.row_number().over(
+                          W.orderBy("o_orderdate", "o_orderkey"))
+                       .cast("string").alias("new_no")))
+    return (o.join(renum, "o_orderkey", "left")
+             .select(F.col("o_orderkey").alias("orderkey"),
+                     F.coalesce("new_no", F.col("o_orderkey").cast("string"))
+                      .alias("voucher_number")))
+
+
+# ---------------------------------------------------------------------------
+# F12 (path form): parent→child tree listing with materialized paths
+# (reference reports/mssql/group-tree-parent-child.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("hierarchy_paths", oracle="""
+WITH RECURSIVE nodes AS (
+  SELECT r_name AS name, '' AS parent FROM region
+  UNION ALL
+  SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+t AS (
+  SELECT name, name AS path, 1 AS depth FROM nodes WHERE parent = ''
+  UNION ALL
+  SELECT n.name, t.path || '/' || n.name, t.depth + 1
+  FROM t JOIN nodes n ON n.parent = t.name
+)
+SELECT name, path, CAST(depth AS INT) AS depth FROM t
+""")
+def hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized root→node paths over the 3-level dimension tree —
+    the reference's parent-child group listing (reports/mssql/
+    group-tree-parent-child.sql builds exactly this path string).
+    Iterative frontier joins with broadcast child edges
+    (operators/hierarchy.tree_paths); depth = tree height, so 3 stages."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    nodes = (r.select(F.col("r_name").alias("name"), F.lit("").alias("parent"))
+             .unionByName(
+                 n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                  .select(F.col("n_name").alias("name"),
+                          F.col("r_name").alias("parent")))
+             .unionByName(
+                 c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                  .select(F.col("c_name").alias("name"),
+                          F.col("n_name").alias("parent"))))
+    return tree_paths(nodes)
+
+
+# ---------------------------------------------------------------------------
+# F2+F7: stock-summary shape — in/out conditional sums over a left-joined
+# dimension spine (reference reports/mssql/stock-summary.sql)
+# ---------------------------------------------------------------------------
+
+@gate_query("stock_summary_brands", oracle="""
+WITH moves AS (
+  SELECT p_brand,
+         SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qin,
+         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qout
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+brands AS (SELECT DISTINCT p_brand FROM part)
+SELECT b.p_brand AS brand,
+       CAST(COALESCE(m.qin, 0) AS DOUBLE) AS qty_in,
+       CAST(COALESCE(m.qout, 0) AS DOUBLE) AS qty_out,
+       CAST(COALESCE(m.qin, 0) - COALESCE(m.qout, 0) AS DOUBLE) AS qty_net
+FROM brands b LEFT JOIN moves m ON b.p_brand = m.p_brand
+""")
+def stock_summary_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-summary shape: inward/outward conditional quantity sums
+    (returnflag N≈inward, R≈outward — the reference's in(+)/out(−)
+    quantity convention) left-joined onto the full dimension spine so
+    movement-less brands still report zeros (reference
+    reports/mssql/stock-summary.sql:16-33). Broadcast part-dim join, one
+    fact shuffle with map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dz = F.lit("0").cast(_DEC)
+    moves = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                     li.l_partkey == F.col("p_partkey"))
+             .groupBy("p_brand")
+             .agg(F.sum(F.when(F.col("l_returnflag") == "N",
+                               money(F.col("l_quantity"))).otherwise(dz)).alias("qin"),
+                  F.sum(F.when(F.col("l_returnflag") == "R",
+                               money(F.col("l_quantity"))).otherwise(dz)).alias("qout")))
+    brands = p.select("p_brand").distinct()
+    return (brands.join(moves, "p_brand", "left")
+            .select(F.col("p_brand").alias("brand"),
+                    F.coalesce("qin", dz).cast("double").alias("qty_in"),
+                    F.coalesce("qout", dz).cast("double").alias("qty_out"),
+                    (F.coalesce("qin", dz) - F.coalesce("qout", dz))
+                    .cast("double").alias("qty_net")))
+
+
+# ---------------------------------------------------------------------------
+# F13+F10: P&L-style multi-block union (reference reports/mssql/profit-loss.sql:53-57)
+# ---------------------------------------------------------------------------
+
+@gate_query("pnl_union_blocks", oracle="""
+WITH rev AS (
+  SELECT c_mktsegment AS grp, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS amt
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+),
+latest AS (
+  SELECT c_mktsegment AS grp, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS amt
+  FROM (SELECT c_mktsegment, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey) x
+  WHERE rn = 1 GROUP BY 1
+)
+SELECT 'Revenue' AS block, grp, CAST(amt AS DOUBLE) AS amount FROM rev
+UNION ALL
+SELECT 'Closing' AS block, grp, CAST(amt AS DOUBLE) FROM latest
+UNION ALL
+SELECT 'Total' AS block, 'ALL' AS grp,
+       CAST((SELECT SUM(amt) FROM rev) AS DOUBLE)
+""")
+def pnl_union_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P&L three-block composition: per-group revenue ∪ latest-row
+    'closing stock' block (ranking window, reference profit-loss.sql:32-35)
+    ∪ a grand-total block (profit-loss.sql:53-57). One fact scan feeds the
+    revenue and window blocks; the total is a second-stage reduce of the
+    already-aggregated revenue block, not another scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                    o.o_custkey == F.col("c_custkey"))
+    rev = (joined.groupBy(F.col("c_mktsegment").alias("grp"))
+                 .agg(F.sum(money(F.col("o_totalprice"))).alias("amt")))
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"),
+                                           F.desc("o_orderkey"))
+    latest = (joined.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .groupBy(F.col("c_mktsegment").alias("grp"))
+                    .agg(F.sum(money(F.col("o_totalprice"))).alias("amt")))
+    total = rev.agg(F.sum("amt").alias("amt")) \
+               .select(F.lit("Total").alias("block"), F.lit("ALL").alias("grp"),
+                       F.col("amt").cast("double").alias("amount"))
+    block = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("block"), "grp", F.col("amt").cast("double").alias("amount"))
+    return block(rev, "Revenue").unionByName(block(latest, "Closing")) \
+                                .unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# F9 (distinct form): sorted distinct string aggregation
+# (reference reports/bigquery/account-ledger.sql:14 string_agg(distinct ...))
+# ---------------------------------------------------------------------------
+
+@gate_query("distinct_string_agg", oracle="""
+SELECT nation, string_agg(seg, ',' ORDER BY seg) AS segments FROM (
+  SELECT DISTINCT n_name AS nation, c_mktsegment AS seg
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) GROUP BY nation
+""")
+def distinct_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct string aggregation with deterministic order:
+    ``collect_set`` → ``array_sort`` → ``array_join`` — the engine-stable
+    form of the reference's ``string_agg(distinct ledger)`` (reference
+    reports/bigquery/account-ledger.sql:14)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",")
+                   .alias("segments")))
+
+
+# ---------------------------------------------------------------------------
+# G1+G3: mask formatting in a projection (reference src/utility.mts:60-156, 196-246)
+# ---------------------------------------------------------------------------
+
+@gate_query("mask_formatting", oracle="""
+SELECT o_orderkey AS orderkey,
+       CASE WHEN s < 0 THEN '(' || fmt || ')'
+            WHEN s > 0 THEN fmt
+            ELSE '-' END AS amount_fmt,
+       CAST(day(o_orderdate) AS VARCHAR) || '-' || strftime(o_orderdate, '%b-%Y') AS date_fmt
+FROM (SELECT o_orderkey, o_orderdate, s,
+             format('{:,}', CAST(trunc(abs(s)) AS BIGINT)) || '.' ||
+             lpad(CAST(CAST((abs(s) - trunc(abs(s))) * 100 AS BIGINT) AS VARCHAR), 2, '0') AS fmt
+      FROM (SELECT o_orderkey, o_orderdate,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN -CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS s
+            FROM orders WHERE o_orderkey % 100 = 0) t0) t
+""")
+def mask_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar mask library in a distributed projection: sign-section
+    money mask ``#,0.00;(#,0.00);-`` and date mask ``d-MMM-yyyy``
+    (functions/masks.py; reference Number.format/Date.format,
+    src/utility.mts:60-156/:196-246). All built-in expressions — the masks
+    compile to format_number/date_format, no UDFs in the projection."""
+    from ..functions.masks import format_date_mask, format_number_mask
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    signed = F.when(F.col("o_orderstatus") == "F",
+                    -money(F.col("o_totalprice"))) \
+              .otherwise(money(F.col("o_totalprice")))
+    return o.select(F.col("o_orderkey").alias("orderkey"),
+                    format_number_mask(signed, "#,0.00;(#,0.00);-").alias("amount_fmt"),
+                    format_date_mask(F.col("o_orderdate"), "d-MMM-yyyy").alias("date_fmt"))
