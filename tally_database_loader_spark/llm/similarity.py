@@ -91,6 +91,88 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
+                              n_bits: int = 4, dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1 < d2, cos ≥ threshold) —
+    the fifth dedup modality (exact / Jaccard / MinHash / SimHash / and
+    this): two documents whose embeddings nearly coincide are duplicates
+    even when their surface text diverges.
+
+    Scale path: SRP-bucket self-join (same buckets as ``lsh_topk``) so the
+    pairwise cosine is evaluated only inside buckets — expected
+    n²/2^n_bits pairs instead of n². Near-identical vectors agree on every
+    hyperplane sign with probability ≈ 1-ε, so recall at dedup-grade
+    thresholds (≥0.9) is effectively total; raise n_bits to shrink buckets
+    on bigger corpora."""
+    planes = _planes(n_bits, dim)
+    b = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                      srp_bucket(F.col(vec_col), planes).alias("bucket"))
+    a = b.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"), "bucket")
+    c = b.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"), "bucket")
+    return (a.join(c, "bucket")
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, nprobe: int = 2, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate NN: k-means partitions the corpus
+    into ``n_lists`` cells; each query searches only its ``nprobe``
+    nearest cells.
+
+    The coarse quantizer is Spark MLlib KMeans (fixed seed → deterministic
+    centroids); assignment and search are DataFrame joins. At 100 TB the
+    training set is a sample, the centroid table is broadcast (n_lists ×
+    dim doubles), and the cell join replaces the cross product — the same
+    recall/cost dial as FAISS IVF. No SQL oracle can replay the k-means
+    fit, so the driver applies its rows-only check; recall vs the exact
+    path is asserted in tests/test_llm.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dense = corpus.select(F.col(id_col).alias("n_id"),
+                          F.col(vec_col).alias("n_vec"),
+                          array_to_vector(F.col(vec_col).cast("array<double>"))
+                          .alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(dense.select("features"))
+    assigned = km.transform(dense).select(
+        "n_id", "n_vec", F.col("prediction").alias("cell"))
+
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def _cell_rank(vec: Column) -> Column:
+        """Array of cell ids sorted by centroid distance (nearest first).
+        n_lists is small, so this is a flat codegen expression."""
+        dists = F.array(*[
+            F.struct(
+                F.sqrt(F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                               lambda a_, b_: (a_.cast("double") - b_)
+                               * (a_.cast("double") - b_)),
+                    F.lit(0.0), lambda acc, x: acc + x)).alias("dist"),
+                F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)])
+        return F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+                           lambda s: s.getField("cell"))
+
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("cell", F.explode(_cell_rank(F.col("q_vec")))))
+    scored = (assigned.join(F.broadcast(q), "cell")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .select("q_id", "n_id",
+                      cosine(F.col("q_vec"), F.col("n_vec")).alias("cos")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", F.col("n_id").alias("neighbor_id"),
+                          F.col("rank").cast("int").alias("rank"), "cos"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
              dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
              multiprobe: int = 0) -> DataFrame:

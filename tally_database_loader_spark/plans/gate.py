@@ -998,3 +998,38 @@ def mask_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(F.col("o_orderkey").alias("orderkey"),
                     format_number_mask(signed, "#,0.00;(#,0.00);-").alias("amount_fmt"),
                     format_date_mask(F.col("o_orderdate"), "d-MMM-yyyy").alias("date_fmt"))
+
+
+# ---------------------------------------------------------------------------
+# H (beyond reference): session windows over the event stream
+# ---------------------------------------------------------------------------
+
+@gate_query("event_sessions", oracle="""
+WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic session windows (30-minute inactivity gap) per user —
+    ``F.session_window`` batch form; the identical plan runs streaming with
+    a watermark (streaming/continuous.sessionize). The oracle is the
+    classic gaps-and-islands rewrite, pinning Spark's merge semantics
+    (a gap of exactly 30:00 starts a new session)."""
+    from ..streaming.continuous import sessionize
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, gap="30 minutes")

@@ -22,7 +22,8 @@ from ..llm import multimodal as mm
 from ..llm import text as tx
 from ..llm.dedup import (exact_duplicates, jaccard_pairs, lsh_candidates,
                          minhash_near_duplicates, shingle_table, simhash_table)
-from ..llm.similarity import cosine_topk, lsh_topk, _planes
+from ..llm.similarity import (cosine_topk, embedding_near_duplicates,
+                              ivf_topk, lsh_topk, _planes)
 from ..sources.catalog import load_table
 from .gate import gate_query
 
@@ -355,3 +356,35 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior is asserted in tests/test_llm.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_table(d, "doc_id", "text")
+
+
+@gate_query("embedding_cosine_dups", oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {{SRP}} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS d1, c.vec_id AS d2, {{COS}} AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {{COS}} >= 0.2
+""".replace("{SRP}", _dd_srp_bucket("embedding", _PLANES4))
+   .replace("{COS}", _DD_COS.replace("q.q_vec", "a.embedding")
+                            .replace("e.embedding", "c.embedding")
+                            .replace("q.", "a.").replace("e.", "c.")))
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs inside SRP-LSH buckets
+    (llm/similarity.py embedding_near_duplicates) — the fifth dedup
+    modality. Threshold 0.2 fits the synthetic random embeddings (real
+    corpora use ≥0.9; the plan is identical)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.2, n_bits=4, dim=64)
+
+
+@gate_query("ivf_topk")  # k-means fit not SQL-replayable — rows-only check
+def ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (llm/similarity.py ivf_topk): MLlib k-means
+    coarse quantizer (fixed seed), nprobe=2 cell search, broadcast
+    centroid table. Recall vs exact cosine_topk asserted in
+    tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5,
+                    n_lists=8, nprobe=2)

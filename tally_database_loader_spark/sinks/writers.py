@@ -205,3 +205,47 @@ def write_config_table(spark: SparkSession, path: str, *, company: str,
         "name string, value string")
     df.write.mode("overwrite").parquet(path)
     return df
+
+
+def write_parquet_partitioned(df: DataFrame, path: str, *,
+                              partition_by: list[str] | None = None,
+                              date_col: str | None = None,
+                              mode: str = "overwrite") -> None:
+    """Scale-layout parquet write: partition directories by the given
+    columns, with the common case — month buckets from a date column —
+    derived automatically.
+
+    This is the 100 TB layout for the transaction tables: partitioning
+    ``trn_*`` by month turns every report's date filter (all of them —
+    trial balance, registers, daily/monthly series) into partition
+    pruning, so a one-quarter query touches ~3/120 of a decade's files.
+    Masters stay unpartitioned (dimension-sized, broadcast at read).
+    """
+    cols = list(partition_by or [])
+    if date_col is not None:
+        df = df.withColumn("_ym", F.date_format(F.col(date_col), "yyyy-MM"))
+        cols = ["_ym", *cols]
+    w = df.write.mode(mode)
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, name: str, *, bucket_col: str,
+                         n_buckets: int = 32, sort_col: str | None = None,
+                         path: str | None = None) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` by
+    ``bucket_col`` so equi-joins and groupBys on that key are
+    shuffle-free at read time.
+
+    The header/detail star (trn_voucher ⋈ trn_accounting ⋈ trn_inventory
+    on guid) is the target: bucket all three by guid and every report's
+    join runs map-side. At 100 TB this converts the biggest repeated
+    shuffle in the workload into a one-time write cost."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)  # external table at an explicit location
+    w.saveAsTable(name)

@@ -79,3 +79,31 @@ def test_minhash_fast_path_matches_parity_path(spark):
     assert fast, "fast path should find the planted near-dups"
     inter = len(fast & parity) / max(len(fast | parity), 1)
     assert inter >= 0.8, f"fast/parity overlap too low: {inter}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from tally_database_loader_spark.llm.similarity import cosine_topk, ivf_topk
+    from tally_database_loader_spark.sources.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 8")
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in ivf_topk(e, q, k=5, n_lists=8, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # determinism: fixed seed ⇒ identical result on re-run
+    approx2 = {(r["q_id"], r["neighbor_id"])
+               for r in ivf_topk(e, q, k=5, n_lists=8, nprobe=3).collect()}
+    assert approx == approx2
+
+
+def test_embedding_near_dups_symmetric_and_thresholded(spark):
+    from tally_database_loader_spark.llm.similarity import (
+        cosine, embedding_near_duplicates)
+    from tally_database_loader_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    pairs = embedding_near_duplicates(e, threshold=0.2).collect()
+    assert pairs, "synthetic corpus should contain near-dup pairs at 0.2"
+    assert all(r["d1"] < r["d2"] and r["cos"] >= 0.2 for r in pairs)

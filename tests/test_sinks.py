@@ -113,3 +113,38 @@ def test_overwrite_and_config_table(sample, spark, tmp_path):
     assert got["Company Name"] == "Demo Co (Quoted)"
     assert got["Period From"] == "2024-04-01"
     assert len(got) == 4
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from tally_database_loader_spark.sinks.writers import write_parquet_partitioned
+    import datetime
+    rows = [(i, datetime.date(2024, 1 + i % 3, 1 + i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "k int, d date")
+    out = str(tmp_path / "part")
+    write_parquet_partitioned(df, out, date_col="d")
+    assert os.path.isdir(os.path.join(out, "_ym=2024-01"))
+    back = spark.read.parquet(out).filter("_ym = '2024-02'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 3
+    # the month filter must prune partitions at scan, not post-filter
+    assert "PartitionFilters: [isnotnull(_ym" in plan \
+        or "_ym#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from tally_database_loader_spark.sinks.writers import write_bucketed_table
+    a = spark.range(0, 1000).selectExpr("id AS guid", "id * 2 AS v")
+    b = spark.range(0, 1000).selectExpr("id AS guid", "id * 3 AS w")
+    write_bucketed_table(a, "t_head", bucket_col="guid", n_buckets=8,
+                         path=str(tmp_path / "head"))
+    write_bucketed_table(b, "t_detail", bucket_col="guid", n_buckets=8,
+                         path=str(tmp_path / "detail"))
+    try:
+        j = spark.table("t_head").join(spark.table("t_detail"), "guid")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 1000
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed equi-join must not shuffle"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_head")
+        spark.sql("DROP TABLE IF EXISTS t_detail")

@@ -101,3 +101,37 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     want = sorted(tuple(str(x) for x in r)
                   for r in windowed_event_counts(batch, window="1 hour").collect())
     assert got == want and len(got) == 6
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    from tally_database_loader_spark.streaming.continuous import sessionize
+    rows = []
+    for u in (1, 2):
+        # burst A (3 events), 40-min silence, burst B (2 events)
+        for m in (0, 5, 10):
+            rows.append((datetime.datetime(2024, 1, 1, 9, m), u))
+        for m in (50, 55):
+            rows.append((datetime.datetime(2024, 1, 1, 9, m), u))
+        # late flush event advances the watermark past both sessions'
+        # close, so append mode finalizes them
+        rows.append((datetime.datetime(2024, 1, 1, 12, 0), u))
+    batch = spark.createDataFrame(rows, "ts timestamp, user_id int")
+    src_dir = str(tmp_path / "ev")
+    batch.write.parquet(src_dir)
+
+    closed = batch.filter("ts < timestamp '2024-01-01 10:00:00'")
+    want = sorted(tuple(str(x) for x in r)
+                  for r in sessionize(closed, gap="30 minutes").collect())
+    assert len(want) == 4                      # 2 users × 2 sessions
+
+    stream = (spark.readStream.schema("ts timestamp, user_id int")
+              .parquet(src_dir))
+    q = (sessionize(stream, gap="30 minutes", watermark="1 minute")
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append")                 # emits watermark-closed sessions
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(str(x) for x in r)
+                 for r in spark.sql("select * from sess").collect())
+    assert got == want
