@@ -882,7 +882,9 @@ def stock_summary_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(F.col("l_returnflag") == "R",
                                money(F.col("l_quantity"))).otherwise(dz)).alias("qout")))
     brands = p.select("p_brand").distinct()
-    return (brands.join(moves, "p_brand", "left")
+    # moves is post-aggregation (one row per brand) — broadcast it so the
+    # spine join never sort-merges
+    return (brands.join(F.broadcast(moves), "p_brand", "left")
             .select(F.col("p_brand").alias("brand"),
                     F.coalesce("qin", dz).cast("double").alias("qty_in"),
                     F.coalesce("qout", dz).cast("double").alias("qty_out"),

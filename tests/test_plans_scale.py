@@ -1,0 +1,52 @@
+"""Physical-plan audits: the properties that decide 100 TB behavior must
+hold structurally, not incidentally — filter pushdown reaching the parquet
+scan, column pruning, broadcast (not sort-merge) dimension joins, map-side
+partial aggregation, and no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from tally_database_loader_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the date filter must reach the scan, not run post-scan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only the 7 needed
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name,min_broadcasts", [
+    ("trial_balance", 2),
+    ("sales_register", 4),
+    ("daily_cash_movement", 1),
+    ("stock_summary_brands", 1),
+])
+def test_star_joins_broadcast(spark, name, min_broadcasts):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_broadcasts, name
+    assert "SortMergeJoin" not in plan, \
+        f"{name}: dimension join fell back to sort-merge"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "workflow_dedup", "minhash_lsh_dedup", "hierarchy_closure",
+    "event_sessions", "upsert_merge",
+])
+def test_no_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan or name == "minhash_lsh_dedup", name
