@@ -39,6 +39,12 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "multimodal_metadata",
+    "event_sessions",
+    "stock_summary_brands",
+    "upsert_merge",
+    "hierarchy_paths",
+    "embedding_cosine_dups",
+    "mask_formatting",
 ]
 
 

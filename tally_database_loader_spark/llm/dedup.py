@@ -211,23 +211,29 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """64-bit SimHash per document: bit b of the result is the sign of
-    Σ_shingles (±1 depending on bit b of xxhash64(shingle)).
+def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  parity_hash: bool = False) -> DataFrame:
+    """SimHash per document: bit b of the result is the sign of
+    Σ_shingles (±1 depending on bit b of hash(shingle)).
 
-    Plan shape: explode shingles → hash once → groupBy(doc) with 64 flat
+    Plan shape: explode shingles → hash once → groupBy(doc) with flat
     conditional-sum aggregates (all codegen'd, partial-agg'd map-side),
-    then fold the 64 sign columns into one long. The earlier nested
+    then fold the sign columns into one long. The earlier nested
     higher-order-function formulation ran interpreted and was ~100×
-    slower. Docs with no shingles get simhash 0 via the left join."""
+    slower. Docs with no shingles get simhash 0 via the left join.
+
+    ``parity_hash``: 60-bit md5-prefix base (SQL-oracle-reproducible,
+    always positive) instead of the 64-bit xxhash64 production hash."""
     sh = shingle_table(df, id_col, text_col, n)
-    h = F.xxhash64(F.col("shingle"))
+    h = _parity_base(F.col("shingle")) if parity_hash \
+        else F.xxhash64(F.col("shingle"))
+    n_bits = 60 if parity_hash else 64
     aggs = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
                    .otherwise(-1)).alias(f"b{b}")
-            for b in range(64)]
+            for b in range(n_bits)]
     sums = sh.groupBy("doc_id").agg(*aggs)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0,
                      F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit

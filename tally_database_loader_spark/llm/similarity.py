@@ -107,13 +107,19 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     thresholds (≥0.9) is effectively total; raise n_bits to shrink buckets
     on bigger corpora."""
     planes = _planes(n_bits, dim)
+    # norms computed once per vector (not per pair) — bit-identical values,
+    # ~3× fewer double folds inside the bucket join
     b = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-                      srp_bucket(F.col(vec_col), planes).alias("bucket"))
-    a = b.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"), "bucket")
-    c = b.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"), "bucket")
+                      srp_bucket(F.col(vec_col), planes).alias("bucket"),
+                      F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"))
+    a = b.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"),
+                 F.col("nrm").alias("n1"), "bucket")
+    c = b.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"),
+                 F.col("nrm").alias("n2"), "bucket")
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (a.join(c, "bucket")
              .filter(F.col("d1") < F.col("d2"))
-             .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+             .select("d1", "d2", cos.alias("cos"))
              .filter(F.col("cos") >= threshold))
 
 

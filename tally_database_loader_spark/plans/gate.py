@@ -1035,3 +1035,56 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.continuous import sessionize
     e = load_table(spark, sf_dir, "events")
     return sessionize(e, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# F3 + F4: purchase register — self-joined dimension + negated amounts
+# (reference reports/mssql/purchase-register.sql:10,14-15)
+# ---------------------------------------------------------------------------
+
+@gate_query("purchase_register", oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS INT) AS yr,
+       CAST(-SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS expense,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""")
+def purchase_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase register: the sales-register star with the reference's
+    purchase conventions — amounts negated (reference
+    reports/mssql/purchase-register.sql:10 unary minus) and the SAME
+    dimension joined twice under two roles (line ledger vs party ledger,
+    purchase-register.sql:14-15) — here nation as supplier-nation and
+    customer-nation, with a θ-predicate excluding same-nation pairs.
+    Both nation aliases broadcast; one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    one = F.lit("1").cast(T.DecimalType(4, 2))
+    expense = money(F.col("l_extendedprice")) * (one - F.col("l_discount").cast(T.DecimalType(4, 2)))
+    return (li
+            .join(o.filter(F.col("o_orderdate").cast("date")
+                           .between("1998-01-01", "1998-03-31")),
+                  li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+            .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("o_orderdate").cast("int").alias("yr"))
+            .agg((-F.sum(expense)).cast("double").alias("expense"),
+                 F.count(F.lit(1)).alias("n_lines")))

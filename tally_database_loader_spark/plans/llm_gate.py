@@ -388,3 +388,36 @@ def ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5,
                     n_lists=8, nprobe=2)
+
+
+def _dd_simhash_parity() -> str:
+    base = _dd_hex15("substr(md5(shingle), 1, 15)")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60))
+    fold = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60))
+    return f"""
+hashed AS (SELECT doc_id, {base} AS h FROM sh),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+),
+folded AS (SELECT doc_id, {fold} AS simhash FROM sums)
+SELECT d.doc_id, CAST(COALESCE(f.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id"""
+
+
+@gate_query("simhash_parity", oracle=f"""
+WITH {_DD_SHINGLE_TABLE},
+{_dd_simhash_parity()}
+""")
+def simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with the md5-parity base hash — hash-matched against
+    the SQL oracle bit for bit (llm/dedup.py simhash_table with
+    parity_hash=True). The xxhash64 production variant is benchmarked as
+    ``simhash_dedup``; the plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_table(d, "doc_id", "text", parity_hash=True)

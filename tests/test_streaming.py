@@ -135,3 +135,36 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     got = sorted(tuple(str(x) for x in r)
                  for r in spark.sql("select * from sess").collect())
     assert got == want
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches and
+    across query restarts (checkpoint recovery)."""
+    from tally_database_loader_spark.streaming.stateful import running_totals
+    src = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    d1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)],
+                               "user_id bigint, value double")
+    d2 = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 4.0)],
+                               "user_id bigint, value double")
+
+    def run_once():
+        # foreachBatch sink: checkpoint-recoverable (memory sink is not)
+        out: list = []
+        stream = (spark.readStream
+                  .schema("user_id bigint, value double").parquet(src))
+        q = (running_totals(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _id: out.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["key"]: (r["n_events"], r["total"]) for r in out}
+
+    d1.write.mode("append").parquet(src)
+    assert run_once() == {1: (2, 15.0), 2: (1, 7.0)}
+
+    d2.write.mode("append").parquet(src)
+    # restart from checkpoint: state must resume, not reset
+    assert run_once() == {1: (3, 16.0), 2: (2, 9.0), 3: (1, 4.0)}
