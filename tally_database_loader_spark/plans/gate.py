@@ -253,6 +253,97 @@ def sales_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F11 + F2 + F17: purchase daily/monthly (reference purchase-daily.sql,
+# purchase-monthly.sql) — the purchase-side mirror: filter to the debit
+# stream and negate (`isnull(-c.amount, 0)`, purchase-daily.sql:22).
+# ---------------------------------------------------------------------------
+
+@gate_query("purchase_daily", oracle=f"""
+WITH amt AS ({_SIGNED_ORDERS_SQL}),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1998-01-01', DATE '1998-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+),
+daily AS (
+  SELECT d, SUM(amount) AS amount FROM amt
+  WHERE amount < 0 AND d BETWEEN DATE '1998-01-01' AND DATE '1998-12-31'
+  GROUP BY d
+)
+SELECT s.date, CAST(COALESCE(-daily.amount, 0) AS DOUBLE) AS amount
+FROM spine s LEFT JOIN daily ON daily.d = s.date
+""")
+def purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine daily purchase totals (reference
+    reports/mssql/purchase-daily.sql:4-23).
+
+    Identical shape to sales_daily but over the debit (purchase) stream with
+    the sign flipped at output — the reference stores purchases as negative
+    amounts and renders them positive with ``isnull(-c.amount, 0)``
+    (purchase-daily.sql:22). Spine via closed-form ``sequence()`` (the
+    BigQuery formulation, reports/bigquery/purchase-daily.sql) instead of a
+    recursive CTE; the per-day aggregate is tiny so it broadcasts onto the
+    spine — no shuffle of the spine side."""
+    daily = (_signed_orders(spark, sf_dir)
+             .filter((F.col("amount") < 0)
+                     & F.col("d").between("1998-01-01", "1998-12-31"))
+             .groupBy("d").agg(F.sum("amount").alias("amount")))
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("1998-01-01").cast("date"),
+                             F.lit("1998-12-31").cast("date"))).alias("date"))
+    return (spine.join(F.broadcast(daily), spine.date == daily.d, "left")
+                 .select("date",
+                         F.coalesce(-F.col("amount"), dzero())
+                          .cast("double").alias("amount")))
+
+
+@gate_query("purchase_monthly", oracle=f"""
+WITH amt AS ({_SIGNED_ORDERS_SQL}),
+spine AS (
+  SELECT DISTINCT CAST(EXTRACT(YEAR FROM date) AS INT) AS year,
+                  CAST(EXTRACT(MONTH FROM date) AS INT) AS month
+  FROM (SELECT CAST(UNNEST(generate_series(DATE '1997-01-01', DATE '1998-12-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS date)
+),
+monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM d) AS INT) AS year,
+         CAST(EXTRACT(MONTH FROM d) AS INT) AS month,
+         SUM(amount) AS amount
+  FROM amt
+  WHERE amount < 0 AND d BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+  GROUP BY 1, 2
+)
+SELECT s.year, s.month, CAST(COALESCE(-m.amount, 0) AS DOUBLE) AS amount
+FROM spine s LEFT JOIN monthly m ON m.year = s.year AND m.month = s.month
+""")
+def purchase_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-spine purchase rollup (reference
+    reports/mssql/purchase-monthly.sql:4-33).
+
+    The reference derives the month list from the recursive day spine and
+    left-joins the aggregate onto it (purchase-monthly.sql:9-16,29-31) so
+    months with no purchases still appear as 0 rows. Spark: closed-form
+    month sequence + broadcast of the (tiny) monthly aggregate."""
+    monthly = (_signed_orders(spark, sf_dir)
+               .filter((F.col("amount") < 0)
+                       & F.col("d").between("1997-01-01", "1998-12-31"))
+               .groupBy(F.year("d").alias("y"), F.month("d").alias("m"))
+               .agg(F.sum("amount").alias("amount")))
+    spine = (spark.range(1)
+             .select(F.explode(F.sequence(
+                 F.lit("1997-01-01").cast("date"),
+                 F.lit("1998-12-01").cast("date"),
+                 F.expr("interval 1 month"))).alias("month_start"))
+             .select(F.year("month_start").alias("year"),
+                     F.month("month_start").alias("month")))
+    return (spine.join(F.broadcast(monthly),
+                       (spine.year == monthly.y) & (spine.month == monthly.m),
+                       "left")
+                 .select("year", "month",
+                         F.coalesce(-F.col("amount"), dzero())
+                          .cast("double").alias("amount")))
+
+
+# ---------------------------------------------------------------------------
 # F5 + F9 + F4 + F14: account ledger / string_agg (reference account-ledger.sql)
 # ---------------------------------------------------------------------------
 
