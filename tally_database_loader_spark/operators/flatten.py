@@ -21,12 +21,19 @@ nested fields are read (nested-schema pruning ≈ the reference's explicit
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.tdl import TdlCompiler, make_struct_resolver
 from ..sources.registry import FieldSpec, TableSpec
+
+# SURVEY C9: `$Guid:Ledger:$LedgerName` — source-side dimension lookup
+# producing surrogate GUID-FK columns (`_parent`, `_ledger`, `_item`, ...;
+# reference tally-export-config-incremental.yaml:61-62,627,654)
+_GUID_FK = re.compile(r"^\$Guid:(\w+):(.+)$")
 
 
 def _encode(col: Column, ftype: str) -> Column:
@@ -58,13 +65,22 @@ def _encode(col: Column, ftype: str) -> Column:
 
 
 def extract_table(source: DataFrame, spec: TableSpec,
-                  include_alterid: bool = False) -> DataFrame:
+                  include_alterid: bool = False,
+                  masters: dict[str, DataFrame] | None = None) -> DataFrame:
     """Compile a TableSpec into a DataFrame program over a nested source.
 
     ``source`` holds the ROOT collection rows (e.g. one row per Voucher,
     with collection fields as array<struct>). The spec's dotted
     ``collection`` path drives the explode chain; ``..Field`` expressions
-    see the immediately-enclosing level (SURVEY C5)."""
+    see the immediately-enclosing level (SURVEY C5).
+
+    ``masters`` maps collection name → its root DataFrame and powers the
+    ``$Guid:<Collection>:<expr>`` FK-resolution fields (SURVEY C9): the
+    inner expression yields the dimension's name, which a broadcast join
+    against the (name, guid) projection of the master resolves to its
+    GUID — the Spark form of the reference's source-side
+    ``$Guid:Ledger:$LedgerName`` lookup. Dimensions are small relative to
+    facts, so the join never shuffles the fact side."""
     segments = spec.collection.split(".")[1:]  # first segment = root name
     df = source
     # scope stack: outermost..innermost, each mapping field name → column ref
@@ -98,15 +114,45 @@ def extract_table(source: DataFrame, spec: TableSpec,
             pred = c if pred is None else (pred & c)
         df = df.filter(pred)
 
+    fk_fields: list[tuple[str, str]] = []  # (field name, master collection)
+
     def project(f: FieldSpec) -> Column:
         if f.type == "custom":
             return F.expr(f.expr).alias(f.name)
+        m = _GUID_FK.match(f.expr)
+        if m:
+            coll, inner = m.group(1), m.group(2)
+            if masters is None or coll not in masters:
+                raise ValueError(
+                    f"field {f.name!r} needs master collection {coll!r} "
+                    f"for $Guid resolution but it was not provided")
+            fk_fields.append((f.name, coll))
+            return (_encode(compiler.compile(inner), "text")
+                    .alias(f"__fkkey_{f.name}"))
         return _encode(compiler.compile(f.expr), f.type).alias(f.name)
 
     cols = [project(f) for f in spec.fields]
     if include_alterid:
         cols.append(_alterid_col(scopes).alias("alterid"))
-    return df.select(*cols)
+    df = df.select(*cols)
+
+    for fname, coll in fk_fields:
+        m = masters[coll]
+        cmap = {c.lower(): c for c in m.columns}
+        key = f"__fkkey_{fname}"
+        mapping = (m.select(F.col(cmap["name"]).alias(key),
+                            F.col(cmap["guid"]).alias(fname))
+                    .dropDuplicates([key]))
+        df = df.join(F.broadcast(mapping), key, "left").drop(key)
+
+    if fk_fields:
+        resolved = {fname for fname, _ in fk_fields}
+        order = [f.name for f in spec.fields] + (
+            ["alterid"] if include_alterid else [])
+        df = df.select(*[
+            F.coalesce(F.col(c), F.lit("")).alias(c) if c in resolved
+            else F.col(c) for c in order])
+    return df
 
 
 def _alterid_col(scopes: list[dict[str, str]]) -> Column:
@@ -128,5 +174,7 @@ def extract_all(source_by_root: dict[str, DataFrame],
     for name, spec in specs.items():
         root = spec.collection.split(".")[0]
         if root in source_by_root:
-            out[name] = extract_table(source_by_root[root], spec, include_alterid)
+            out[name] = extract_table(source_by_root[root], spec,
+                                      include_alterid,
+                                      masters=source_by_root)
     return out

@@ -378,3 +378,47 @@ def test_reports_nonempty(tally_cat):
     """Guard against trivially-matching empty reports."""
     for name, (fn, _) in REPORT_ORACLES.items():
         assert fn(tally_cat).count() > 0, f"{name} returned no rows"
+
+
+def test_guid_fk_resolution(spark):
+    """SURVEY C9: `$Guid:<Collection>:<expr>` fields resolve dimension
+    names to GUIDs via broadcast join (reference
+    tally-export-config-incremental.yaml:61-62 `_parent` on mst_ledger,
+    :627 `_ledger` on trn_accounting)."""
+    from tally_database_loader_spark.operators.flatten import extract_table
+    from tally_database_loader_spark.sources.registry import FieldSpec, TableSpec
+
+    src = tally_source(spark)
+    led_spec = TableSpec(
+        name="mst_ledger_inc", collection="Ledger", nature="Primary",
+        fields=[FieldSpec("guid", "$Guid", "text"),
+                FieldSpec("name", "$Name", "text"),
+                FieldSpec("_parent", "$Guid:Group:$Parent", "text")])
+    led = extract_table(src["Ledger"], led_spec, masters=src)
+    rows = {r.name: r._parent for r in led.collect()}
+    assert rows["Cash"] == "g-003"           # Cash-in-hand
+    assert rows["Sales Local"] == "g-001"    # Sales Accounts
+    assert rows["Staff Advance"] == "g-008"  # Staff Loans (non-primary)
+
+    acc_spec = TableSpec(
+        name="trn_accounting_inc",
+        collection="Voucher.AllLedgerEntries", nature="Derived",
+        fields=[FieldSpec("guid", "..Guid", "text"),
+                FieldSpec("ledger", "$LedgerName", "text"),
+                FieldSpec("_ledger", "$Guid:Ledger:$LedgerName", "text"),
+                FieldSpec("amount", "$Amount", "amount")])
+    acc = extract_table(src["Voucher"], acc_spec, masters=src)
+    got = acc.filter("guid = 'v-002'").collect()
+    assert {(r.ledger, r._ledger) for r in got} == {
+        ("Party X", "l-006"), ("Sales Local", "l-002")}
+
+    # unknown dimension name resolves to '' (text-encoded null), not a drop
+    from pyspark.sql import functions as F
+    n_entries = src["Voucher"].select(
+        F.explode("AllLedgerEntries")).count()
+    assert acc.count() == n_entries
+
+    # missing master map is a loud error, not silent empties
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Group"):
+        extract_table(src["Ledger"], led_spec, masters={})
