@@ -208,6 +208,65 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("d1", "d2"),
+                 max_iter: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_id).
+
+    The step after any pair-producing dedup modality (MinHash/SimHash/
+    embedding): near-dup pairs form a graph; each component is one
+    duplicate cluster and ``cluster_id`` = the minimum doc id in the
+    component, so "keep one per cluster" is ``doc_id == cluster_id``.
+    Only documents that appear in some pair are returned (singletons are
+    trivially their own cluster).
+
+    Algorithm: min-label propagation with pointer doubling — each round a
+    node takes the min of (its label, its neighbors' labels, its label's
+    label). The neighbor step alone needs diameter rounds; the
+    label-of-label hop squares path lengths each round (the
+    large-star/small-star trick), so rounds ≈ log2(diameter). Every round
+    is two equi-joins on uniform keys + one partial-aggregated groupBy;
+    ``localCheckpoint`` truncates lineage so plans stay flat at 100 TB,
+    and the convergence probe reads the checkpointed result (no extra
+    recompute).
+    """
+    d1, d2 = id_cols
+    edges = (pairs.select(F.col(d1).alias("src"), F.col(d2).alias("dst"))
+                  .unionByName(
+                      pairs.select(F.col(d2).alias("src"), F.col(d1).alias("dst")))
+                  .distinct()
+                  # materialize once: the pair generator upstream (LSH join,
+                  # cosine verify, ...) must not re-run every round
+                  .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+                   .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                        .groupBy(F.col("src").alias("node"))
+                        .agg(F.min("label").alias("nbr_label")))
+        # pointer doubling: label(label(v)) — squares path lengths
+        lol = labels.select(F.col("node").alias("label"),
+                            F.col("label").alias("label2"))
+        step = (labels.join(nbr_min, "node", "left")
+                      .join(lol, "label", "left")
+                      .select("node", F.col("label").alias("old_label"),
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", F.col("label")),
+                                      F.coalesce("label2", F.col("label")))
+                               .alias("label"))
+                      .localCheckpoint(eager=True))
+        converged = step.filter(
+            F.col("old_label") != F.col("label")).isEmpty()
+        labels = step.select("node", "label")
+        if converged:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

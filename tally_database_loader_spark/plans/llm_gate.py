@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from ..llm import multimodal as mm
 from ..llm import text as tx
-from ..llm.dedup import (exact_duplicates, jaccard_pairs, lsh_candidates,
-                         minhash_near_duplicates, shingle_table, simhash_table)
+from ..llm.dedup import (dup_clusters, exact_duplicates, jaccard_pairs,
+                         lsh_candidates, minhash_near_duplicates,
+                         shingle_table, simhash_table)
 from ..llm.similarity import (cosine_topk, embedding_near_duplicates,
                               ivf_topk, lsh_topk, _planes)
 from ..sources.catalog import load_table
@@ -377,6 +378,40 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora use ≥0.9; the plan is identical)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(e, threshold=0.2, n_bits=4, dim=64)
+
+
+def _dd_dedup_clusters_oracle() -> str:
+    """Recursive-CTE connected components over the embedding-dup pairs:
+    min reachable id per node == dup_clusters' min-label fixpoint."""
+    from .gate import ORACLES
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLES["embedding_cosine_dups"]}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2 AS src, d1 AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@gate_query("dedup_clusters", oracle=_dd_dedup_clusters_oracle())
+def dedup_clusters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (llm/dedup.py dup_clusters): connected
+    components over the near-dup pair graph by iterative min-label
+    propagation — the keep-one-per-cluster step every dedup modality
+    feeds. Oracle replays it as a recursive-CTE reachability closure."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, threshold=0.2, n_bits=4, dim=64)
+    cl = dup_clusters(pairs)
+    return cl.select(F.col("doc_id").cast("long"),
+                     F.col("cluster_id").cast("long"))
 
 
 @gate_query("ivf_topk")  # k-means fit not SQL-replayable — rows-only check

@@ -107,3 +107,34 @@ def test_embedding_near_dups_symmetric_and_thresholded(spark):
     pairs = embedding_near_duplicates(e, threshold=0.2).collect()
     assert pairs, "synthetic corpus should contain near-dup pairs at 0.2"
     assert all(r["d1"] < r["d2"] and r["cos"] >= 0.2 for r in pairs)
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """dup_clusters == union-find ground truth on a graph with a long
+    chain (forces multiple propagation rounds), a clique, and an
+    isolated pair."""
+    from tally_database_loader_spark.llm.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 2, -1)]      # 3..10 chain
+    clique = [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b]
+    pairs = chain + clique + [(30, 31)]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dup_clusters(df, max_iter=30).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+    # keep-one-per-cluster: exactly one representative per component
+    reps = {c for _, c in got}
+    assert reps == {3, 20, 30}
