@@ -55,6 +55,10 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers so per-query numbers measure the plans
     gate.QUERIES["version_probe"](spark, SF_DIR).collect()
+    from tally_database_loader_spark.sources.catalog import load_table
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, SF_DIR, tbl).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

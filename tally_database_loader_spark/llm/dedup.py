@@ -195,15 +195,23 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     first), so the quadratic shingle self-join touches only the LSH
     survivors — the property that keeps this viable at 100 TB."""
     sh_all = shingle_table(df, id_col, text_col, n)
-    # the same logical shingle subtree feeds the signature and the verify
-    # join; recomputing the codegen'd explode twice measures faster than
-    # persisting it (cache serialization breaks pipelining)
+    # Materialize the candidate set before verification: downstream it is
+    # consumed three times (pair semi-join + both doc-restriction sides),
+    # and without the checkpoint each consumer would re-run the whole
+    # signature+banding subtree. The candidate list is the LSH survivors —
+    # tiny relative to the corpus at any scale, so this is the cheap side
+    # to pin.
     cand = lsh_candidates(df, id_col, text_col, k, bands, n, parity_hash,
-                          _shingles=sh_all)
+                          _shingles=sh_all).localCheckpoint(eager=True)
     cand_docs = (cand.select(F.col("d1").alias("doc_id"))
                      .unionByName(cand.select(F.col("d2").alias("doc_id")))
                      .distinct())
-    sh = sh_all.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # Same trick for the verify-side shingles: jaccard_pairs reads its
+    # input three times (a side, b side, sizes); restricting to candidate
+    # docs first makes the checkpointed table small, and checkpointing it
+    # means the full-corpus shingle explode runs once, not three times.
+    sh = (sh_all.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+                .localCheckpoint(eager=True))
     return jaccard_pairs(sh, threshold, candidates=cand)
 
 

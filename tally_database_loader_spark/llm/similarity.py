@@ -108,10 +108,14 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     on bigger corpora."""
     planes = _planes(n_bits, dim)
     # norms computed once per vector (not per pair) — bit-identical values,
-    # ~3× fewer double folds inside the bucket join
+    # ~3× fewer double folds inside the bucket join. Checkpointed because
+    # both self-join sides consume it: the SRP projection is n_bits × dim
+    # interpreted folds per row, the priciest expression in the plan, and
+    # without the checkpoint it runs twice.
     b = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
                       srp_bucket(F.col(vec_col), planes).alias("bucket"),
-                      F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"))
+                      F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm")) \
+              .localCheckpoint(eager=True)
     a = b.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"),
                  F.col("nrm").alias("n1"), "bucket")
     c = b.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"),
