@@ -1179,3 +1179,38 @@ def purchase_register(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.year("o_orderdate").cast("int").alias("yr"))
             .agg((-F.sum(expense)).cast("double").alias("expense"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# skew handling: salted two-phase aggregation (SCALE.md §2-3; charter
+# "skewed keys → salting or AQE skew-join")
+# ---------------------------------------------------------------------------
+
+@gate_query("salted_agg", oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via deterministic salting (operators/skew.py).
+
+    ``event_type`` has ~5 distinct values, so a direct groupBy funnels the
+    whole table into 5 reducers; the salted plan spreads each key over 32,
+    then combines 32 partial states per key. The distinct-user count is
+    the aggregate partial aggregation can't reduce — per-salt distinct
+    sets bound the shuffle by NDV instead of row count. Result is
+    identical to the unsalted groupBy (the oracle)."""
+    from ..operators.skew import salted_aggregate
+    e = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e.withColumn("value", money(F.col("value"))),
+        keys=["event_type"],
+        aggs={"total_value": ("sum", "value"),
+              "n_events": ("count", "event_id"),
+              "n_users": ("count_distinct", "user_id")},
+        distinct_on="event_id", n_salt=32)
+    return out.select("event_type",
+                      F.col("total_value").cast("double").alias("total_value"),
+                      "n_events", F.col("n_users").cast("long").alias("n_users"))
