@@ -55,6 +55,68 @@ def decode_image(payload: bytes) -> object:
         "use fake_decode_features for plumbing tests")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires PIL/libvips, not present in this
+    container. The Spark-side plumbing (fake_resize) is real and tested."""
+    raise NotImplementedError(
+        "image resizing requires PIL/libvips which are not installed; "
+        "use fake_resize for plumbing tests")
+
+
+def fake_resize(df: DataFrame, width: int, height: int,
+                id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched 'resize': binary in → fixed-size binary out via
+    ``mapInPandas`` — the exact shape a real resampler plugs into (swap
+    the tile/truncate line for PIL). The fake output is the source bytes
+    tiled/truncated to a width×height 'pixel buffer', so tests can assert
+    byte-exact results and output size is schema-predictable — the
+    property that matters at scale, where the sink partitions by
+    (rows × width × height) bytes."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = width * height
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) or b"\x00"
+                out = (b * (size // len(b) + 1))[:size]
+                rows.append({"doc_id": doc_id, "width": width,
+                             "height": height, "payload": out})
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "payload"])
+
+    return df.mapInPandas(
+        resize, schema="doc_id bigint, width int, height int, payload binary")
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame sampling: one output row per kept frame — the row-expanding
+    ``mapInPandas`` shape (batch in, variable rows out) that a real
+    ffmpeg keyframe extractor plugs into. The fake treats the payload as
+    a stream of ``frame_bytes``-sized frames and keeps every
+    ``every_n``-th, emitting (doc_id, frame_idx, frame). Output rows per
+    input row = ceil(n_frames / every_n), so at 100 TB the expansion
+    factor — and thus output partition sizing — is known up front."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for idx in range(0, n_frames, every_n):
+                    rows.append({"doc_id": doc_id, "frame_idx": idx,
+                                 "frame": b[idx * frame_bytes:
+                                            (idx + 1) * frame_bytes]})
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame binary")
+
+
 def fake_decode_features(df: DataFrame, id_col: str = "doc_id",
                          payload_col: str = "payload") -> DataFrame:
     """Arrow-batched 'decode': per-payload byte statistics + synthetic

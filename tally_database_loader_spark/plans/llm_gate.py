@@ -350,6 +350,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.fake_decode_features(payload, "doc_id", "payload")
 
 
+@gate_query("image_resize")  # mapInPandas binary→binary — rows-only check
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize plumbing: binary in → fixed 64×48 'pixel
+    buffer' out via mapInPandas (llm/multimodal.py fake_resize; the real
+    resampler is a one-line swap, PIL not installable here). Byte-exact
+    output is asserted in tests/test_llm.py; the driver records
+    rows-only. Output md5 keeps the result hashable without shipping
+    3 KB/row through the compare."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
+    out = mm.fake_resize(payload, width=64, height=48)
+    return out.select("doc_id", "width", "height",
+                      F.md5("payload").alias("payload_md5"))
+
+
+@gate_query("frame_sample", oracle="""
+SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+       md5(substring(text, idx*64 + 1, 64)) AS frame_md5
+FROM documents,
+     LATERAL unnest(generate_series(0,
+        GREATEST(1, CAST(ceil(octet_length(encode(text))/64.0) AS INT)) - 1,
+        4)) AS t(idx)
+""")
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th 64-byte 'frame' of the payload, one
+    output row per kept frame (llm/multimodal.py sample_frames — the
+    row-expanding mapInPandas shape a real ffmpeg keyframe extractor
+    plugs into). The oracle re-derives the kept frames with a
+    generate_series lateral join; frames compared by md5 (documents are
+    ASCII, so VARCHAR substring == byte slice)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
+    out = mm.sample_frames(payload, every_n=4, frame_bytes=64)
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 @gate_query("simhash_dedup")  # xxhash64-based — rows-only driver check
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (llm/dedup.py simhash64; xxhash64-based,

@@ -138,3 +138,35 @@ def test_dup_clusters_matches_union_find(spark):
     # keep-one-per-cluster: exactly one representative per component
     reps = {c for _, c in got}
     assert reps == {3, 20, 30}
+
+
+def test_fake_resize_byte_exact_and_fixed_size(spark):
+    from tally_database_loader_spark.llm.multimodal import fake_resize
+    d = load_table(spark, SF_CORRECTNESS, "documents").limit(10)
+    payload = d.select("doc_id", binary_payload(F.col("text")).alias("payload"))
+    rows = {r.doc_id: r for r in fake_resize(payload, 32, 16).collect()}
+    src = {r.doc_id: r.text.encode("utf-8") for r in d.collect()}
+    assert set(rows) == set(src)
+    for doc_id, b in src.items():
+        r = rows[doc_id]
+        assert (r.width, r.height) == (32, 16)
+        expect = ((b or b"\x00") * (512 // len(b or b"\x00") + 1))[:512]
+        assert bytes(r.payload) == expect
+
+
+def test_sample_frames_expansion_and_content(spark):
+    from tally_database_loader_spark.llm.multimodal import sample_frames
+    d = load_table(spark, SF_CORRECTNESS, "documents").limit(10)
+    payload = d.select("doc_id", binary_payload(F.col("text")).alias("payload"))
+    out = sample_frames(payload, every_n=3, frame_bytes=50).collect()
+    src = {r.doc_id: r.text.encode("utf-8") for r in d.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+    assert set(by_doc) == set(src)
+    for doc_id, b in src.items():
+        n_frames = max(1, (len(b) + 49) // 50)
+        expect_idx = list(range(0, n_frames, 3))
+        assert sorted(by_doc[doc_id]) == expect_idx
+        for idx in expect_idx:
+            assert by_doc[doc_id][idx] == b[idx * 50:(idx + 1) * 50]
