@@ -50,3 +50,15 @@ def test_no_cartesian_products(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan or name == "minhash_lsh_dedup", name
+
+
+def test_salted_agg_two_phase_plan(spark):
+    """The salted aggregation must plan as two grouping levels — phase 1
+    on (key, salt) spreading the hot key, phase 2 on the key alone — with
+    partial aggregation around each exchange and no extra shuffle beyond
+    the two groupings."""
+    plan = _plan(spark, "salted_agg")
+    assert "_salt" in plan, "salt column missing from the physical plan"
+    # two logical groupings × (partial + final) = ≥4 HashAggregate nodes
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    assert "CartesianProduct" not in plan
