@@ -42,6 +42,16 @@ _TYPE_MAP: dict[str, tuple[T.DataType, str]] = {
     "custom": (T.StringType(), "nvarchar(1024)"),      # escape hatch; caller may override
 }
 
+# Per-dialect DDL type overrides (defaults = the mssql column of _TYPE_MAP).
+# Mirrors the reference's platform DDL variants — see TableSpec.ddl().
+_DDL_DIALECTS: dict[str, dict[str, str]] = {
+    "mssql": {},
+    "mysql": {"text": "varchar(1024)", "custom": "varchar(1024)"},
+    "postgres": {"text": "varchar(1024)", "custom": "varchar(1024)",
+                 "logical": "smallint"},
+    "bigquery": {"text": "string(1024)", "custom": "string(1024)"},
+}
+
 
 @dataclass
 class FieldSpec:
@@ -80,8 +90,26 @@ class TableSpec:
             fields.append(T.StructField("alterid", T.LongType(), True))
         return T.StructType(fields)
 
-    def ddl(self) -> str:
-        cols = ",\n  ".join(f"{f.name} {_TYPE_MAP[f.type][1]}" for f in self.fields)
+    def ddl(self, dialect: str = "mssql") -> str:
+        """Generate the CREATE TABLE for one of the reference's four DDL
+        dialects — the schema registry is the single source of truth, so
+        DDL is derived, never parsed back (SURVEY §1.3, A6).
+
+        Dialect type differences mirror the reference's platform DDLs:
+        text is nvarchar on mssql (database-structure.sql:9-12), varchar
+        on mysql/postgres (platform/{mysql,postgresql}/database-structure.sql),
+        string on bigquery (platform/google-bigquery/database-structure.sql:3);
+        logical is tinyint everywhere except postgres' smallint
+        (platform/postgresql/database-structure.sql:13-16); date and the
+        decimal(17,2)/(15,4) money/quantity types agree across dialects.
+        """
+        if dialect not in _DDL_DIALECTS:
+            raise ValueError(f"unknown DDL dialect {dialect!r}; "
+                             f"expected one of {sorted(_DDL_DIALECTS)}")
+        overrides = _DDL_DIALECTS[dialect]
+        cols = ",\n  ".join(
+            f"{f.name} {overrides.get(f.type, _TYPE_MAP[f.type][1])}"
+            for f in self.fields)
         return f"create table {self.name} (\n  {cols}\n);"
 
 

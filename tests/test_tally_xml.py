@@ -104,3 +104,26 @@ def test_auto_dates(spark):
         [("g1", datetime.date(2024, 5, 2)), ("g2", datetime.date(2023, 4, 1))],
         "guid string, date date")
     assert auto_dates(df) == ("2023-04-01", "2024-05-02")
+
+
+def test_ddl_generation_all_dialects():
+    """DDL derives from the registry for each reference dialect variant
+    (reference platform/{mysql,postgresql,google-bigquery} + root mssql
+    DDL) — dialect-specific types land, unknown dialects are rejected."""
+    import pytest
+    from tally_database_loader_spark.sources.registry import default_tables
+    tables = default_tables()
+    assert len(tables) >= 22
+    grp = tables["mst_group"]
+    assert "name nvarchar(1024)" in grp.ddl("mssql")
+    assert "name varchar(1024)" in grp.ddl("mysql")
+    assert "is_revenue tinyint" in grp.ddl("mysql")
+    assert "is_revenue smallint" in grp.ddl("postgres")
+    assert "name string(1024)" in grp.ddl("bigquery")
+    led = tables["mst_ledger"].ddl("postgres")
+    assert "opening_balance decimal(17,2)" in led
+    for spec in tables.values():
+        for d in ("mssql", "mysql", "postgres", "bigquery"):
+            assert spec.ddl(d).startswith(f"create table {spec.name}")
+    with pytest.raises(ValueError, match="unknown DDL dialect"):
+        grp.ddl("oracle")
