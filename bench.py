@@ -45,6 +45,10 @@ HEADLINE = [
     "hierarchy_paths",
     "embedding_cosine_dups",
     "mask_formatting",
+    "repetition_scores",
+    "chunk_windows",
+    "vocab_topk",
+    "mixture_stats",
 ]
 
 

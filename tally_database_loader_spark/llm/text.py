@@ -104,6 +104,48 @@ def lang_id(text: Column) -> Column:
              .otherwise(F.lit("fr")))
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array column (JVM-side ``transform``
+    over an index sequence — no explode, no UDF). Empty for docs shorter
+    than ``n`` tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.expr("cast(array() as array<string>)"))
+
+
+def _dup_fraction(toks: Column, n: int) -> Column:
+    """Fraction of n-grams that are within-doc repeats.
+
+    The gram count is derived from ``size(toks)`` (never from the gram
+    array), and the gram array feeds exactly one ``array_distinct`` — the
+    array-building ``transform`` lives inside a ``when`` branch, which
+    Spark's subexpression elimination cannot hoist, so every additional
+    textual occurrence would re-run the whole n-gram construction."""
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    distinct = F.size(F.array_distinct(ngram_array(toks, n)))
+    return F.when(
+        total > 0,
+        (total - distinct).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_columns(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals: the fraction of word 2-grams and
+    3-grams that are repeats within the document. High values flag
+    boilerplate/degenerate text for filtering. Single projection pass,
+    all codegen'd array expressions."""
+    toks = tokens(text)
+    return {
+        "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("int"),
+        "dup_bigram_frac": _dup_fraction(toks, 2),
+        "dup_trigram_frac": _dup_fraction(toks, 3),
+    }
+
+
 def normalized_text(text: Column) -> Column:
     """Whitespace-collapsed lower-case normalization for fingerprinting."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -492,3 +492,148 @@ def simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_dedup``; the plan shape is identical."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_table(d, "doc_id", "text", parity_hash=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: repetition, chunking, vocabulary, mixture
+# ---------------------------------------------------------------------------
+
+@gate_query("repetition_scores", oracle=f"""
+WITH tok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+              ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              ELSE [] END AS g3
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(g2) AS INT) AS n_bigrams,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+""")
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: within-doc duplicate 2-gram /
+    3-gram fractions (llm/text.py repetition_columns). One projection pass;
+    ``fan_out`` widens the byte-small, compute-dense text scan to cluster
+    parallelism first (the cluster-scale lever is a lower
+    ``maxPartitionBytes``, see SCALE.md §1)."""
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cols = tx.repetition_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+CHUNK_TOKENS = 32
+
+
+@gate_query("chunk_windows", oracle=f"""
+WITH tok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_TOKENS})) AS s
+  FROM tok
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_TOKENS} AS INT) AS chunk_id,
+       array_to_string(t[s:s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+       CAST(len(t[s:s + {CHUNK_TOKENS} - 1]) AS INT) AS n_chunk_tokens
+FROM st
+""")
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking (training-sample preparation):
+    each document becomes ceil(n_tokens/32) rows of ≤32-token chunks.
+    The explode is over *start offsets* (a few ints per doc), not tokens,
+    so the row expansion carries no duplicated text through the shuffle —
+    there is no shuffle; chunking stays map-side at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(CHUNK_TOKENS))
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS)
+    return (d.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+              .select("doc_id",
+                      ((F.col("s") - 1) / F.lit(CHUNK_TOKENS)).cast("int").alias("chunk_id"),
+                      F.array_join(chunk, " ").alias("chunk_text"),
+                      F.size(chunk).cast("int").alias("n_chunk_tokens")))
+
+
+@gate_query("vocab_topk", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_DD_TOKENS}) AS token FROM documents),
+agg AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, tf, df,
+         CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+  FROM agg
+)
+SELECT token, tf, df, rank FROM ranked WHERE rank <= 100
+""")
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer-training prep): term
+    frequency + document frequency per token, top 100 by (tf desc, token).
+
+    Scale shape: explode → two-phase hash aggregate (partial map-side
+    combine bounds shuffled bytes by vocabulary size, not token count);
+    the top-k is ``orderBy().limit()`` which Spark plans as
+    TakeOrderedAndProject — per-partition heaps merged on the driver, no
+    single-partition sort of the full vocabulary. The row_number window
+    then ranks only the surviving 100 rows."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    agg = (tok.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.countDistinct("doc_id").alias("df")))
+    top = agg.orderBy(F.desc("tf"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@gate_query("mixture_stats", oracle=f"""
+WITH q AS (
+  SELECT lang, source,
+         len({_DD_TOKENS}) AS nt,
+         length(text) AS nc,
+         least(1.0, len({_DD_TOKENS}) / 100.0) * 0.5
+         + (1.0 - least(1.0, (CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / greatest(length(text), 1)) * 10.0)) * 0.3
+         + least(1.0, (CAST(len(list_filter({_DD_TOKENS}, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                       / greatest(len({_DD_TOKENS}), 1)) * 5.0) * 0.2 AS score
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs
+FROM q GROUP BY lang, source
+""")
+def mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture accounting per (lang, source): doc/token/char totals and
+    a high-quality-doc count. All aggregates are integer sums — exact and
+    order-insensitive under AQE, unlike a float mean (the per-row double
+    quality score is thresholded *before* aggregation on purpose)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_columns(F.col("text"))
+    per_doc = d.select(
+        "lang", "source",
+        q["n_tokens"].alias("nt"),
+        F.length("text").alias("nc"),
+        (q["quality_score"] >= 0.5).alias("hi"))
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").cast("long").alias("total_tokens"),
+                 F.sum("nc").cast("long").alias("total_chars"),
+                 F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long")
+                  .alias("high_quality_docs")))
