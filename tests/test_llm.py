@@ -170,3 +170,29 @@ def test_sample_frames_expansion_and_content(spark):
         assert sorted(by_doc[doc_id]) == expect_idx
         for idx in expect_idx:
             assert by_doc[doc_id][idx] == b[idx * 50:(idx + 1) * 50]
+
+
+def test_repetition_and_chunking_edge_cases(spark):
+    """Degenerate documents the sf tables don't contain: empty text,
+    whitespace-only, single token, all-identical tokens."""
+    from tally_database_loader_spark.llm.text import (ngram_array,
+                                                      repetition_columns,
+                                                      tokens)
+    rows = [(0, ""), (1, "   "), (2, "solo"), (3, "a a a a"), (4, "x y x y z")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    cols = repetition_columns(F.col("text"))
+    out = {r["doc_id"]: r for r in
+           d.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    for empty_id in (0, 1, 2):  # fewer than 2 tokens -> no bigrams, frac 0
+        assert out[empty_id]["n_bigrams"] == 0
+        assert out[empty_id]["dup_bigram_frac"] == 0.0
+        assert out[empty_id]["dup_trigram_frac"] == 0.0
+    # "a a a a": 3 bigrams all "a a" -> 2 repeats; 2 trigrams -> 1 repeat
+    assert out[3]["n_bigrams"] == 3
+    assert abs(out[3]["dup_bigram_frac"] - 2 / 3) < 1e-15
+    assert abs(out[3]["dup_trigram_frac"] - 1 / 2) < 1e-15
+    # "x y x y z": bigrams [xy, yx, xy, yz] -> 1 repeat of 4
+    assert abs(out[4]["dup_bigram_frac"] - 1 / 4) < 1e-15
+    grams = d.select(ngram_array(tokens(F.col("text")), 2).alias("g")) \
+             .where(F.col("doc_id") == 4).collect()[0]["g"]
+    assert grams == ["x y", "y x", "x y", "y z"]
