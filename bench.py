@@ -49,6 +49,7 @@ HEADLINE = [
     "chunk_windows",
     "vocab_topk",
     "mixture_stats",
+    "hash_sample",
 ]
 
 

@@ -637,3 +637,35 @@ def mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("nc").cast("long").alias("total_chars"),
                  F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long")
                   .alias("high_quality_docs")))
+
+
+_DD_SAMPLE_U = (_dd_hex15("substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)")
+                + " / 1152921504606846976.0")  # 2^60
+
+
+@gate_query("hash_sample", oracle=f"""
+SELECT doc_id, lang, source, u FROM (
+  SELECT doc_id, lang, source, {_DD_SAMPLE_U} AS u FROM documents
+)
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+""")
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (mixture re-weighting): keep a
+    doc iff a keyed md5 uniform u(doc_id) ∈ [0,1) falls under its
+    stratum's rate (en 50%, de 25%, rest 10%).
+
+    Unlike ``df.sample``/``rand()`` this is a pure deterministic filter —
+    stable under task retries and speculative execution, reproducible
+    across runs and engines (the oracle replays it digit-for-digit), and
+    trivially consistent between pipeline stages that must agree on the
+    sample (e.g. a dedup pass and a tokenizer-training pass). No shuffle;
+    at 100 TB it is a map-side filter over the scan."""
+    from ..llm.dedup import _parity_base
+    d = load_table(spark, sf_dir, "documents")
+    u = (_parity_base(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+         .cast("double") / F.lit(float(1 << 60)))
+    rate = (F.when(F.col("lang") == "en", 0.5)
+             .when(F.col("lang") == "de", 0.25)
+             .otherwise(0.1))
+    return (d.select("doc_id", "lang", "source", u.alias("u"))
+              .filter(F.col("u") < rate))
