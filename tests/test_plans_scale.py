@@ -62,3 +62,20 @@ def test_salted_agg_two_phase_plan(spark):
     # two logical groupings × (partial + final) = ≥4 HashAggregate nodes
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_curation_ops_plan_shapes(spark):
+    # chunking/repetition must stay map-side: no aggregation exchange.
+    # (repetition's single Exchange is the deliberate fan_out repartition
+    # that widens the byte-small text scan; chunking has none at all.)
+    assert _plan(spark, "chunk_windows").count("Exchange") == 0
+    rep = _plan(spark, "repetition_scores")
+    assert rep.count("Exchange") <= 1 and "HashAggregate" not in rep
+    # sampling is a pure filter over the scan
+    samp = _plan(spark, "hash_sample")
+    assert "Exchange" not in samp and "HashAggregate" not in samp
+    # vocab top-k: per-partition heaps + driver merge, never a global sort
+    # of the full vocabulary through a single partition
+    vocab = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in vocab
+    assert "Exchange SinglePartition" not in vocab
