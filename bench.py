@@ -50,6 +50,7 @@ HEADLINE = [
     "vocab_topk",
     "mixture_stats",
     "hash_sample",
+    "length_stats",
 ]
 
 

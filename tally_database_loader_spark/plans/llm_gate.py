@@ -669,3 +669,53 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(0.1))
     return (d.select("doc_id", "lang", "source", u.alias("u"))
               .filter(F.col("u") < rate))
+
+
+@gate_query("length_stats", oracle="""
+WITH hist AS (
+  SELECT lang, n_chars, count(*) AS c
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum_c,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS INT) AS min_chars,
+       CAST(max(n_chars) AS INT) AS max_chars,
+       CAST(min(CASE WHEN cum_c >= (n + 1) // 2 THEN n_chars END)
+            + min(CASE WHEN cum_c >= (n + 2) // 2 THEN n_chars END) AS DOUBLE) / 2.0
+         AS median_chars
+FROM cum GROUP BY lang
+""")
+def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution with an *exact* median
+    computed scale-correctly: aggregate to a (lang, n_chars) histogram
+    first (two-phase, shuffle bounded by distinct lengths), then take the
+    cumulative-count walk over that tiny histogram — never a per-group
+    sort of the raw rows, which for a handful of giant language groups
+    would funnel 100 TB through a few partitions. Median of an even group
+    is the mean of the two middle values (ints until one final /2.0)."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.partitionBy("lang").orderBy("n_chars")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang", "n_chars", "c",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(wall).alias("n"))
+    p1 = F.floor((F.col("n") + 1) / 2)
+    p2 = F.floor((F.col("n") + 2) / 2)
+    return (cum.groupBy("lang")
+            .agg(F.max("n").cast("long").alias("n_docs"),
+                 F.min("n_chars").cast("int").alias("min_chars"),
+                 F.max("n_chars").cast("int").alias("max_chars"),
+                 ((F.min(F.when(F.col("cum_c") >= p1, F.col("n_chars")))
+                   + F.min(F.when(F.col("cum_c") >= p2, F.col("n_chars"))))
+                  .cast("double") / F.lit(2.0)).alias("median_chars")))
