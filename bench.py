@@ -51,6 +51,10 @@ HEADLINE = [
     "mixture_stats",
     "hash_sample",
     "length_stats",
+    "asof_latest_view",
+    "pii_redaction",
+    "benchmark_contamination",
+    "span_dedup",
 ]
 
 

@@ -308,3 +308,72 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     ids = df.select(F.col(id_col).alias("doc_id"))
     return (ids.join(sums, "doc_id", "left")
                .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup (paragraph dedup for corpora without paragraph breaks)
+# ---------------------------------------------------------------------------
+
+def span_table(df: DataFrame, id_col: str, text_col: str,
+               span_tokens: int = 10) -> DataFrame:
+    """(doc_id, pos, span) — the token stream cut into fixed-size spans.
+
+    The scalable unit for sub-document dedup: spans are bounded-size
+    strings, so the downstream groupBy(span) shuffle carries rows of
+    predictable width no matter how long individual documents are."""
+    from ..llm.text import tokens
+    from ..sources.catalog import fan_out
+    df = fan_out(df, id_col)
+    t = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(t) / F.lit(span_tokens)).cast("int")
+    spans = F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i * span_tokens + 1,
+                                                      span_tokens))))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(spans).alias("pos", "span")))
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               span_tokens: int = 10) -> DataFrame:
+    """Corpus-wide span-level dedup with order-preserving reassembly.
+
+    Keep-first semantics: a span survives only at its lexicographically
+    first occurrence (min (doc_id, pos)) — deterministic under retries,
+    unlike "first seen" which depends on task scheduling. Reassembly
+    sorts each document's surviving spans by position inside an array
+    (``array_sort`` of (pos, span) structs), so no per-document window
+    or secondary sort stage is needed.
+
+    Plan: one explode (map-side) → one groupBy(span) shuffle to elect
+    keepers → one groupBy(doc) shuffle to reassemble. The span election
+    is a self-contained aggregation — no join of the span table against
+    itself, so span frequency skew (boilerplate spans repeated millions
+    of times) collapses map-side via partial aggregation.
+
+    Returns (doc_id, n_spans, n_kept, dedup_text); fully-duplicate
+    documents keep zero spans and get ``dedup_text = ''``.
+    """
+    sp = span_table(df, id_col, text_col, span_tokens)
+    keeper = (sp.groupBy("span")
+                .agg(F.min(F.struct("doc_id", "pos")).alias("keep")))
+    kept = (sp.join(keeper, "span")
+              .filter((F.col("keep.doc_id") == F.col("doc_id"))
+                      & (F.col("keep.pos") == F.col("pos"))))
+    reassembled = (kept.groupBy("doc_id")
+                       .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),
+                            F.array_join(
+                                F.transform(
+                                    F.array_sort(F.collect_list(
+                                        F.struct("pos", "span"))),
+                                    lambda s: s["span"]),
+                                " ").alias("dedup_text")))
+    totals = (sp.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("int").alias("n_spans")))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(totals, "doc_id", "left")
+               .join(reassembled, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                       F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                       F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))

@@ -170,3 +170,36 @@ def fingerprint_rolling(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(POLY_MOD),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (corpus sanitization before training)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark, backtracking) and RE2 (DuckDB oracle, leftmost-longest): no
+# alternation between overlapping branches, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{7,15}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_columns(text: Column) -> dict[str, Column]:
+    """Match counts per PII class — the audit side of scrubbing."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)).cast("int"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE)).cast("int"),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4)).cast("int"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII class with a typed placeholder token.
+
+    Application order (email → ip → phone) is fixed and must match the
+    oracle: emails are removed before the IP/phone passes so their
+    digit runs can't be re-matched. Pure ``regexp_replace`` chain —
+    map-side, codegen'd, zero shuffle."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -1214,3 +1214,38 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type",
                       F.col("total_value").cast("double").alias("total_value"),
                       "n_events", F.col("n_users").cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join (charter extension: point-in-time-correct event lookup)
+# ---------------------------------------------------------------------------
+
+@gate_query("asof_latest_view", oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""")
+def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every click, the latest view by the same
+    user at-or-before the click (operators/asof.py union-window trick —
+    ONE shuffle of |L|+|R| rows, never an inequality join). The oracle is
+    DuckDB's native ASOF LEFT JOIN; ties on (user, ts) resolve to the
+    max event_id on both sides (tiebreak column ↔ QUALIFY dedup)."""
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("view_event_id"),
+                      F.col("value").alias("view_value")))
+    return asof_join(clicks, views, ["user_id"], "ts", "ts",
+                     ["view_event_id", "view_value"], tiebreak="view_event_id")

@@ -719,3 +719,140 @@ def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ((F.min(F.when(F.col("cum_c") >= p1, F.col("n_chars")))
                    + F.min(F.when(F.col("cum_c") >= p2, F.col("n_chars"))))
                   .cast("double") / F.lit(2.0)).alias("median_chars")))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{7,15}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_ORACLE = """
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +91987'
+              || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+              || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+           AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(payload, '@EMAIL@')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(payload, '@PHONE@')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(payload, '@IPV4@')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(payload,
+             '@EMAIL@', '<EMAIL>', 'g'),
+             '@IPV4@', '<IP>', 'g'),
+             '@PHONE@', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(payload,
+             '@EMAIL@', '<EMAIL>', 'g'),
+             '@IPV4@', '<IP>', 'g'),
+             '@PHONE@', '<PHONE>', 'g')) AS INT) AS redacted_len
+FROM enriched
+""".replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE) \
+   .replace("@IPV4@", _PII_IPV4)
+
+
+@gate_query("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit + redaction (llm/text.py pii_columns /
+    redact_pii): synthetic-but-deterministic PII is appended to every
+    document (the corpus itself is clean), then counted and redacted.
+    Pure regexp projection — map-side, codegen'd, zero shuffle; the
+    regex subset is chosen so Java regex and RE2 agree match-for-match.
+    The md5 of the redacted text proves byte-exact redaction, without
+    hauling full redacted documents through the compare."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +91987"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"))
+    pii = tx.pii_columns(payload)
+    red = tx.redact_pii(payload)
+    return d.select("doc_id",
+                    pii["n_emails"].alias("n_emails"),
+                    pii["n_phones"].alias("n_phones"),
+                    pii["n_ips"].alias("n_ips"),
+                    F.md5(F.encode(red, "utf-8")).alias("redacted_md5"),
+                    F.length(red).cast("int").alias("redacted_len"))
+
+
+@gate_query("benchmark_contamination", oracle=f"""
+WITH {_DD_SHINGLE_TABLE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       CAST(count(*) AS INT) AS n_shingles,
+       CAST(count(b.shingle) AS INT) AS n_contaminated,
+       CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS contamination
+FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""")
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training document's
+    distinct 3-gram shingles that also occur in a held-out benchmark set
+    (here: docs with doc_id % 97 == 0). The benchmark shingle set is tiny
+    relative to the corpus, so it is broadcast — the 100 TB side is
+    probed map-side with no shuffle; the only shuffle is the per-doc
+    aggregation of hit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text")
+    bench = (sh.filter(F.col("doc_id") % 97 == 0)
+               .select("shingle").distinct()
+               .withColumn("hit", F.lit(1)))
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (corpus.join(F.broadcast(bench), "shingle", "left")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("int").alias("n_shingles"),
+                       F.count("hit").cast("int").alias("n_contaminated"),
+                       (F.count("hit").cast("double")
+                        / F.count(F.lit(1)).cast("double"))
+                       .alias("contamination")))
+
+
+@gate_query("span_dedup", oracle="""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS pos
+  FROM tok WHERE len(t) > 0
+),
+sp AS (
+  SELECT doc_id, pos,
+         array_to_string(t[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS span
+  FROM idx
+),
+kept AS (
+  SELECT doc_id, pos, span FROM sp
+  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans FROM sp GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_spans, 0) AS n_spans,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.dedup_text, '') AS dedup_text
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+""")
+def span_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) dedup with order-preserving reassembly
+    (llm/dedup.py span_dedup): the token stream is cut into 10-token
+    spans, each span survives only at its lexicographically-first
+    (doc_id, pos) occurrence, and surviving spans are stitched back per
+    document. Keep-first via min(struct) aggregation — deterministic
+    under retries and partial-agg friendly (boilerplate-span skew
+    collapses map-side)."""
+    from ..llm.dedup import span_dedup
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_tokens=10)

@@ -196,3 +196,37 @@ def test_repetition_and_chunking_edge_cases(spark):
     grams = d.select(ngram_array(tokens(F.col("text")), 2).alias("g")) \
              .where(F.col("doc_id") == 4).collect()[0]["g"]
     assert grams == ["x y", "y x", "x y", "y z"]
+
+
+def test_span_dedup_invariants(spark):
+    from tally_database_loader_spark.llm.dedup import span_dedup, span_table
+    from tally_database_loader_spark.sources.catalog import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = span_dedup(d, "doc_id", "text", span_tokens=10)
+    rows = out.collect()
+    # every document survives with n_kept <= n_spans
+    assert len(rows) == d.count()
+    assert all(r["n_kept"] <= r["n_spans"] for r in rows)
+    # total kept spans == number of distinct spans in the corpus
+    sp = span_table(d, "doc_id", "text", 10)
+    assert sum(r["n_kept"] for r in rows) == sp.select("span").distinct().count()
+    # surviving spans are globally unique: re-splitting every dedup_text
+    # on the original span boundaries yields no repeated span
+    kept_spans = [s for r in rows if r["dedup_text"]
+                  for s in _resplit(r["dedup_text"], 10)]
+    assert len(kept_spans) == len(set(kept_spans))
+    # the lexicographically first document keeps everything
+    first = min(r["doc_id"] for r in rows)
+    fr = next(r for r in rows if r["doc_id"] == first)
+    assert fr["n_kept"] == fr["n_spans"]
+
+
+def _resplit(text: str, span_tokens: int) -> list[str]:
+    # dedup_text concatenates whole surviving spans; spans other than a
+    # document's final one have exactly span_tokens tokens, so token-window
+    # re-splitting cannot reconstruct original span boundaries when a short
+    # tail span survives mid-string. Conservative: only assert uniqueness
+    # of full windows, which is what corpus-wide dedup guarantees.
+    toks = text.split(" ")
+    return [" ".join(toks[i:i + span_tokens])
+            for i in range(0, len(toks) - span_tokens + 1, span_tokens)]
