@@ -55,6 +55,7 @@ HEADLINE = [
     "pii_redaction",
     "benchmark_contamination",
     "span_dedup",
+    "interval_attribution",
 ]
 
 

@@ -1249,3 +1249,42 @@ def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("value").alias("view_value")))
     return asof_join(clicks, views, ["user_id"], "ts", "ts",
                      ["view_event_id", "view_value"], tiebreak="view_event_id")
+
+
+# ---------------------------------------------------------------------------
+# range join (charter extension: interval-overlap without an equality key)
+# ---------------------------------------------------------------------------
+
+@gate_query("interval_attribution", oracle="""
+WITH intervals AS (
+  SELECT event_id AS interval_id, ts AS start_ts,
+         ts + INTERVAL 2 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error' AND user_id % 50 = 0
+),
+pts AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+SELECT i.interval_id,
+       count(*) AS n_points,
+       CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM pts p JOIN intervals i ON p.ts BETWEEN i.start_ts AND i.end_ts
+GROUP BY i.interval_id
+""")
+def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-window attribution: purchases landing inside any [error_ts,
+    error_ts + 2 min] window, aggregated per window. There is NO equality
+    key between the sides, so a naive plan is BroadcastNestedLoopJoin /
+    cartesian; operators/range_join.py grids time into 2-minute cells and
+    runs a plain equi-join on the cell id instead — shuffle-partitioned,
+    spillable, O(|P|+|I|·cells) not O(|P|·|I|). Money sums in Decimal,
+    cast to double last (module float discipline)."""
+    from ..operators.range_join import range_join
+    e = load_table(spark, sf_dir, "events")
+    iv = (e.filter((F.col("event_type") == "error") & (F.col("user_id") % 50 == 0))
+           .select(F.col("event_id").alias("interval_id"),
+                   F.col("ts").alias("start_ts"),
+                   (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("end_ts")))
+    pts = e.filter(F.col("event_type") == "purchase").select("ts", "value")
+    m = range_join(pts, iv, "ts", "start_ts", "end_ts",
+                   bucket_width=120_000_000)  # 2 min of epoch-micros
+    return (m.groupBy("interval_id")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  F.sum(money(F.col("value"))).cast("double").alias("total_value")))
