@@ -56,6 +56,8 @@ HEADLINE = [
     "benchmark_contamination",
     "span_dedup",
     "interval_attribution",
+    "hypertable_rollup",
+    "gap_fill_locf",
 ]
 
 

@@ -1288,3 +1288,78 @@ def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.groupBy("interval_id")
              .agg(F.count(F.lit(1)).alias("n_points"),
                   F.sum(money(F.col("value"))).cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# hypertable-style rollup + gap fill (charter extensions: time-series shapes)
+# ---------------------------------------------------------------------------
+
+@gate_query("hypertable_rollup", oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(grouping(event_type, CAST(ts AS DATE)) AS INT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""")
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (type×day → type → grand total) in ONE
+    pass — native ``df.rollup``, which Spark executes as a single Expand
+    + hash aggregate with map-side partials, instead of three separate
+    scans unioned. ``grouping_id`` disambiguates subtotal NULLs from real
+    NULL keys. At 100 TB this is the hypertable continuous-aggregate
+    shape: one shuffle keyed on the finest grain, coarser grains derived
+    in the same aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.select("event_type", F.to_date("ts").alias("day"),
+                     money(F.col("value")).alias("v"))
+             .rollup("event_type", "day")
+             .agg(F.grouping_id().cast("int").alias("gid"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum("v").cast("double").alias("total_value"))
+             .select("event_type", "day", "gid", "n_events", "total_value"))
+
+
+@gate_query("gap_fill_locf", oracle="""
+WITH obs AS (
+  SELECT user_id, ts, value, event_id FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value, event_id
+  FROM obs
+  QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+days AS (SELECT CAST(gs AS DATE) AS day
+         FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                              INTERVAL 1 DAY) AS t(gs)),
+spine AS (SELECT u.user_id, d.day
+          FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days d)
+SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS cell_ts,
+       last_value(d.value IGNORE NULLS) OVER w AS value,
+       last_value(d.event_id IGNORE NULLS) OVER w AS src_event_id,
+       d.event_id IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+WINDOW w AS (PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase-value series per user with LOCF
+    (operators/gapfill.py): bucket election collapses raw events
+    map-side, the spine is closed-form sequence()+explode, and the
+    carry-forward fills the whole elected row as one struct (row-level
+    LOCF — no cross-row column splicing). The oracle is the classic SQL
+    formulation (spine cross join + last_value IGNORE NULLS)."""
+    from ..operators.gapfill import gap_fill
+    import datetime as dt
+    e = load_table(spark, sf_dir, "events")
+    obs = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "value",
+                    F.col("event_id").alias("src_event_id")))
+    us = lambda s: int(dt.datetime.fromisoformat(s)
+                       .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    return gap_fill(obs, ["user_id"], "ts", ["value", "src_event_id"],
+                    start=us("2024-01-01"), end=us("2024-01-30"),
+                    step=86_400_000_000, tiebreak="src_event_id")
