@@ -58,6 +58,9 @@ HEADLINE = [
     "interval_attribution",
     "hypertable_rollup",
     "gap_fill_locf",
+    "inverted_index",
+    "tfidf_topterm",
+    "bm25_query_scores",
 ]
 
 

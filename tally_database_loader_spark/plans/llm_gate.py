@@ -856,3 +856,124 @@ def span_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import span_dedup
     d = load_table(spark, sf_dir, "documents")
     return span_dedup(d, "doc_id", "text", span_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# inverted index / TF-IDF / BM25 (llm/tfidf.py)
+# ---------------------------------------------------------------------------
+
+_DD_POSTINGS = f"""
+  tok2 AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+  post AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM tok2)
+           GROUP BY doc_id, term),
+  dfreq AS (SELECT term, CAST(count(*) AS INT) AS df FROM post GROUP BY term)
+"""
+
+
+@gate_query("inverted_index", oracle=f"""
+WITH {_DD_POSTINGS}
+SELECT term, doc_id, tf, CAST(rnk AS INT) AS rnk
+FROM (SELECT p.term, p.doc_id, p.tf,
+             row_number() OVER (PARTITION BY p.term
+                                ORDER BY p.tf DESC, p.doc_id) AS rnk
+      FROM post p JOIN dfreq d USING (term) WHERE d.df >= 5)
+WHERE rnk <= 3
+""")
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index probe: top-3 documents per term (tf desc, doc_id
+    tiebreak) for every term appearing in >= 5 documents. Postings are
+    built with one explode + partial-aggregated groupBy; the ranking
+    window partitions on term, reusing the same key the df-join already
+    shuffled on."""
+    from ..llm.tfidf import doc_freq, postings
+    d = load_table(spark, sf_dir, "documents")
+    post = postings(d, "doc_id", "text")
+    dfreq = doc_freq(post).filter(F.col("df") >= 5)
+    w = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (post.join(dfreq.select("term"), "term")
+                .withColumn("rnk", F.row_number().over(w).cast("int"))
+                .filter(F.col("rnk") <= 3)
+                .select("term", "doc_id", "tf", "rnk"))
+
+
+@gate_query("tfidf_topterm", oracle=f"""
+WITH {_DD_POSTINGS},
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         CAST(floor(CAST(p.tf AS DOUBLE)
+                    * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS tfidf_micros
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_micros
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micros DESC, term) AS rn
+      FROM scored)
+WHERE rn = 1
+""")
+def tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by TF-IDF (llm/tfidf.py
+    tfidf_table). ``ln`` on doubles is NOT guaranteed correctly rounded,
+    and Java's Math.log and DuckDB's libm ln do differ by 1 ulp on some
+    inputs — so the gate quantizes scores to integer micros (floor x 1e6)
+    and ranks on the quantized value: ordering and output are then
+    cross-engine deterministic (a 1-ulp input wobble flips a floor only
+    within 1 ulp of a 1e-6 boundary — vanishing for generic reals). The
+    library function keeps the full double."""
+    from ..llm.tfidf import tfidf_table
+    d = load_table(spark, sf_dir, "documents")
+    t = (tfidf_table(d, "doc_id", "text")
+         .withColumn("tfidf_micros",
+                     F.floor(F.col("tfidf") * 1e6).cast("long")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_micros"), F.asc("term"))
+    return (t.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("doc_id", "term", "tf", "df", "tfidf_micros"))
+
+
+@gate_query("bm25_query_scores", oracle=f"""
+WITH {_DD_POSTINGS},
+stats AS (SELECT count(*) AS n,
+                 sum(len({_DD_TOKENS})) AS toks
+          FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM tok2),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5))
+         * (CAST(p.tf AS DOUBLE) * 2.2)
+         / (CAST(p.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                            / (CAST(s.toks AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS bm25
+  FROM post p JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ('spark', 'table', 'shuffle')
+)
+SELECT doc_id,
+       CAST(floor((coalesce(sum(CASE WHEN term = 'spark' THEN bm25 END), 0)
+       + coalesce(sum(CASE WHEN term = 'table' THEN bm25 END), 0)
+       + coalesce(sum(CASE WHEN term = 'shuffle' THEN bm25 END), 0))
+       * 1000000.0) AS BIGINT) AS score_micros
+FROM scored GROUP BY doc_id
+""")
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores for the fixed query {spark, table, shuffle}
+    (llm/tfidf.py bm25_table, k1=1.2 b=0.75). Per-term contributions are
+    combined by conditional aggregation — one SUM per query term, each
+    over at most one row per doc — then added in fixed column order, so
+    the double addition order never depends on shuffle arrival order.
+    The gate output is quantized to integer micros because ``ln``
+    differs by 1 ulp between engines (see tfidf_topterm)."""
+    from ..llm.tfidf import bm25_table
+    d = load_table(spark, sf_dir, "documents")
+    t = (bm25_table(d, "doc_id", "text")
+         .filter(F.col("term").isin("spark", "table", "shuffle")))
+    def part(term):
+        return F.coalesce(F.sum(F.when(F.col("term") == term,
+                                       F.col("bm25"))), F.lit(0.0))
+    return (t.groupBy("doc_id")
+             .agg(F.floor((part("spark") + part("table") + part("shuffle"))
+                          * 1e6).cast("long").alias("score_micros")))
