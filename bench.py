@@ -61,6 +61,7 @@ HEADLINE = [
     "inverted_index",
     "tfidf_topterm",
     "bm25_query_scores",
+    "unicode_nfc",
 ]
 
 

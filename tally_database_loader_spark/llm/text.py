@@ -11,6 +11,8 @@ plans/llm_gate.py) so the driver can hash-match results.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -203,3 +205,34 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC) — the one text op that genuinely needs Python
+# ---------------------------------------------------------------------------
+
+def normalize_nfc(text: Column) -> Column:
+    """Canonical-composition (NFC) normalization.
+
+    Spark has no built-in Unicode normalizer, so this is the module's one
+    deliberate Python hop — an Arrow-batched ``pandas_udf`` (vectorized
+    transfer, one Python call per batch, not per row), NOT a row-at-a-time
+    UDF. Python's ``unicodedata`` and DuckDB's utf8proc implement the same
+    Unicode canonical composition, so results hash-match the
+    ``nfc_normalize`` oracle byte-for-byte.
+
+    Scale note: pure map-side projection — composes into the same scan
+    pass as the JVM-side signals; the only cost is the Arrow
+    serialize/deserialize of the text column itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: hints are spelled as literal strings resolvable from module
+    # globals ("pandas.Series") because `from __future__ import
+    # annotations` stringifies them before pandas_udf's inference runs.
+    @pandas_udf("string")
+    def _nfc(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return _nfc(text)

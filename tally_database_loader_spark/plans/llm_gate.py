@@ -977,3 +977,35 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.groupBy("doc_id")
              .agg(F.floor((part("spark") + part("table") + part("shuffle"))
                           * 1e6).cast("long").alias("score_micros")))
+
+
+@gate_query("unicode_nfc", oracle="""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o ' || chr(8491)
+           AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(payload) AS INT) AS n_chars_raw,
+       CAST(length(nfc_normalize(payload)) AS INT) AS n_chars_nfc,
+       md5(nfc_normalize(payload)) AS nfc_md5
+FROM enriched
+""")
+def unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (llm/text.py normalize_nfc — the one
+    Arrow-batched pandas_udf in the text layer). The corpus is ASCII, so
+    a deterministic decomposed payload is appended to every document:
+    combining acute (U+0301), combining tilde (U+0303), and the Angstrom
+    sign (U+212B → composes to U+00C5). Python unicodedata and DuckDB
+    utf8proc implement the same canonical composition, so md5s match
+    byte-for-byte; the char counts prove composition actually shrank the
+    string (code points, not bytes, in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(F.col("text"),
+                       F.lit(" café niño Å"))
+    nfc = tx.normalize_nfc(payload)
+    return d.select("doc_id",
+                    F.length(payload).cast("int").alias("n_chars_raw"),
+                    F.length(nfc).cast("int").alias("n_chars_nfc"),
+                    F.md5(F.encode(nfc, "utf-8")).alias("nfc_md5"))

@@ -230,3 +230,17 @@ def _resplit(text: str, span_tokens: int) -> list[str]:
     toks = text.split(" ")
     return [" ".join(toks[i:i + span_tokens])
             for i in range(0, len(toks) - span_tokens + 1, span_tokens)]
+
+
+def test_normalize_nfc_matches_unicodedata_and_handles_null(spark):
+    import unicodedata
+    from tally_database_loader_spark.llm.text import normalize_nfc
+    samples = ["café", "niño", "Å", "plain ascii", None, ""]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i int, s string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_nfc(F.col("s")).alias("n")).collect()}
+    for i, s in enumerate(samples):
+        exp = None if s is None else unicodedata.normalize("NFC", s)
+        assert got[i] == exp
+    assert got[0] == "café" and got[2] == "Å"
