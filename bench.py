@@ -62,6 +62,7 @@ HEADLINE = [
     "tfidf_topterm",
     "bm25_query_scores",
     "unicode_nfc",
+    "incremental_dedup",
 ]
 
 

@@ -377,3 +377,63 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
                        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                        F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus snapshot)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame, id_col: str,
+                      text_col: str, threshold: float = 0.7, k: int = 16,
+                      bands: int = 4, n: int = 3,
+                      parity_hash: bool = False) -> DataFrame:
+    """Classify each new-batch document against an existing corpus:
+    ``exact`` (byte-identical after normalization), ``near`` (MinHash-LSH
+    candidate verified at ``jaccard >= threshold``), or ``new``. Returns
+    ``(doc_id, status, match_id)`` where match_id is the smallest matching
+    corpus id (deterministic) and NULL for ``new``.
+
+    Ids must be disjoint across the two inputs. Exact wins over near;
+    batch-internal duplicates are deliberately out of scope (they belong
+    to the ordinary whole-corpus pass, not the incremental probe).
+
+    Scale shape: the exact probe is a fingerprint equi-join (corpus side
+    is (id, fp) only — a slim projection, not the text). The near probe
+    runs MinHash over corpus ∪ batch and keeps only cross pairs; at
+    production scale the corpus signature/band table is the persisted
+    index (it depends only on the corpus), so each arriving batch pays
+    signatures for ITS OWN documents plus one join against the index —
+    the same incremental-cost argument as the reference's AlterId diff
+    protocol (reference src/tally.mts:88-307), transplanted to dedup.
+    """
+    from .text import fingerprint_md5
+    fp_c = corpus.select(F.col(id_col).alias("c_id"),
+                         fingerprint_md5(F.col(text_col)).alias("fp"))
+    fp_b = batch.select(F.col(id_col).alias("doc_id"),
+                        fingerprint_md5(F.col(text_col)).alias("fp"))
+    exact = (fp_b.join(fp_c, "fp")
+                 .groupBy("doc_id").agg(F.min("c_id").alias("match_id")))
+
+    both = (corpus.select(F.col(id_col).alias("doc_id"), text_col)
+                  .unionByName(batch.select(F.col(id_col).alias("doc_id"),
+                                            text_col)))
+    pairs = minhash_near_duplicates(both, "doc_id", text_col, threshold,
+                                    k, bands, n, parity_hash)
+    b_ids = batch.select(F.col(id_col).alias("doc_id"))
+    # orient each cross pair as (batch doc, corpus partner)
+    d1b = pairs.join(b_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi") \
+               .join(b_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_anti") \
+               .select(F.col("d1").alias("doc_id"), F.col("d2").alias("m"))
+    d2b = pairs.join(b_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi") \
+               .join(b_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_anti") \
+               .select(F.col("d2").alias("doc_id"), F.col("d1").alias("m"))
+    near = (d1b.unionByName(d2b)
+               .join(exact.select("doc_id"), "doc_id", "left_anti")
+               .groupBy("doc_id").agg(F.min("m").alias("match_id")))
+
+    e = exact.withColumn("status", F.lit("exact"))
+    nr = near.withColumn("status", F.lit("near"))
+    return (b_ids.join(e.unionByName(nr), "doc_id", "left")
+                 .select("doc_id",
+                         F.coalesce("status", F.lit("new")).alias("status"),
+                         "match_id"))

@@ -1009,3 +1009,48 @@ def unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length(payload).cast("int").alias("n_chars_raw"),
                     F.length(nfc).cast("int").alias("n_chars_nfc"),
                     F.md5(F.encode(nfc, "utf-8")).alias("nfc_md5"))
+
+
+@gate_query("incremental_dedup", oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+fpc AS (SELECT doc_id AS c_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM corpus),
+fpb AS (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM batch),
+exact AS (SELECT doc_id, min(c_id) AS match_id
+          FROM fpb JOIN fpc USING (fp) GROUP BY doc_id),
+pairs AS ({_DD_MINHASH}),
+crossp AS (
+  SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS doc_id,
+         CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS m
+  FROM pairs WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)
+),
+near AS (SELECT doc_id, min(m) AS match_id FROM crossp
+         WHERE doc_id NOT IN (SELECT doc_id FROM exact) GROUP BY doc_id)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n2.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS status,
+       coalesce(e.match_id, n2.match_id) AS match_id
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n2 ON b.doc_id = n2.doc_id
+""")
+def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (llm/dedup.py incremental_dedup): docs
+    with doc_id % 10 == 0 play the arriving batch, the rest the existing
+    snapshot. Exact = normalized-md5 equi-join against a slim corpus
+    fingerprint projection; near = MinHash-LSH over corpus ∪ batch
+    restricted to cross pairs (the corpus side of that signature table is
+    the persistable index, so per-batch cost is batch-sized). The oracle
+    nests the shared MinHash SQL block and mirrors the exact-wins
+    priority."""
+    from ..llm.dedup import incremental_dedup
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_dedup(corpus, batch, "doc_id", "text",
+                             threshold=0.7, parity_hash=True)

@@ -244,3 +244,28 @@ def test_normalize_nfc_matches_unicodedata_and_handles_null(spark):
         exp = None if s is None else unicodedata.normalize("NFC", s)
         assert got[i] == exp
     assert got[0] == "café" and got[2] == "Å"
+
+
+def test_incremental_dedup_classification(spark):
+    from tally_database_loader_spark.llm.dedup import incremental_dedup
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, base),
+         (5, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # 10: exact dup of 1 and 5 after normalization (match = min -> 1)
+        [(10, "The quick  brown fox jumps over the lazy dog again and again"),
+         # 12: near dup of 3 (one appended token; jaccard ~ 18/19)
+         (12, base + " phi"),
+         # 14: genuinely new
+         (14, "unrelated text with entirely fresh vocabulary tokens here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["status"], r["match_id"]) for r in
+           incremental_dedup(corpus, batch, "doc_id", "text",
+                             threshold=0.6).collect()}
+    assert out[10] == ("exact", 1)
+    assert out[12] == ("near", 3)
+    assert out[14] == ("new", None)
