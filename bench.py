@@ -63,6 +63,9 @@ HEADLINE = [
     "bm25_query_scores",
     "unicode_nfc",
     "incremental_dedup",
+    "pack_sequences",
+    "domain_cap",
+    "quantized_topk",
 ]
 
 

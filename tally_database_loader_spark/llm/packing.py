@@ -1,0 +1,89 @@
+"""Training-sample packing and corpus capping.
+
+``pack_sequences`` — offset-based sequence packing: documents are laid end
+to end (per shard, in a deterministic order) into one token stream, and
+the stream is cut into fixed-length training sequences. A document whose
+span crosses a cut contributes a slice to each sequence it touches — the
+standard "concat-then-chunk" LLM pretraining layout (vs. the reference's
+row-per-record model; this is a charter extension for training-data prep).
+
+Scale shape: one window prefix-sum per shard (the shuffle key is the shard
+column, so stream assembly parallelizes across shards — at 100 TB a shard
+is a file-group/source bucket, never the whole corpus), then a map-side
+explode over the touched sequence indexes. All arithmetic is int64 —
+exact, AQE/retry-stable, and reproducible in any SQL engine.
+
+``domain_cap`` — at most ``k`` documents per group (source/domain), chosen
+by deterministic keyed hash order, the anti-over-representation cap
+(cf. C4/Gopher corpus curation). A hash order is retry-stable and engine
+-reproducible where ``rand()`` is not; the window shuffle partitions by
+the group key and the cap bounds every partition's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "domain_cap", "hash_order"]
+
+
+def hash_order(id_col: Column) -> Column:
+    """Deterministic pseudo-random order key: md5-prefix of the id as a
+    15-hex-digit integer (same construction as llm/dedup.py's base hash,
+    so a SQL oracle folds the digits to the identical value)."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10) \
+            .cast("long")
+
+
+def pack_sequences(docs: DataFrame, shard_col: str, id_col: str,
+                   len_col: str, seq_len: int) -> DataFrame:
+    """Cut the per-shard concatenated token stream into ``seq_len`` chunks.
+
+    Documents are ordered by ``id_col`` within ``shard_col``; a document
+    starting at stream offset ``s`` with ``n`` tokens lands in sequences
+    ``floor(s/L) … floor((s+n-1)/L)``, contributing the slice
+    ``[tok_from, tok_to)`` of itself to each. Zero-length documents are
+    dropped (they occupy no stream positions).
+
+    Output: ``shard, doc_id, seq_idx, tok_from, tok_to, seq_pos`` where
+    ``seq_pos`` is the slice's start position inside the sequence.
+    Invariants (tested): slices tile every sequence exactly; per-doc
+    slices cover [0, n) without overlap.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    L = F.lit(seq_len).cast("long")
+    w = W.partitionBy("shard").orderBy("doc_id")
+    n = F.col(len_col).cast("long")
+    d = (docs.filter(F.col(len_col) > 0)
+             .select(F.col(shard_col).alias("shard"),
+                     F.col(id_col).alias("doc_id"),
+                     n.alias("__n"))
+             .withColumn("__start", F.sum("__n").over(w) - F.col("__n")))
+    first = F.floor(F.col("__start") / L).cast("long")
+    last = F.floor((F.col("__start") + F.col("__n") - F.lit(1)) / L).cast("long")
+    out = d.withColumn("seq_idx", F.explode(F.sequence(first, last)))
+    seq_start = F.col("seq_idx") * L
+    tok_from = F.greatest(F.lit(0).cast("long"), seq_start - F.col("__start"))
+    tok_to = F.least(F.col("__n"), seq_start + L - F.col("__start"))
+    return out.select(
+        "shard", "doc_id", "seq_idx",
+        tok_from.alias("tok_from"), tok_to.alias("tok_to"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("__start") - seq_start).alias("seq_pos"))
+
+
+def domain_cap(docs: DataFrame, group_col: str, id_col: str,
+               k: int) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col``, picked by keyed-hash
+    order (ties broken by id — fully deterministic). Returns the kept
+    rows' ``group, doc_id, pick`` with ``pick`` = 1-based selection rank."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = W.partitionBy("grp").orderBy(hash_order(F.col("doc_id")), "doc_id")
+    return (docs.select(F.col(group_col).alias("grp"),
+                        F.col(id_col).alias("doc_id"))
+                .withColumn("pick", F.row_number().over(w))
+                .filter(F.col("pick") <= k)
+                .select("grp", "doc_id", F.col("pick").cast("int").alias("pick")))

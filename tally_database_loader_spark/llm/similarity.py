@@ -60,6 +60,57 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# int8 quantization (scalar quantization, per-vector scale)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: ``struct(scale, q)`` with
+    ``scale = max|x|/127`` and ``q[i] = floor(x[i]/scale + 0.5)`` (zero
+    vectors quantize to all-zero, scale 0).
+
+    floor(x+0.5) is used instead of round() because its IEEE semantics are
+    identical across engines (Spark HALF_UP vs DuckDB's round differ at
+    ties). At scale this is the memory lever for ANN: 4× smaller vectors,
+    and the dot product becomes *exact integer* arithmetic — associative,
+    so partial aggregation and AQE reordering cannot perturb it."""
+    xd = F.transform(vec, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0.0, F.transform(xd, lambda x: F.lit(0).cast("long"))) \
+         .otherwise(F.transform(
+             xd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] over int64 — exact, order-independent."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k by quantized dot product: ``score = int_dot(qa, qb) · sa · sb``
+    — the int8 rescoring path. The integer dot is exact; only the two
+    final double multiplies round, deterministically, so a SQL oracle
+    matches bit-for-bit. Recall vs the float path is asserted in tests."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
+                                   quantize_int8(F.col(vec_col)).alias("qq")))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      quantize_int8(F.col(vec_col)).alias("nq"))
+    score = (F.col("qq.scale") * F.col("nq.scale")
+             * int_dot(F.col("qq.q"), F.col("nq.q")).cast("double"))
+    scored = (c.join(q, F.col("n_id") != F.col("q_id"))
+               .select("q_id", "n_id", score.alias("score")))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", F.col("n_id").alias("neighbor_id"),
+                          F.col("rank").cast("int").alias("rank"), "score"))
+
+
+# ---------------------------------------------------------------------------
 # sign-random-projection LSH
 # ---------------------------------------------------------------------------
 

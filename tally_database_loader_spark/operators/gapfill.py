@@ -46,8 +46,12 @@ _PAY = "__gf_payload"
 
 
 def _as_num(df: DataFrame, col: str) -> Column:
-    if isinstance(df.schema[col].dataType, T.TimestampType):
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
         return F.unix_micros(F.col(col))
+    if isinstance(dt, T.TimestampNTZType):
+        # session tz is UTC (session.py) so the LTZ cast is instant-preserving
+        return F.unix_micros(F.col(col).cast("timestamp"))
     return F.col(col)
 
 
@@ -79,7 +83,8 @@ def gap_fill(
     keys = list(keys)
     value_cols = list(value_cols)
     ts_num = _as_num(obs, ts_col)
-    is_ts = isinstance(obs.schema[ts_col].dataType, T.TimestampType)
+    is_ts = isinstance(obs.schema[ts_col].dataType,
+                       (T.TimestampType, T.TimestampNTZType))
 
     b0, b1 = int(start // step), int(end // step)
     # cell-aligned bounds: every observation belonging to a spine cell

@@ -1054,3 +1054,94 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 == 0)
     return incremental_dedup(corpus, batch, "doc_id", "text",
                              threshold=0.7, parity_hash=True)
+
+
+# ---------------------------------------------------------------------------
+# training-sample packing / corpus capping / quantized ANN
+# ---------------------------------------------------------------------------
+
+@gate_query("pack_sequences", oracle="""
+WITH d AS (
+  SELECT source AS shard, doc_id, CAST(n_chars AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - CAST(n_chars AS BIGINT) AS BIGINT) AS strt
+  FROM documents WHERE n_chars > 0
+)
+SELECT shard, doc_id, seq_idx,
+       greatest(0, seq_idx * 512 - strt) AS tok_from,
+       least(n, (seq_idx + 1) * 512 - strt) AS tok_to,
+       greatest(0, strt - seq_idx * 512) AS seq_pos
+FROM d, unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS u(seq_idx)
+""")
+def pack_sequences_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing (llm/packing.py pack_sequences):
+    concat-then-chunk at L=512 over the per-source token stream, n_chars
+    as the token count. One window prefix-sum per shard + map-side
+    explode; all-int64 arithmetic so the DuckDB window/range oracle is
+    exact."""
+    from ..llm.packing import pack_sequences
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "source", "doc_id", "n_chars", seq_len=512)
+
+
+@gate_query("domain_cap", oracle=f"""
+WITH h AS (
+  SELECT source AS grp, doc_id,
+         {_dd_hex15("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS hk
+  FROM documents
+)
+SELECT grp, doc_id, CAST(rn AS INT) AS pick
+FROM (SELECT grp, doc_id,
+             row_number() OVER (PARTITION BY grp ORDER BY hk, doc_id) AS rn
+      FROM h)
+WHERE rn <= 25
+""")
+def domain_cap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (llm/packing.py domain_cap): ≤25 docs per
+    source, selected by keyed md5 order — deterministic under retries and
+    reproduced digit-for-digit by the oracle's hex fold."""
+    from ..llm.packing import domain_cap
+    d = load_table(spark, sf_dir, "documents")
+    return domain_cap(d, "source", "doc_id", k=25)
+
+
+_DD_Q8 = """
+  SELECT vec_id,
+         list_max(list_apply(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         CASE WHEN list_max(list_apply(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_apply(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_apply(embedding, x -> CAST(floor(
+                     CAST(x AS DOUBLE) /
+                     (list_max(list_apply(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                     + 0.5) AS BIGINT))
+         END AS q
+  FROM embeddings
+"""
+
+
+@gate_query("quantized_topk", oracle=f"""
+WITH qz AS ({_DD_Q8}),
+q AS (SELECT vec_id AS q_id, scale AS sa, q AS qa FROM qz WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         (q.sa * e.scale) * CAST(list_reduce(
+             list_apply(list_zip(q.qa, e.q), p -> p[1] * p[2]),
+             (a, b) -> a + b) AS DOUBLE) AS score
+  FROM q JOIN qz e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 5
+""")
+def quantized_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-k (llm/similarity.py quantized_topk): per-vector
+    symmetric scalar quantization, *exact integer* dot products (4× less
+    memory per vector, associative math immune to AQE reorder), rescaled
+    by the two double scales. floor(x+0.5) quantization keeps both
+    engines bit-identical where round() tie-breaks differ."""
+    from ..llm.similarity import quantized_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(e, e.filter(F.col("vec_id") < 8), k=5)

@@ -32,10 +32,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     casting TIMESTAMP_NS → TIMESTAMP)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — `/ 1000` would round-trip through double and
-        # lose sub-µs exactness on 1.7e18-scale nano values
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — `/ 1000` would round-trip through double and
+            # lose sub-µs exactness on 1.7e18-scale nano values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision footers arrive as TIMESTAMP_NTZ; session tz is
+            # UTC, so this cast is instant-preserving and gives every
+            # consumer one ts type regardless of which sf dir produced it
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

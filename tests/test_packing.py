@@ -1,0 +1,79 @@
+"""Invariants for sequence packing, domain capping, and int8 quantization
+(llm/packing.py, llm/similarity.py quantized path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECTNESS
+from tally_database_loader_spark.llm.packing import domain_cap, pack_sequences
+from tally_database_loader_spark.llm.similarity import cosine_topk, quantized_topk
+from tally_database_loader_spark.sources.catalog import load_table
+
+
+def test_pack_sequences_tiles_stream_exactly(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    L = 512
+    packed = pack_sequences(d, "source", "doc_id", "n_chars", seq_len=L)
+    packed = packed.localCheckpoint(eager=True)
+
+    # per-doc slices cover [0, n) without gaps or overlap
+    per_doc = (packed.groupBy("shard", "doc_id")
+               .agg(F.sum(F.col("tok_to") - F.col("tok_from")).alias("covered"),
+                    F.min("tok_from").alias("mn"), F.max("tok_to").alias("mx")))
+    docs = d.filter(F.col("n_chars") > 0).select(
+        F.col("source").alias("shard"), "doc_id",
+        F.col("n_chars").cast("long").alias("n"))
+    bad_docs = (per_doc.join(docs, ["shard", "doc_id"])
+                .filter((F.col("covered") != F.col("n")) | (F.col("mn") != 0)
+                        | (F.col("mx") != F.col("n"))))
+    assert bad_docs.count() == 0
+
+    # every sequence except the last per shard holds exactly L tokens
+    per_seq = (packed.groupBy("shard", "seq_idx")
+               .agg(F.sum(F.col("tok_to") - F.col("tok_from")).alias("filled")))
+    last = per_seq.groupBy("shard").agg(F.max("seq_idx").alias("last_idx"))
+    bad_seqs = (per_seq.join(last, "shard")
+                .filter((F.col("seq_idx") != F.col("last_idx"))
+                        & (F.col("filled") != L)))
+    assert bad_seqs.count() == 0
+
+    # slice starts inside the sequence are consistent: seq_pos + (tok_to -
+    # tok_from) never exceeds L
+    assert packed.filter(
+        F.col("seq_pos") + F.col("tok_to") - F.col("tok_from") > L).count() == 0
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    import pytest
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    with pytest.raises(ValueError):
+        pack_sequences(d, "source", "doc_id", "n_chars", seq_len=0)
+
+
+def test_domain_cap_bounds_and_determinism(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    capped = domain_cap(d, "source", "doc_id", k=10)
+    sizes = capped.groupBy("grp").count()
+    assert sizes.filter(F.col("count") > 10).count() == 0
+    # deterministic: two runs pick identical sets
+    a = {tuple(r) for r in capped.collect()}
+    b = {tuple(r) for r in domain_cap(d, "source", "doc_id", k=10).collect()}
+    assert a == b
+    # groups smaller than k keep everything
+    group_sizes = dict(d.groupBy("source").count().collect())
+    kept = dict(sizes.collect())
+    for g, n in group_sizes.items():
+        assert kept[g] == min(n, 10)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(e, q, k=5)
+    quant = quantized_topk(e, q, k=5)
+    ex = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    qz = {(r.q_id, r.neighbor_id) for r in quant.collect()}
+    # int8 with per-vector scale keeps ranking nearly intact: ≥80% of the
+    # exact top-5 pairs survive quantization
+    assert len(ex & qz) / len(ex) >= 0.8
