@@ -54,15 +54,20 @@ def pack_sequences(docs: DataFrame, shard_col: str, id_col: str,
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     L = F.lit(seq_len).cast("long")
-    w = W.partitionBy("shard").orderBy("doc_id")
+    # ROWS frame, not the RANGE default: duplicate doc_ids within a shard
+    # must still get distinct running offsets or the tiling invariant breaks.
+    w = (W.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
     n = F.col(len_col).cast("long")
     d = (docs.filter(F.col(len_col) > 0)
              .select(F.col(shard_col).alias("shard"),
                      F.col(id_col).alias("doc_id"),
                      n.alias("__n"))
              .withColumn("__start", F.sum("__n").over(w) - F.col("__n")))
-    first = F.floor(F.col("__start") / L).cast("long")
-    last = F.floor((F.col("__start") + F.col("__n") - F.lit(1)) / L).cast("long")
+    # `div` = true int64 division (Spark `/` on longs is double division,
+    # which rounds past 2^53 and can misplace a document near a cut).
+    first = F.expr(f"__start div {seq_len}")
+    last = F.expr(f"(__start + __n - 1) div {seq_len}")
     out = d.withColumn("seq_idx", F.explode(F.sequence(first, last)))
     seq_start = F.col("seq_idx") * L
     tok_from = F.greatest(F.lit(0).cast("long"), seq_start - F.col("__start"))
@@ -81,7 +86,11 @@ def domain_cap(docs: DataFrame, group_col: str, id_col: str,
     rows' ``group, doc_id, pick`` with ``pick`` = 1-based selection rank."""
     if k <= 0:
         raise ValueError("k must be positive")
-    w = W.partitionBy("grp").orderBy(hash_order(F.col("doc_id")), "doc_id")
+    # NULLS LAST pinned on both keys: Spark's asc default is NULLS FIRST,
+    # DuckDB's is NULLS LAST — a NULL doc_id must sort the same in both.
+    w = W.partitionBy("grp").orderBy(
+        F.asc_nulls_last(hash_order(F.col("doc_id"))),
+        F.asc_nulls_last("doc_id"))
     return (docs.select(F.col(group_col).alias("grp"),
                         F.col(id_col).alias("doc_id"))
                 .withColumn("pick", F.row_number().over(w))

@@ -76,16 +76,22 @@ def quantize_int8(vec: Column) -> Column:
     xd = F.transform(vec, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(xd, F.abs))
     scale = amax / F.lit(127.0)
-    q = F.when(amax == 0.0, F.transform(xd, lambda x: F.lit(0).cast("long"))) \
+    # Stored as array<tinyint> — values are in [-127, 127] by construction,
+    # so the materialized column really is 1 byte/component (the claimed
+    # 4-8× memory reduction); int_dot widens before multiplying.
+    q = F.when(amax == 0.0, F.transform(xd, lambda x: F.lit(0).cast("tinyint"))) \
          .otherwise(F.transform(
-             xd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+             xd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")))
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
 def int_dot(a: Column, b: Column) -> Column:
-    """Σ a[i]*b[i] over int64 — exact, order-independent."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    """Σ a[i]*b[i] over int64 — exact, order-independent. Inputs may be
+    stored narrow (tinyint); each component is widened to long *before*
+    the multiply so tinyint×tinyint can never wrap."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -180,18 +186,21 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, nprobe: int = 2, seed: int = 7,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             fit_sample: int = 100_000) -> DataFrame:
     """IVF (inverted-file) approximate NN: k-means partitions the corpus
     into ``n_lists`` cells; each query searches only its ``nprobe``
     nearest cells.
 
     The coarse quantizer is Spark MLlib KMeans (fixed seed → deterministic
-    centroids); assignment and search are DataFrame joins. At 100 TB the
-    training set is a sample, the centroid table is broadcast (n_lists ×
-    dim doubles), and the cell join replaces the cross product — the same
-    recall/cost dial as FAISS IVF. No SQL oracle can replay the k-means
-    fit, so the driver applies its rows-only check; recall vs the exact
-    path is asserted in tests/test_llm.py."""
+    centroids) fit on a **seeded bounded sample** of at most ``fit_sample``
+    vectors (one slim count + one sampled scan — the iterative MLlib job
+    never touches the full corpus, which is what keeps the fit O(sample)
+    at 100 TB, exactly as FAISS trains IVF on a slice). Assignment and
+    search are DataFrame joins: the centroid table is broadcast (n_lists ×
+    dim doubles) and the cell join replaces the cross product. No SQL
+    oracle can replay the k-means fit, so the driver applies its rows-only
+    check; recall vs the exact path is asserted in tests/test_llm.py."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -199,7 +208,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col(vec_col).alias("n_vec"),
                           array_to_vector(F.col(vec_col).cast("array<double>"))
                           .alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(dense.select("features"))
+    feats = dense.select("features")
+    n_vecs = feats.count()
+    if n_vecs > fit_sample:
+        feats = feats.sample(fraction=min(1.0, 1.05 * fit_sample / n_vecs),
+                             seed=seed).limit(fit_sample)
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
     assigned = km.transform(dense).select(
         "n_id", "n_vec", F.col("prediction").alias("cell"))
 

@@ -109,8 +109,16 @@ def gap_fill(
                    .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w)))
 
     cell_start = F.col(_CELL) * F.lit(step)
+    if is_ts:
+        out = F.timestamp_micros(cell_start)
+        # preserve the input's type family: timestamp_micros emits LTZ, so an
+        # NTZ ts_col must be cast back or gap_fill silently changes the schema
+        if isinstance(obs.schema[ts_col].dataType, T.TimestampNTZType):
+            out = out.cast("timestamp_ntz")
+    else:
+        out = cell_start
     return filled.select(
         *keys,
-        (F.timestamp_micros(cell_start) if is_ts else cell_start).alias(out_ts),
+        out.alias(out_ts),
         *[F.col(f"{_PAY}.{c}").alias(c) for c in value_cols],
         "observed")
