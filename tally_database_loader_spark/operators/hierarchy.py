@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 
 def transitive_closure(edges: DataFrame, max_depth: int = 32,
-                       broadcast_edges: bool = True) -> DataFrame:
+                       broadcast_edges: bool | None = None,
+                       checkpoint_every: int = 8) -> DataFrame:
     """All (node, ancestor, depth) pairs reachable by following child→parent.
 
     ``edges`` must have columns ``child`` and ``parent``; one row per direct
@@ -31,25 +32,35 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32,
         ) SELECT * FROM cl
 
     Scale shape: per level one equi-join frontier(ancestor)⋈edges(child).
-    With ``broadcast_edges`` the join is shuffle-free regardless of frontier
-    size (edge tables — group trees — are dimension-sized). Depth bound
-    ``max_depth`` replaces the reference's maxrecursion 500 guard; traversal
-    stops as soon as a frontier is empty.
+    ``broadcast_edges`` is size-guarded: ``True`` forces a broadcast (only
+    for edge sets known to be dimension-sized — a group tree), ``False``
+    forces a shuffle join, and the default ``None`` leaves the choice to
+    Catalyst/AQE, which broadcasts only when source stats fit under
+    ``spark.sql.autoBroadcastJoinThreshold`` — so a fact-sized edge table
+    (e.g. customer→nation) can never blow up the driver. Depth bound
+    ``max_depth`` replaces the reference's maxrecursion 500 guard;
+    traversal stops as soon as a frontier is empty, and every
+    ``checkpoint_every`` levels the frontier is localCheckpoint-ed so deep
+    trees don't accrete an unbounded plan lineage.
     """
     up = edges.select(F.col("child").alias("_e_child"), F.col("parent").alias("_e_parent"))
-    if broadcast_edges:
+    if broadcast_edges is True:
         up = F.broadcast(up)
+    elif broadcast_edges is False:
+        up = up.hint("shuffle_hash")
 
     frontier = edges.select(F.col("child").alias("node"),
                             F.col("parent").alias("ancestor"),
                             F.lit(1).cast("int").alias("depth"))
     levels = [frontier]
-    for _ in range(max_depth - 1):
+    for depth in range(2, max_depth + 1):
         frontier = (frontier.join(up, frontier.ancestor == F.col("_e_child"))
                     .select(F.col("node"), F.col("_e_parent").alias("ancestor"),
                             (F.col("depth") + F.lit(1)).cast("int").alias("depth")))
-        # localCheckpoint would cut lineage for very deep trees; business
-        # hierarchies are < 10 levels so plain lazy union is fine.
+        if checkpoint_every and depth % checkpoint_every == 0:
+            # cut lineage: level-d plan otherwise nests d joins deep, and the
+            # isEmpty probe below re-executes it every level
+            frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
         levels.append(frontier)

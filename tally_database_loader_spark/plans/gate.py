@@ -861,9 +861,10 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query("renumber_join_update", oracle="""
 WITH renum AS (
   SELECT o_orderkey,
-         CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS new_no
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS new_no
   FROM orders
-  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND year(o_orderdate) = 1995
 )
 SELECT o.o_orderkey AS orderkey,
        COALESCE(r.new_no, CAST(o.o_orderkey AS VARCHAR)) AS voucher_number
@@ -871,19 +872,21 @@ FROM orders o LEFT JOIN renum r ON r.o_orderkey = o.o_orderkey
 WHERE year(o.o_orderdate) = 1995
 """)
 def renumber_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Auto voucher renumbering: sequence numbers recomputed for the
-    auto-numbered series (urgent orders ≈ 'Automatic' voucher types), then
-    applied to the target with a left-join + coalesce — the UPDATE-join the
-    reference issues in three SQL dialects (src/tally.mts:248-298,
-    operators/incremental.py E10). The window is the numbering series
-    itself — inherently sequential, so one global ordering inside the
-    filtered year-slice (per-series partitioning at scale)."""
+    """Auto voucher renumbering: sequence numbers recomputed per numbering
+    series (each auto-numbered voucher type restarts its own sequence —
+    priority classes stand in for voucher types here), then applied to the
+    target with a left-join + coalesce — the UPDATE-join the reference
+    issues in three SQL dialects (src/tally.mts:248-298,
+    operators/incremental.py E10). The window partitions by the series
+    key, so the renumber shuffle spreads across series instead of
+    funnelling the whole table through one partition."""
     o = load_table(spark, sf_dir, "orders") \
         .filter(F.year("o_orderdate") == 1995)
-    renum = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+    renum = (o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
               .select("o_orderkey",
                       F.row_number().over(
-                          W.orderBy("o_orderdate", "o_orderkey"))
+                          W.partitionBy("o_orderpriority")
+                           .orderBy("o_orderdate", "o_orderkey"))
                        .cast("string").alias("new_no")))
     return (o.join(renum, "o_orderkey", "left")
              .select(F.col("o_orderkey").alias("orderkey"),

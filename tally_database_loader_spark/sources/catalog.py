@@ -58,8 +58,10 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     compute-dense columns."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    # plan-side repartition, unconditionally: probing df.rdd for the current
+    # partition count forces a Python->RDD conversion per call; for the
+    # known-narrow sources this helper serves, the small shuffle is cheaper
+    # than the probe, and AQE coalesces it away when the input is already wide
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 
 

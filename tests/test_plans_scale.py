@@ -79,3 +79,29 @@ def test_curation_ops_plan_shapes(spark):
     vocab = _plan(spark, "vocab_topk")
     assert "TakeOrderedAndProject" in vocab
     assert "Exchange SinglePartition" not in vocab
+
+
+def test_renumber_window_is_partitioned(spark):
+    """The renumbering series window must partition by the series key:
+    a global-window row_number funnels the whole table through one
+    partition (the r1 scale soft spot)."""
+    plan = _plan(spark, "renumber_join_update")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, \
+        "renumber window still funnels through a single partition"
+
+
+def test_hierarchy_closure_both_join_modes(spark):
+    """transitive_closure must produce identical closures whether the edge
+    set is broadcast (dimension-sized trees) or shuffle-joined (fact-sized
+    edge tables at 100x), and the shuffle mode must not silently broadcast."""
+    from tally_database_loader_spark.operators.hierarchy import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("e", "a"), ("f", "e")],
+        "child string, parent string")
+    bc = transitive_closure(edges, broadcast_edges=True)
+    sh = transitive_closure(edges, broadcast_edges=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
