@@ -1,12 +1,62 @@
 """Report/analytics query plans (SURVEY §2.F) and the driver-gate registry.
 
 Importing this package registers every gate query: ``gate`` (report +
-incremental operators) and ``llm_gate`` (training-data pipeline operators)
-both append to ``gate.QUERIES`` / ``gate.ORACLES``.
+incremental operators), ``llm_gate`` (training-data pipeline operators)
+and ``report_gate`` (the real 22-table reference reports) all append to
+``gate.QUERIES`` / ``gate.ORACLES``.
+
+The driver checks the FIRST 50 registrations, so ``_WINDOW`` pins one
+representative per distinct operator family into that window (merged
+gates like ``text_profile`` / ``similarity_topk_suite`` carry several
+single-pass families in one slot). Everything else stays registered —
+redundant shape-variants and the standalone versions of merged families —
+and remains oracle-verified by tests/test_gate_queries.py, which replays
+ALL registrations.
 """
 
 from . import gate  # noqa: F401
 from . import llm_gate  # noqa: F401
 
-QUERIES = gate.QUERIES
-ORACLES = gate.ORACLES
+try:  # real-report gates (22-table model derived from bench tables)
+    from . import report_gate  # noqa: F401
+except ImportError:  # pragma: no cover - during bisection of this module
+    pass
+
+# Driver-checked window: every distinct operator family, most informative
+# representative first. Names absent from the registry are skipped.
+_WINDOW = [
+    # §2.F relational report shapes
+    "trial_balance", "pricing_summary", "sales_daily", "account_ledger",
+    "sales_register", "purchase_register", "workflow_dedup",
+    "voucher_view_union", "hierarchy_closure", "segment_pivot",
+    # §2.E incremental-sync operators
+    "version_probe", "delete_detect_antijoin", "modified_detect",
+    "cascade_update_join", "cascade_delete_counts", "upsert_merge",
+    "renumber_join_update",
+    # scalar masks + custom large-scale operators
+    "mask_formatting", "salted_agg", "asof_latest_view",
+    "interval_attribution", "hypertable_rollup", "gap_fill_locf",
+    # real reference reports over the derived 22-table model
+    "report_trial_balance", "report_profit_loss", "report_stock_summary",
+    # text analysis (4 families in one pass) + dedup modalities
+    "text_profile", "dedup_exact", "minhash_lsh_dedup", "simhash_parity",
+    "span_dedup", "dedup_clusters", "incremental_dedup",
+    "embedding_cosine_dups",
+    # multimodal plumbing + similarity search (3 strategies in one slot)
+    "multimodal_decode", "image_resize", "similarity_topk_suite",
+    # corpus curation / retrieval / packing
+    "repetition_scores", "pii_redaction", "unicode_nfc", "inverted_index",
+    "bm25_query_scores", "chunk_windows", "vocab_topk", "mixture_stats",
+    "hash_sample", "length_stats", "benchmark_contamination",
+    "pack_sequences", "domain_cap",
+]
+
+
+def _window_first(reg: dict) -> dict:
+    out = {n: reg[n] for n in _WINDOW if n in reg}
+    out.update((n, f) for n, f in reg.items() if n not in out)
+    return out
+
+
+QUERIES = _window_first(gate.QUERIES)
+ORACLES = {n: gate.ORACLES[n] for n in QUERIES if n in gate.ORACLES}

@@ -339,25 +339,60 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.payload_metadata(d, "doc_id", mm.binary_payload(F.col("text")))
 
 
-@gate_query("multimodal_decode")  # mapInPandas — rows-only driver check
+@gate_query("multimodal_decode", oracle="""
+WITH ex AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS bytes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(CASE WHEN n > 0 THEN CAST(list_sum(bytes) AS DOUBLE) / n
+                 ELSE 0.0 END AS DOUBLE) AS mean_byte,
+       CAST(CASE WHEN n > 0 THEN list_max(bytes) ELSE 0 END AS INT) AS max_byte,
+       CAST(CASE WHEN n >= 4 THEN (bytes[1]*16777216 + bytes[2]*65536
+                                   + bytes[3]*256 + bytes[4]) % 448 + 64
+                 ELSE 64 END AS INT) AS width,
+       CAST(CASE WHEN n >= 8 THEN (bytes[5]*16777216 + bytes[6]*65536
+                                   + bytes[7]*256 + bytes[8]) % 448 + 64
+                 ELSE 64 END AS INT) AS height
+FROM ex
+""")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode over binary payloads via mapInPandas
     (llm/multimodal.py) — deterministic byte statistics standing in for a
-    real image decoder (not installable here). Exact values are asserted
-    in tests/test_llm.py; the driver records rows-only."""
+    real image decoder (not installable here). The fake features are pure
+    functions of encode(text), so the oracle re-derives them per byte
+    (documents are ASCII ⇒ ord(char) == byte; int.from_bytes(b[:4]) ==
+    the base-256 fold). Exact batch plumbing additionally asserted in
+    tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
     return mm.fake_decode_features(payload, "doc_id", "payload")
 
 
-@gate_query("image_resize")  # mapInPandas binary→binary — rows-only check
+@gate_query("image_resize", oracle="""
+SELECT doc_id,
+       CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+       CASE WHEN octet_length(encode(text)) = 0
+            THEN 'd2a70550489de356a2cd6bfc40711204'  -- md5 of 3072 NUL bytes
+            ELSE md5(substr(repeat(text,
+                     CAST(3072 // octet_length(encode(text)) AS INT) + 1),
+                     1, 3072))
+       END AS payload_md5
+FROM documents
+""")
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched resize plumbing: binary in → fixed 64×48 'pixel
     buffer' out via mapInPandas (llm/multimodal.py fake_resize; the real
-    resampler is a one-line swap, PIL not installable here). Byte-exact
-    output is asserted in tests/test_llm.py; the driver records
-    rows-only. Output md5 keeps the result hashable without shipping
-    3 KB/row through the compare."""
+    resampler is a one-line swap, PIL not installable here). The fake
+    buffer is the payload tiled/truncated to width×height bytes — a pure
+    function of encode(text), so the oracle rebuilds it with
+    repeat+substr (ASCII ⇒ chars == bytes) and compares md5s; empty
+    payloads tile a NUL byte, whose buffer md5 is a constant. Output md5
+    keeps the result hashable without shipping 3 KB/row through the
+    compare."""
     d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
     out = mm.fake_resize(payload, width=64, height=48)
@@ -1145,3 +1180,119 @@ def quantized_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import quantized_topk
     e = load_table(spark, sf_dir, "embeddings")
     return quantized_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# merged driver-window gates: several single-pass families in one slot
+# ---------------------------------------------------------------------------
+
+@gate_query("text_profile", oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text, t,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(len(t), 1) AS DOUBLE) AS avg_word_len,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+           / CAST(greatest(len(t), 1) AS DOUBLE) AS stopword_ratio
+  FROM (SELECT doc_id, lang, text, {_DD_TOKENS} AS t FROM documents)
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+       n_tokens AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_ish,
+       n_chars, n_tokens, avg_word_len, punct_ratio, stopword_ratio,
+       least(1.0, n_tokens / 100.0) * 0.5
+       + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+       + least(1.0, stopword_ratio * 5.0) * 0.2 AS quality_score,
+       lang,
+       CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+            WHEN {_dd_lang_hits('en')} >= {_dd_lang_hits('de')}
+             AND {_dd_lang_hits('en')} >= {_dd_lang_hits('es')}
+             AND {_dd_lang_hits('en')} >= {_dd_lang_hits('fr')} THEN 'en'
+            WHEN {_dd_lang_hits('de')} >= {_dd_lang_hits('es')}
+             AND {_dd_lang_hits('de')} >= {_dd_lang_hits('fr')} THEN 'de'
+            WHEN {_dd_lang_hits('es')} >= {_dd_lang_hits('fr')} THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+       list_reduce(list_apply(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+FROM q
+""")
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined text-analysis profile: token counts + quality scoring +
+    language ID + fingerprints (llm/text.py) in ONE projection pass.
+
+    This is both the driver-window representative for all four families
+    (each also registered standalone) and the shape the operators take in
+    production: at 100 TB you never scan the corpus four times for four
+    per-document columns — one wide codegen'd projection computes them
+    together, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    quality = tx.quality_columns(t)
+    return d.select(
+        "doc_id",
+        tx.whitespace_token_count(t).alias("n_ws_tokens"),
+        tx.word_token_count(t).alias("n_words"),
+        tx.bpe_ish_token_count(t).alias("n_bpe_ish"),
+        *[c.alias(n) for n, c in quality.items()],
+        "lang",
+        tx.lang_id(t).alias("lang_pred"),
+        tx.fingerprint_md5(t).alias("fp_md5"),
+        tx.fingerprint_rolling(t).alias("fp_rolling"))
+
+
+_DD_SUITE_TOPK = """
+SELECT '{method}' AS method, q_id, neighbor_id, CAST(rn AS INT) AS rank, score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM ({scored}))
+WHERE rn <= 5
+"""
+
+@gate_query("similarity_topk_suite", oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_dd_srp_bucket('embedding', _PLANES4)} AS bucket
+  FROM embeddings
+),
+qz AS ({_DD_Q8})
+""" + " UNION ALL ".join([
+    _DD_SUITE_TOPK.format(method="cosine", scored=f"""
+      SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS score
+      FROM (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8) q
+      JOIN embeddings e ON e.vec_id <> q.q_id"""),
+    _DD_SUITE_TOPK.format(method="srp_lsh", scored=f"""
+      SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS score
+      FROM (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 8) q
+      JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id"""),
+    _DD_SUITE_TOPK.format(method="int8", scored="""
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             (q.sa * e.scale) * CAST(list_reduce(
+                 list_apply(list_zip(q.qa, e.q), p -> p[1] * p[2]),
+                 (a, b) -> a + b) AS DOUBLE) AS score
+      FROM (SELECT vec_id AS q_id, scale AS sa, q AS qa FROM qz WHERE vec_id < 8) q
+      JOIN qz e ON e.vec_id <> q.q_id"""),
+]))
+def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three similarity-search strategies over one query set, unioned
+    with a method tag — exact brute-force cosine (baseline), SRP-LSH
+    bucketed ANN (the n²→n²/2^bits scale path), and int8-quantized
+    rescoring (the memory-bound scale path) — llm/similarity.py. One
+    driver slot hash-checks all three; each also registers standalone."""
+    from ..llm.similarity import quantized_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+
+    def tag(df: DataFrame, method: str, score_col: str) -> DataFrame:
+        return df.select(F.lit(method).alias("method"), "q_id", "neighbor_id",
+                         "rank", F.col(score_col).alias("score"))
+
+    return (tag(cosine_topk(e, q, k=5), "cosine", "cos")
+            .unionByName(tag(lsh_topk(e, q, k=5, n_bits=4, dim=64),
+                             "srp_lsh", "cos"))
+            .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score")))
