@@ -66,6 +66,12 @@ HEADLINE = [
     "pack_sequences",
     "domain_cap",
     "quantized_topk",
+    "text_profile",
+    "similarity_topk_suite",
+    "report_trial_balance",
+    "report_profit_loss",
+    "report_stock_summary",
+    "report_sales_register",
 ]
 
 

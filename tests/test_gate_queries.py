@@ -23,3 +23,24 @@ def test_gate_query_matches_oracle(name, spark, duck):
         return
     ok, msg = compare_spark_duckdb(df, duck, gate.ORACLES[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_driver_window_covers_all_families():
+    """The driver checks only the FIRST 50 registrations; every distinct
+    operator family must have a representative inside that window
+    (plans/__init__._WINDOW). Guard against a stray import reordering."""
+    from tally_database_loader_spark import plans
+    window = list(plans.QUERIES)[:50]
+    must_have = [
+        "trial_balance", "renumber_join_update", "report_trial_balance",
+        "report_profit_loss", "report_stock_summary", "text_profile",
+        "simhash_parity", "multimodal_decode", "image_resize",
+        "similarity_topk_suite", "incremental_dedup", "pack_sequences",
+        "benchmark_contamination", "domain_cap",
+    ]
+    missing = [n for n in must_have if n not in window]
+    assert not missing, f"families fell out of the driver window: {missing}"
+    # and the window carries no oracle-less entry that could have one
+    from tally_database_loader_spark.plans import ORACLES
+    no_oracle = [n for n in window if n not in ORACLES]
+    assert no_oracle == [], f"oracle-less queries inside the window: {no_oracle}"
