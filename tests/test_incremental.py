@@ -104,3 +104,53 @@ def test_noop_sync_is_skipped(spark, stores, tmp_path_factory):
     eng.full_sync(src)
     stats = eng.incremental_sync(src)
     assert stats["skipped"]  # AlterIds unchanged ⇒ change gate short-circuits
+
+
+def test_untouched_buckets_hard_linked_across_sync(spark, stores):
+    """The scoped commit must not rewrite untouched partitions: for every
+    table with >1 version, at least the untouched __bucket dirs of the
+    newest version must be hard links (same inode) of the previous
+    version's files — i.e. a micro-batch costs O(changed buckets), and
+    untouched data is byte-identical by construction."""
+    import os
+    inc_store, _, _, specs = stores
+    linked = 0
+    for table in inc_store.tables():
+        vs = inc_store._versions(table)
+        if len(vs) < 2:
+            continue
+        prev = inc_store._vdir(table, vs[-2])
+        last = inc_store._vdir(table, vs[-1])
+        for entry in os.listdir(last):
+            if not entry.startswith("__bucket="):
+                continue
+            pdir = os.path.join(prev, entry)
+            if not os.path.isdir(pdir):
+                continue
+            for fn in os.listdir(os.path.join(last, entry)):
+                if not fn.endswith(".parquet"):
+                    continue
+                pfile = os.path.join(pdir, fn)
+                lfile = os.path.join(last, entry, fn)
+                if os.path.exists(pfile) and \
+                        os.stat(pfile).st_ino == os.stat(lfile).st_ino:
+                    linked += 1
+    assert linked > 0, "no hard-linked (untouched) bucket files found — " \
+                       "scoped commit is rewriting everything"
+
+
+def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
+    """Direct unit check: 1 touched key ⇒ exactly 1 bucket rewritten and
+    the merged table reads back correctly."""
+    store = ParquetStore(str(tmp_path / "st"), n_buckets=8)
+    df = spark.range(200).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        (F.col("id") * 2).alias("val"))
+    store.write(df, "t")
+    updated = df.withColumn(
+        "val", F.when(F.col("guid") == "g-7", F.lit(999)).otherwise(F.col("val")))
+    n = store.write_scoped(updated, "t",
+                           spark.createDataFrame([("g-7",)], "guid string"))
+    assert n == 1
+    got = {r.guid: r.val for r in store.read(spark, "t").collect()}
+    assert got["g-7"] == 999 and got["g-8"] == 16 and len(got) == 200
