@@ -154,6 +154,73 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def bigquery_writer_options(dataset: str, table: str, *,
+                            truncate: bool = True,
+                            temp_bucket: str | None = None) -> dict[str, str]:
+    """BigQuery sink options (B5) for the public spark-bigquery connector.
+
+    Maps the reference's load-job settings (src/database.mts:290-305:
+    CSV load, ``skipLeadingRows: 1``, ``WRITE_TRUNCATE``) onto the
+    connector's surface: ``writeDisposition`` carries the truncate
+    semantics and the intermediate format is parquet (columnar staging —
+    the header-skip knob disappears because parquet is schema'd)."""
+    opts = {
+        "table": f"{dataset}.{table}",
+        "writeDisposition": "WRITE_TRUNCATE" if truncate else "WRITE_APPEND",
+        "intermediateFormat": "parquet",
+    }
+    if temp_bucket:
+        opts["temporaryGcsBucket"] = temp_bucket
+    return opts
+
+
+def write_bigquery(df: DataFrame, dataset: str, table: str, *,
+                   truncate: bool = True, temp_bucket: str | None = None,
+                   stub_dir: str | None = None) -> int:
+    """BigQuery sink (B5). With the spark-bigquery connector jar on the
+    classpath this is a distributed ``format('bigquery')`` write; in
+    environments without the jar (this container), ``stub_dir`` runs the
+    same path end-to-end against a local stub: the rows are staged as the
+    CSV the reference uploads and the load-job configuration the
+    reference submits (src/database.mts:290-305) is emitted as
+    ``{table}.load.json``, so tests can assert the exact job that would
+    run. Returns the staged/loaded row count (the reference reports
+    ``outputRows``)."""
+    opts = bigquery_writer_options(dataset, table, truncate=truncate,
+                                   temp_bucket=temp_bucket)
+    if stub_dir is not None:
+        stage = os.path.join(stub_dir, f"{table}.csv")
+        write_csv(df, stage, single_file=True, bom=False)
+        n_rows = df.count()
+        job = {
+            "configuration": {
+                "load": {
+                    "destinationTable": {"datasetId": dataset, "tableId": table},
+                    "sourceFormat": "CSV",
+                    "skipLeadingRows": 1,
+                    "writeDisposition": opts["writeDisposition"],
+                },
+            },
+            "statistics": {"load": {"outputRows": n_rows}},
+        }
+        with open(os.path.join(stub_dir, f"{table}.load.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(job, fh, indent=2, sort_keys=True)
+        return n_rows
+    try:
+        writer = df.write.mode("overwrite").format("bigquery")
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.save()
+    except Exception as exc:  # connector jar absent / misconfigured
+        raise RuntimeError(
+            "BigQuery write requires the spark-bigquery connector on the "
+            "classpath (--packages com.google.cloud.spark:spark-bigquery-"
+            "with-dependencies); pass stub_dir= for a local dry run"
+        ) from exc
+    return df.count()
+
+
 def write_cdm(dfs: dict[str, DataFrame], specs: dict, out_dir: str, *,
               model_name: str = "tally") -> str:
     """ADLS-CDM sink (B6): per-table CSV folders + a ``model.json``

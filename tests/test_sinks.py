@@ -148,3 +148,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_head")
         spark.sql("DROP TABLE IF EXISTS t_detail")
+
+
+def test_bigquery_stub_load_job(spark, tmp_path):
+    """B5: the stubbed BigQuery path stages the CSV the reference uploads
+    and emits the exact load-job config it submits
+    (reference src/database.mts:290-305)."""
+    import json
+    from tally_database_loader_spark.sinks.writers import (
+        bigquery_writer_options, write_bigquery)
+
+    df = spark.createDataFrame(
+        [("g-1", "Cash", 100.50), ("g-2", "Bank", -20.25)],
+        "guid string, ledger string, amount double")
+    n = write_bigquery(df, "tallydb", "trn_accounting", stub_dir=str(tmp_path))
+    assert n == 2
+    staged = (tmp_path / "trn_accounting.csv").read_text(encoding="utf-8")
+    lines = staged.strip().splitlines()
+    assert lines[0] == "guid,ledger,amount" and len(lines) == 3
+    job = json.loads((tmp_path / "trn_accounting.load.json").read_text())
+    load = job["configuration"]["load"]
+    assert load["destinationTable"] == {"datasetId": "tallydb",
+                                        "tableId": "trn_accounting"}
+    assert load["skipLeadingRows"] == 1
+    assert load["writeDisposition"] == "WRITE_TRUNCATE"
+    assert job["statistics"]["load"]["outputRows"] == 2
+    # connector-option surface (used when the jar is present)
+    opts = bigquery_writer_options("tallydb", "trn_accounting",
+                                   truncate=False, temp_bucket="b")
+    assert opts == {"table": "tallydb.trn_accounting",
+                    "writeDisposition": "WRITE_APPEND",
+                    "intermediateFormat": "parquet",
+                    "temporaryGcsBucket": "b"}
