@@ -127,3 +127,57 @@ def test_ddl_generation_all_dialects():
             assert spec.ddl(d).startswith(f"create table {spec.name}")
     with pytest.raises(ValueError, match="unknown DDL dialect"):
         grp.ddl("oracle")
+
+
+def test_live_http_fetch_roundtrip(spark, tmp_path):
+    """A1 live half: POST the compiled TDL program to a (stub) Tally XML
+    server and parse the response distributed — asserts the UTF-16LE
+    request body convention (reference src/tally.mts:448-490) and the
+    typed result."""
+    import http.server
+    import threading
+
+    from tally_database_loader_spark.sources.tally_http import (
+        fetch_table, is_tally_reachable, post_tally_xml)
+
+    response = _response_xml()
+    received = {}
+
+    class StubTally(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received["body"] = self.rfile.read(n)
+            received["ctype"] = self.headers["Content-Type"]
+            payload = response.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # tally-status probe
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), StubTally)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        assert is_tally_reachable(url)
+        df = fetch_table(spark, LEDGER_SPEC, url=url,
+                         subs={"targetCompany": "##SVCurrentCompany"},
+                         stage_dir=str(tmp_path))
+        got = {r["guid"]: r for r in df.collect()}
+        assert len(got) == 3 and got["g-002"]["first_date"] is None
+        # the request carried the compiled TDL program, UTF-16LE encoded
+        sent = received["body"].decode("utf-16le")
+        assert "<REPORT" in sent and "$OpeningBalance" in sent
+        assert "utf-16" in received["ctype"]
+        # raw POST helper returns the body verbatim
+        assert post_tally_xml(url, "<x/>") == response
+    finally:
+        srv.shutdown()
+    assert not is_tally_reachable("http://127.0.0.1:1", timeout=0.5)
