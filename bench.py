@@ -72,6 +72,8 @@ HEADLINE = [
     "report_profit_loss",
     "report_stock_summary",
     "report_sales_register",
+    "unigram_lm_score",
+    "temperature_resample",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Model-based corpus scoring and mixture resampling.
+
+``unigram_logprob`` — corpus-trained unigram language-model score per
+document (mean log-probability): the cheap statistical stand-in for the
+perplexity filters used in CCNet/Gopher-style curation, where a corpus
+LM scores each document and the tails are dropped. Everything is
+relational: the "model" is the token-count table.
+
+Scale shape: one explode + two aggregations. The count table is
+vocabulary-sized (≪ corpus), so the scoring join broadcasts it; the
+per-document mean aggregates map-side. The corpus total is a single-row
+probe-then-parameterize scalar (same discipline as BM25 in
+``llm/tfidf.py``).
+
+Float discipline: per-token log-probs are quantized to fixed-point
+BIGINTs (``floor(ln(p) * 1e6)``) *before* the per-document sum, so the
+aggregation is associative integer math — immune to AQE partition-order
+nondeterminism and reproducible bit-for-bit in any SQL engine. The one
+double division happens after the exact sum.
+
+``temperature_resample`` — mixture re-weighting by sampling temperature
+(mT5/Gopher style): group g with n_g documents is kept at a rate ∝
+n_g^(α-1) with α = 1/2, flattening over-represented sources. Selection
+is a deterministic keyed-hash threshold, not ``rand()`` — retry and
+speculation stable. The per-group thresholds are derived with *pure
+integer arithmetic* over ``floor(√n · 2^20)`` weights (√ is IEEE
+correctly-rounded, so every engine quantizes identically), making the
+kept set bit-reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .packing import hash_order
+from .text import tokens as _tokens
+
+__all__ = ["unigram_logprob", "temperature_resample"]
+
+_Q = 1_000_000  # fixed-point scale for log-prob quantization
+_H = 1 << 20    # hash-threshold denominator for sampling
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution (no smoothing needed — every scored token was
+    counted). Output: ``doc_id, n_tokens, lm_score`` with ``lm_score =
+    Σ floor(ln(count(t)/N)·1e6) / (1e6·n)`` (NULL for token-less docs);
+    more negative = more surprising under the corpus model."""
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = tok.count()  # scalar probe → literal in the scoring plan
+    q = F.floor(F.log(F.col("c").cast("double") / F.lit(float(n_total)))
+                * F.lit(_Q)).cast("long")
+    scored = (tok.join(F.broadcast(counts), "tok")
+                 .groupBy("doc_id")
+                 .agg(F.sum(q).alias("qsum"), F.count("*").alias("n")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+                .join(scored, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("n"), F.lit(0)).cast("int")
+                         .alias("n_tokens"),
+                        (F.col("qsum").cast("double")
+                         / (F.col("n") * F.lit(_Q)).cast("double"))
+                        .alias("lm_score")))
+
+
+def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
+                         keep_num: int = 1, keep_den: int = 2) -> DataFrame:
+    """α=1/2 temperature resampling: keep group g at rate
+    ``min(1, C·√n_g/n_g)`` with ``C`` fixing the expected kept corpus
+    fraction at ``keep_num/keep_den`` — big groups thin ∝ 1/√n, small
+    groups pass (nearly) whole.
+
+    Exact arithmetic: with ``w_g = floor(√n_g · 2^20)`` and
+    ``W = Σ w_g``, the keep threshold is the integer
+    ``min(2^20, (2^20 · keep_num · N · w_g) // (keep_den · W · n_g))``
+    and a document survives iff ``hash(doc_id) mod 2^20 < threshold`` —
+    every quantity integer (√ and floor are IEEE-exact), so any SQL
+    engine reproduces the identical kept set. Output: ``grp, doc_id``
+    of survivors. Group count is assumed dimension-sized (the collect
+    is one row per group — same probe-then-parameterize shape as BM25).
+    """
+    if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
+        raise ValueError("keep fraction must be in (0, 1]")
+    base = docs.select(F.col(group_col).alias("grp"),
+                       F.col(id_col).alias("doc_id"))
+    rows = base.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    n_total = sum(r["n"] for r in rows)
+    w = {r["grp"]: int(math.floor(math.sqrt(r["n"]) * _H)) for r in rows}
+    w_total = sum(w.values())
+    thresholds = {
+        r["grp"]: min(_H, (_H * keep_num * n_total * w[r["grp"]])
+                      // (keep_den * w_total * r["n"]))
+        for r in rows}
+    thr = F.lit(None).cast("long")
+    for g in sorted(thresholds):
+        thr = F.when(F.col("grp") == g, F.lit(thresholds[g])).otherwise(thr)
+    return (base.filter(F.pmod(hash_order(F.col("doc_id")), F.lit(_H))
+                        < thr)
+                .select("grp", "doc_id"))

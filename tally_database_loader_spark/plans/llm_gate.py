@@ -1296,3 +1296,64 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tag(lsh_topk(e, q, k=5, n_bits=4, dim=64),
                              "srp_lsh", "cos"))
             .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score")))
+
+
+# ---------------------------------------------------------------------------
+# model-based scoring + mixture resampling (llm/lm.py)
+# ---------------------------------------------------------------------------
+
+@gate_query("unigram_lm_score", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_DD_TOKENS}) AS tok FROM documents),
+counts AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         SUM(CAST(floor(ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot))
+                        * 1000000) AS BIGINT)) AS qsum,
+         COUNT(*) AS n
+  FROM tok t JOIN counts c USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT) AS n_tokens,
+       CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS lm_score
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+""")
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score per document (llm/lm.py
+    unigram_logprob) — the relational form of a CCNet/Gopher perplexity
+    filter: vocabulary-sized count table broadcast onto the token
+    explode, per-token log-probs quantized to int64 BEFORE the document
+    sum so the aggregation is exact and AQE-order-proof."""
+    from ..llm.lm import unigram_logprob
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
+@gate_query("temperature_resample", oracle="""
+WITH base AS (SELECT source AS grp, doc_id FROM documents),
+sizes AS (SELECT grp, COUNT(*) AS n FROM base GROUP BY 1),
+wq AS (SELECT grp, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS w
+       FROM sizes),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(w) AS BIGINT) AS ww
+        FROM wq),
+thr AS (SELECT grp,
+               LEAST(CAST(1048576 AS BIGINT),
+                     (1048576 * 1 * (SELECT nn FROM tot) * w)
+                     // (2 * (SELECT ww FROM tot) * n)) AS t
+        FROM wq)
+SELECT b.grp, b.doc_id
+FROM base b JOIN thr ON thr.grp = b.grp
+WHERE list_reduce(list_apply(string_split(substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15), ''),
+                             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) % 1048576 < thr.t
+""")
+def temperature_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 temperature mixture resampling over sources (llm/lm.py
+    temperature_resample): over-represented sources thinned ∝ 1/√n via a
+    deterministic keyed-hash threshold; per-group thresholds derived in
+    pure integer arithmetic so the kept set is bit-reproducible."""
+    from ..llm.lm import temperature_resample
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_resample(d, "source", "doc_id")

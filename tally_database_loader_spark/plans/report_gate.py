@@ -118,14 +118,20 @@ def tally_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
           .join(F.broadcast(customer.select("c_custkey", "c_name")),
                 F.col("o_custkey") == F.col("c_custkey")))
 
-    guid = F.col("l_orderkey").cast("string").alias("guid")
+    # one scan of the joined fact, exploded into the debit + credit rows
+    # (the SQL CTE spells it as UNION ALL; the values are identical, but a
+    # union would run the 4-table join twice — at 100 TB, once matters)
     trn_accounting = (
-        li.select(guid, F.col("c_name").alias("ledger"),
-                  (-F.col("l_extendedprice")).cast(_D17).alias("amount"))
-          .unionByName(
-              li.select(guid,
-                        F.concat(F.lit("Sales: "), F.col("p_brand")).alias("ledger"),
-                        F.col("l_extendedprice").cast(_D17).alias("amount"))))
+        li.select(
+            F.col("l_orderkey").cast("string").alias("guid"),
+            F.explode(F.array(
+                F.struct(F.col("c_name").alias("ledger"),
+                         (-F.col("l_extendedprice")).cast(_D17).alias("amount")),
+                F.struct(F.concat(F.lit("Sales: "), F.col("p_brand"))
+                          .alias("ledger"),
+                         F.col("l_extendedprice").cast(_D17).alias("amount")),
+            )).alias("e"))
+          .select("guid", "e.ledger", "e.amount"))
 
     mst_ledger = (
         customer.select(F.col("c_name").alias("name"),

@@ -269,3 +269,35 @@ def test_incremental_dedup_classification(spark):
     assert out[10] == ("exact", 1)
     assert out[12] == ("near", 3)
     assert out[14] == ("new", None)
+
+
+def test_unigram_logprob_orders_rare_below_common(spark):
+    from tally_database_loader_spark.llm.lm import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the the zyzzyva"), (3, "   ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # doc 2 contains a hapax -> strictly more surprising than all-common doc 1
+    assert got[2].lm_score < got[1].lm_score
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    # token-less doc: 0 tokens, NULL score
+    assert got[3].n_tokens == 0 and got[3].lm_score is None
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from tally_database_loader_spark.llm.lm import temperature_resample
+    import pyspark.sql.functions as F
+    rows = [(f"big", i) for i in range(900)] + [("small", 9000 + i) for i in range(100)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long")
+    kept = temperature_resample(docs, "source", "doc_id")
+    counts = {r.grp: r.c for r in
+              kept.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    # expected kept fraction ~1/2 overall; hash selection is uniform so
+    # allow generous tolerance
+    total = sum(counts.values())
+    assert 0.35 * 1000 <= total <= 0.65 * 1000
+    # flattening: the big group's KEEP RATE is strictly below the small's
+    assert counts["big"] / 900 < counts["small"] / 100
+    # determinism: same input -> identical kept set
+    again = sorted(map(tuple, temperature_resample(docs, "source", "doc_id").collect()))
+    assert again == sorted(map(tuple, kept.collect()))
