@@ -46,3 +46,39 @@ def running_totals(events: DataFrame, *, key_col: str = "user_id",
     return (events.groupBy(key_col)
             .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+_DEDUP_OUT = "fingerprint string, doc_id bigint, dup_count bigint"
+_DEDUP_STATE = "keeper bigint, dups bigint"
+
+
+def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: first document per fingerprint wins, forever.
+
+    The streaming form of ``llm/dedup.exact_duplicates`` for continuous
+    corpus ingestion: keyed state stores (keeper_id, dup_count) per
+    fingerprint — two scalars, so state size is bounded by distinct
+    content, not stream length — and each micro-batch emits one row per
+    fingerprint it touched with the stable keeper and the updated
+    duplicate count (``update`` semantics: downstream keeps rows where
+    doc_id == keeper and reads dup_count for stats). Checkpoint recovery
+    resumes the seen-set (asserted in tests/test_streaming.py), which is
+    what makes ingestion restarts idempotent."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        keeper, dups = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            for did in pdf[id_col]:
+                if keeper is None:
+                    keeper = int(did)
+                else:
+                    dups += 1
+        state.update((keeper, dups))
+        yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [keeper],
+                            "dup_count": [dups]})
+
+    return (docs.groupBy(key_col)
+            .applyInPandasWithState(update, _DEDUP_OUT, _DEDUP_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))

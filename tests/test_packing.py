@@ -77,3 +77,27 @@ def test_quantized_topk_recall_vs_exact(spark):
     # int8 with per-vector scale keeps ranking nearly intact: ≥80% of the
     # exact top-5 pairs survive quantization
     assert len(ex & qz) / len(ex) >= 0.8
+
+
+def test_pack_sequences_duplicate_doc_ids_still_tile(spark):
+    """Regression: with the RANGE-frame default, duplicate doc_ids within a
+    shard shared one running sum and produced overlapping __start offsets.
+    The ROWS frame gives each row its own offset, so the tiling invariant
+    must hold even with every doc_id duplicated."""
+    from tally_database_loader_spark.llm.packing import pack_sequences
+    import pyspark.sql.functions as F
+
+    rows = [("s", f"d-{i % 3}", 7) for i in range(6)]  # ids d-0..d-2, twice each
+    docs = spark.createDataFrame(rows, "shard string, doc_id string, n long")
+    out = pack_sequences(docs, "shard", "doc_id", "n", seq_len=10).collect()
+    # total stream = 42 tokens -> sequences 0..4; every slice non-empty
+    assert all(r.tok_to > r.tok_from for r in out)
+    # tiling: per sequence, slice lengths sum to seq_len (last partial)
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r.seq_idx, 0)
+        per_seq[r.seq_idx] += r.tok_to - r.tok_from
+    assert per_seq == {0: 10, 1: 10, 2: 10, 3: 10, 4: 2}
+    # per-row coverage: each physical row contributes exactly its n tokens
+    total = sum(r.tok_to - r.tok_from for r in out)
+    assert total == 42

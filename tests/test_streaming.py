@@ -168,3 +168,37 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     d2.write.mode("append").parquet(src)
     # restart from checkpoint: state must resume, not reset
     assert run_once() == {1: (3, 16.0), 2: (2, 9.0), 3: (1, 4.0)}
+
+
+def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
+    """Streaming exact dedup: the keeper for a fingerprint is stable across
+    micro-batches and restarts; duplicate counts accumulate."""
+    from tally_database_loader_spark.streaming.stateful import streaming_dedup
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        out: list = []
+        stream = (spark.readStream
+                  .schema("fingerprint string, doc_id bigint").parquet(src))
+        q = (streaming_dedup(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _id: out.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["fingerprint"]: (r["doc_id"], r["dup_count"]) for r in out}
+
+    spark.createDataFrame([("fa", 1), ("fa", 2), ("fb", 3)],
+                          "fingerprint string, doc_id bigint") \
+         .write.mode("append").parquet(src)
+    got = run_once()
+    assert got == {"fa": (1, 1), "fb": (3, 0)}
+
+    # second batch: fa's keeper must remain 1 even though only doc 9 arrives
+    spark.createDataFrame([("fa", 9), ("fc", 4)],
+                          "fingerprint string, doc_id bigint") \
+         .write.mode("append").parquet(src)
+    got = run_once()
+    assert got == {"fa": (1, 2), "fc": (4, 0)}
