@@ -105,3 +105,20 @@ def test_hierarchy_closure_both_join_modes(spark):
     assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
     sh_plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+
+
+def test_new_gate_plan_shapes(spark):
+    """Round-2 gates keep the shapes that scale: the merged text profile
+    and the temperature resample are zero-shuffle map passes; the LM
+    scorer joins its vocabulary-sized count table broadcast; nothing
+    funnels through a single partition."""
+    tp = _plan(spark, "text_profile")
+    assert tp.count("Exchange") == 0 and "Join" not in tp
+    tr = _plan(spark, "temperature_resample")
+    assert tr.count("Exchange") == 0 and "Join" not in tr
+    lm = _plan(spark, "unigram_lm_score")
+    assert "BroadcastHashJoin" in lm and "SortMergeJoin" not in lm
+    assert "Exchange SinglePartition" not in lm
+    suite = _plan(spark, "similarity_topk_suite")
+    assert "CartesianProduct" not in suite
+    assert "Exchange SinglePartition" not in suite
