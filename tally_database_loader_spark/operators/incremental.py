@@ -86,12 +86,36 @@ class ParquetStore:
     def _key_of(df: DataFrame) -> str:
         return "guid" if "guid" in df.columns else df.columns[0]
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None) -> DataFrame:
+        """Read the latest snapshot, or time-travel to ``version`` —
+        every scoped commit keeps older versions intact (hard links), so
+        any historical snapshot stays readable until vacuumed, the same
+        contract as Delta/Iceberg ``VERSION AS OF``."""
         vs = self._versions(table)
         if not vs:
             raise FileNotFoundError(f"no versions for table {table}")
-        df = spark.read.parquet(self._vdir(table, vs[-1]))
+        if version is None:
+            version = vs[-1]
+        elif version not in vs:
+            raise FileNotFoundError(f"{table} has no version {version}; "
+                                    f"available: {vs}")
+        df = spark.read.parquet(self._vdir(table, version))
         return df.drop(self._BUCKET) if self._BUCKET in df.columns else df
+
+    def history(self, table: str) -> list[int]:
+        return self._versions(table)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions. Hard links make
+        this safe: a data file shared with a surviving version keeps its
+        inode alive; only unreferenced bytes are reclaimed."""
+        import shutil
+        vs = self._versions(table)
+        dropped = vs[:-keep_last] if keep_last > 0 else vs
+        for v in dropped:
+            shutil.rmtree(self._vdir(table, v))
+        return dropped
 
     def write(self, df: DataFrame, table: str) -> None:
         """Full-table commit (bucketed layout, so later scoped commits can

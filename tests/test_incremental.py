@@ -154,3 +154,29 @@ def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
     assert n == 1
     got = {r.guid: r.val for r in store.read(spark, "t").collect()}
     assert got["g-7"] == 999 and got["g-8"] == 16 and len(got) == 200
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot reads: any historical version stays readable after scoped
+    commits (hard links), and vacuum reclaims old versions while the
+    survivor remains intact."""
+    store = ParquetStore(str(tmp_path / "tt"), n_buckets=4)
+    df = spark.range(50).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+    store.write(df, "t")  # v1
+    upd = df.withColumn("val", F.when(F.col("guid") == "g-3", F.lit(-1))
+                               .otherwise(F.col("val")))
+    store.write_scoped(upd, "t", spark.createDataFrame([("g-3",)], "guid string"))  # v2
+    assert store.history("t") == [1, 2]
+    v1 = {r.guid: r.val for r in store.read(spark, "t", version=1).collect()}
+    v2 = {r.guid: r.val for r in store.read(spark, "t").collect()}
+    assert v1["g-3"] == 3 and v2["g-3"] == -1
+    assert v1["g-7"] == v2["g-7"] == 7
+    dropped = store.vacuum("t")
+    assert dropped == [1] and store.history("t") == [2]
+    # survivor unaffected (shared-inode files keep their bytes)
+    assert {r.guid: r.val for r in store.read(spark, "t").collect()} == v2
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        store.read(spark, "t", version=1)
