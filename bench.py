@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
+    # merged gates stand in for their standalone variants: text_profile
+    # covers token_counts/text_quality/fingerprints/lang_id in one pass,
+    # similarity_topk_suite covers cosine/ann_lsh/quantized top-k
     "pricing_summary",
     "trial_balance",
     "sales_register",
@@ -30,14 +33,9 @@ HEADLINE = [
     "hierarchy_closure",
     "segment_pivot",
     "event_hourly_windows",
-    "token_counts",
-    "text_quality",
-    "fingerprints",
     "dedup_exact",
     "minhash_lsh_dedup",
     "simhash_dedup",
-    "cosine_topk",
-    "ann_lsh_topk",
     "multimodal_metadata",
     "event_sessions",
     "stock_summary_brands",
@@ -65,7 +63,6 @@ HEADLINE = [
     "incremental_dedup",
     "pack_sequences",
     "domain_cap",
-    "quantized_topk",
     "text_profile",
     "similarity_topk_suite",
     "report_trial_balance",
