@@ -181,3 +181,70 @@ def test_live_http_fetch_roundtrip(spark, tmp_path):
     finally:
         srv.shutdown()
     assert not is_tally_reachable("http://127.0.0.1:1", timeout=0.5)
+
+
+def test_tally_datasource_pushdown_and_slicing(spark, tmp_path):
+    """spark.read.format('tally'): Catalyst predicates reach pushFilters and
+    compile into TDL <FILTER> formulae; live mode extracts year slices as
+    parallel partitions (one POST each); dump mode reads response files."""
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+    from tally_database_loader_spark.sources import tally_datasource
+
+    tally_datasource.register(spark)
+    response = _response_xml()
+    posts = []
+
+    class StubTally(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posts.append(self.rfile.read(n).decode("utf-16le"))
+            payload = response.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), StubTally)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        # live mode, 2 year slices, one pushed filter -------------------
+        # mst_ledger's spec has name/parent/... fields; our canned response
+        # only matches the first 5 columns — enough to assert plumbing.
+        df = (spark.read.format("tally")
+              .option("table", "mst_vouchertype")
+              .option("url", url)
+              .option("from_date", "2020-04-01")
+              .option("to_date", "2021-03-31")
+              .load()
+              .filter(F.col("name") == "Journal"))
+        rows = df.collect()
+        # the pushed EqualTo must appear as a TDL IsEqual filter clause in
+        # EVERY posted program, and two year-slices => two POSTs
+        assert len(posts) == 2
+        assert all('$$IsEqual:$Name:"Journal"' in p for p in posts)
+        assert all("SVFROMDATE" in p for p in posts)
+        # canned response rows don't contain 'Journal' in the name column,
+        # so the locally re-applied filter yields 0 rows — correctness is
+        # preserved even though the stub server ignored <FILTER>
+        assert rows == []
+    finally:
+        srv.shutdown()
+
+    # dump mode: one file = one partition, typed decode -----------------
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "part1.xml").write_text(_response_xml(), encoding="utf-8")
+    got = (spark.read.format("tally")
+           .option("table", "mst_vouchertype")
+           .option("path", str(d))
+           .load().collect())
+    assert len(got) == 3
+    by_guid = {r[0]: r for r in got}
+    assert by_guid["g-002"][1] == "Sharma <Traders>"  # entity unescape
