@@ -248,3 +248,74 @@ def test_tally_datasource_pushdown_and_slicing(spark, tmp_path):
     assert len(got) == 3
     by_guid = {r[0]: r for r in got}
     assert by_guid["g-002"][1] == "Sharma <Traders>"  # entity unescape
+
+
+def test_tally_stream_source_alterid_offsets(spark, tmp_path):
+    """readStream.format('tally'): AlterId is the offset — unchanged probe
+    => empty batch (H2 gate); advanced probe => only rows past the last
+    committed AlterId arrive (C8 dynamic filter), across query restarts."""
+    import http.server
+    import threading
+
+    from tally_database_loader_spark.sources import tally_datasource
+
+    tally_datasource.register(spark)
+    state = {"alterid": 5}
+
+    def vch_row(i, guid, name, alt):
+        return (f"<F01>{guid}</F01><F02>{name}</F02><F03>p</F03>"
+                f"<F04>Manual</F04><F05>0</F05><F06>0</F06><F07>{alt}</F07>")
+
+    def data_rows():
+        rows = [vch_row(1, "v-1", "Sales", 3), vch_row(2, "v-2", "Receipt", 5)]
+        if state["alterid"] >= 9:
+            rows += [vch_row(3, "v-3", "Journal", 8),
+                     vch_row(4, "v-4", "Contra", 9)]
+        return "<ENVELOPE>\r\n" + "\r\n".join(rows) + "\r\n</ENVELOPE>"
+
+    class StubTally(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = self.rfile.read(n).decode("utf-16le")
+            if "AltMstId" in body:
+                payload = (f"<ENVELOPE>\r\n<F01>{state['alterid']}</F01>"
+                           "\r\n</ENVELOPE>").encode("utf-8")
+            else:
+                payload = data_rows().encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), StubTally)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        out: list = []
+        stream = (spark.readStream.format("tally")
+                  .option("table", "mst_vouchertype")
+                  .option("url", url)
+                  .option("with_alterid", "true")
+                  .load())
+        q = (stream.writeStream
+             .foreachBatch(lambda df, _id: out.extend(df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted((r["guid"], r["alterid"]) for r in out)
+
+    try:
+        # first run: everything past offset 0
+        assert run_once() == [("v-1", 3), ("v-2", 5)]
+        # no AlterId movement => empty batch after restart
+        assert run_once() == []
+        # source advances; only rows past the committed offset 5 arrive
+        state["alterid"] = 9
+        assert run_once() == [("v-3", 8), ("v-4", 9)]
+    finally:
+        srv.shutdown()
