@@ -236,3 +236,36 @@ def normalize_nfc(text: Column) -> Column:
                      else unicodedata.normalize("NFC", x))
 
     return _nfc(text)
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-stripping HTML→text extraction — the first stage of any
+    web-crawl training pipeline (trafilatura/jusText's job, reduced to
+    the deterministic regex core so it runs inside whole-stage codegen
+    with zero Python).
+
+    Pipeline (each a single regexp_replace, Java-regex/RE2-agreeing so a
+    SQL oracle matches byte-for-byte):
+    1. drop <script>/<style>/<head> blocks wholesale (``(?is)`` inline
+       flags + non-greedy spans; three separate patterns because RE2 —
+       the oracle engine — has no backreferences);
+    2. block-level closers (</p>, </div>, </li>, </h1..6>, <br>) become
+       newlines so paragraph structure survives;
+    3. every remaining tag is stripped;
+    4. the five core entities + &nbsp; unescape;
+    5. horizontal whitespace collapses, blank-line runs collapse, edges
+       trim.
+    """
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?is)<head[^>]*>.*?</head>", "")
+    t = F.regexp_replace(t, r"(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>", "\n")
+    t = F.regexp_replace(t, r"<[^>]+>", "")
+    for pat, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        t = F.regexp_replace(t, pat, rep)
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    # trim spaces AND newlines (F.trim strips spaces only)
+    return F.regexp_replace(t, r"^[ \n]+|[ \n]+$", "")

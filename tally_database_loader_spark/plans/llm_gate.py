@@ -1357,3 +1357,50 @@ def temperature_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.lm import temperature_resample
     d = load_table(spark, sf_dir, "documents")
     return temperature_resample(d, "source", "doc_id")
+
+
+_DD_HTMLIFY = ("'<html><head><title>t</title><script>var x=1;</script></head>'"
+               " || '<body><h1>Doc ' || doc_id || '</h1><p>' || text ||"
+               " '</p><div>footer &amp; nav</div></body></html>'")
+
+@gate_query("html_extract", oracle=f"""
+WITH page AS (SELECT doc_id, {_DD_HTMLIFY} AS html FROM documents),
+ex AS (
+  SELECT doc_id,
+         trim(BOTH E' \\n' FROM
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g'),
+             '(?is)<head[^>]*>.*?</head>', '', 'g'),
+             '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>', E'\\n', 'g'),
+             '<[^>]+>', '', 'g'),
+             '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+           E'[ \\t]+', ' ', 'g'),
+           E' ?\\n ?', E'\\n', 'g')) AS txt
+  FROM page
+)
+SELECT doc_id, md5(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')) AS text_md5,
+       CAST(length(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')) AS INT) AS n_chars
+FROM ex
+""")
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text boilerplate stripping (llm/text.py html_to_text): each
+    document wrapped in a deterministic page shell (head/script/h1/nav
+    chrome) and extracted back — script/style/head dropped wholesale,
+    block structure preserved as newlines, entities unescaped, all in
+    codegen'd regexp_replace passes (zero Python). Compared by md5 +
+    length against the oracle's identical RE2 chain."""
+    d = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>t</title><script>var x=1;</script></head>"
+              "<body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>footer &amp; nav</div></body></html>"))
+    out = tx.html_to_text(page)
+    return d.select("doc_id", F.md5(out).alias("text_md5"),
+                    F.length(out).cast("int").alias("n_chars"))

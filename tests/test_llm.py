@@ -301,3 +301,17 @@ def test_temperature_resample_flattens_mixture(spark):
     # determinism: same input -> identical kept set
     again = sorted(map(tuple, temperature_resample(docs, "source", "doc_id").collect()))
     assert again == sorted(map(tuple, kept.collect()))
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    from tally_database_loader_spark.llm.text import html_to_text
+    import pyspark.sql.functions as F
+    page = ("<html><head><title>T</title><style>p{color:red}</style></head>"
+            "<body><script>alert('x')</script><h1>Head</h1>"
+            "<p>Hello &amp; <b>world</b></p><ul><li>a</li><li>b</li></ul>"
+            "<div>tail&nbsp;nav</div></body></html>")
+    df = spark.createDataFrame([(page,)], "html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).first().t
+    assert out == "Head\nHello & world\na\nb\ntail nav"
+    # scripts/styles/titles gone entirely
+    assert "alert" not in out and "color" not in out and "T\n" not in out
