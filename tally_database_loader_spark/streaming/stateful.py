@@ -62,19 +62,26 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
     content, not stream length — and each micro-batch emits one row per
     fingerprint it touched with the stable keeper and the updated
     duplicate count (``update`` semantics: downstream keeps rows where
-    doc_id == keeper and reads dup_count for stats). Checkpoint recovery
-    resumes the seen-set (asserted in tests/test_streaming.py), which is
-    what makes ingestion restarts idempotent."""
+    doc_id == keeper and reads dup_count for stats). The keeper is the
+    MIN doc_id of the earliest micro-batch that saw the fingerprint —
+    row order inside a batch is shuffle-dependent, so "first row wins"
+    would be nondeterministic; min-wins matches the batch operator's
+    keep_id = min(doc_id) convention and is retry-stable. Checkpoint
+    recovery resumes the seen-set (asserted in tests/test_streaming.py),
+    which is what makes ingestion restarts idempotent."""
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         keeper, dups = state.get if state.exists else (None, 0)
         for pdf in pdfs:
-            for did in pdf[id_col]:
-                if keeper is None:
-                    keeper = int(did)
-                else:
-                    dups += 1
+            if len(pdf) == 0:
+                continue
+            batch_min = int(pdf[id_col].min())
+            if keeper is None:
+                keeper = batch_min
+                dups += len(pdf) - 1
+            else:
+                dups += len(pdf)
         state.update((keeper, dups))
         yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [keeper],
                             "dup_count": [dups]})
