@@ -417,8 +417,12 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame, id_col: str,
     both = (corpus.select(F.col(id_col).alias("doc_id"), text_col)
                   .unionByName(batch.select(F.col(id_col).alias("doc_id"),
                                             text_col)))
+    # materialized once: both pair orientations below consume it, and the
+    # MinHash/LSH subtree is the expensive part — without the checkpoint
+    # the whole signature+banding pipeline executes twice
     pairs = minhash_near_duplicates(both, "doc_id", text_col, threshold,
-                                    k, bands, n, parity_hash)
+                                    k, bands, n, parity_hash) \
+        .localCheckpoint(eager=False)
     b_ids = batch.select(F.col(id_col).alias("doc_id"))
     # orient each cross pair as (batch doc, corpus partner)
     d1b = pairs.join(b_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi") \
