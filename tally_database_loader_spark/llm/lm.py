@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from .packing import hash_order
 from .text import tokens as _tokens
 
-__all__ = ["unigram_logprob", "temperature_resample"]
+__all__ = ["unigram_logprob", "temperature_resample", "cooccurrence_pmi"]
 
 _Q = 1_000_000  # fixed-point scale for log-prob quantization
 _H = 1 << 20    # hash-threshold denominator for sampling
@@ -104,3 +104,47 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     return (base.filter(F.pmod(hash_order(F.col("doc_id")), F.lit(_H))
                         < thr)
                 .select("grp", "doc_id"))
+
+
+def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", window: int = 2,
+                     min_count: int = 3) -> DataFrame:
+    """Directional token co-occurrence counts + pointwise mutual
+    information within a ±``window`` token neighborhood — the corpus
+    statistic word-embedding training starts from (word2vec/GloVe build
+    their training pairs exactly this way).
+
+    Scale shape: pair generation is a pure map-side array expression
+    (positions × window slice, inside whole-stage codegen — no self-join
+    on position), so the only shuffles are the two counting groupBys,
+    both bounded by vocabulary (unigrams) / observed-pair (bigrams)
+    cardinality after map-side partial aggregation. The corpus pair
+    total is a probe-then-parameterize scalar. PMI is a single per-row
+    double expression over exact integer counts — engine-stable like
+    the TF-IDF log expressions.
+
+    Output: ``w1, w2, n_pairs, pmi`` for pairs seen ≥ ``min_count``.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_arr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(toks, i + 1, window),
+            lambda w: F.struct(F.element_at(toks, i).alias("w1"),
+                               w.alias("w2")))))) \
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (docs.select(F.explode(pair_arr).alias("p"))
+                 .select("p.w1", "p.w2"))
+    uni = (docs.select(F.explode(toks).alias("tok"))
+               .groupBy("tok").agg(F.count("*").alias("c")))
+    total_pairs = pairs.count()  # scalar probe
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs")) \
+              .filter(F.col("n_pairs") >= min_count)
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log((F.col("n_pairs") * F.lit(total_pairs)).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"))
+    return (pc.join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+              .select("w1", "w2", F.col("n_pairs").cast("long").alias("n_pairs"),
+                      pmi.alias("pmi")))

@@ -1404,3 +1404,32 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tx.html_to_text(page)
     return d.select("doc_id", F.md5(out).alias("text_md5"),
                     F.length(out).cast("int").alias("n_chars"))
+
+
+@gate_query("cooccurrence_pmi", oracle=f"""
+WITH tok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+pairs AS (
+  SELECT unnest(flatten([[{{'w1': t[i], 'w2': w}} for w in t[i+1:i+2]]
+                         for i in range(1, len(t))])) AS p
+  FROM tok WHERE len(t) >= 2
+),
+pp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pp),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM tok) GROUP BY 1),
+pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM pp GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT pc.w1, pc.w2, pc.n_pairs,
+       ln(CAST(pc.n_pairs * (SELECT n FROM tot) AS DOUBLE)
+          / CAST(u1.c * u2.c AS DOUBLE)) AS pmi
+FROM pc JOIN uni u1 ON u1.tok = pc.w1
+        JOIN uni u2 ON u2.tok = pc.w2
+""")
+def cooccurrence_pmi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence + PMI within a ±2 window (llm/lm.py
+    cooccurrence_pmi) — word-embedding training-pair statistics. Pair
+    generation is a map-side array expression (no position self-join);
+    shuffles are bounded by vocab/pair cardinality."""
+    from ..llm.lm import cooccurrence_pmi
+    d = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(d, "doc_id", "text", window=2, min_count=3)

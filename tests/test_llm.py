@@ -315,3 +315,19 @@ def test_html_to_text_strips_boilerplate(spark):
     assert out == "Head\nHello & world\na\nb\ntail nav"
     # scripts/styles/titles gone entirely
     assert "alert" not in out and "color" not in out and "T\n" not in out
+
+
+def test_cooccurrence_pmi_window_and_values(spark):
+    import math
+    from tally_database_loader_spark.llm.lm import cooccurrence_pmi
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           cooccurrence_pmi(docs, window=1, min_count=1).collect()}
+    # window=1 directional pairs: doc1: (a,b)x3 (b,a)x2; doc2: (a,b),(b,c)
+    assert out[("a", "b")].n_pairs == 4
+    assert out[("b", "a")].n_pairs == 2
+    assert out[("b", "c")].n_pairs == 1
+    # PMI = ln(n_xy * T / (c_x * c_y)); T=7 pairs, c_a=4, c_b=4, c_c=1
+    assert math.isclose(out[("a", "b")].pmi, math.log(4 * 7 / (4 * 4)))
+    assert math.isclose(out[("b", "c")].pmi, math.log(1 * 7 / (4 * 1)))
