@@ -1420,8 +1420,9 @@ uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
 pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs
        FROM pp GROUP BY 1, 2 HAVING COUNT(*) >= 3)
 SELECT pc.w1, pc.w2, pc.n_pairs,
-       ln(CAST(pc.n_pairs * (SELECT n FROM tot) AS DOUBLE)
-          / CAST(u1.c * u2.c AS DOUBLE)) AS pmi
+       CAST(floor(ln(CAST(pc.n_pairs * (SELECT n FROM tot) AS DOUBLE)
+                     / CAST(u1.c * u2.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS pmi_micros
 FROM pc JOIN uni u1 ON u1.tok = pc.w1
         JOIN uni u2 ON u2.tok = pc.w2
 """)
@@ -1429,7 +1430,12 @@ def cooccurrence_pmi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token co-occurrence + PMI within a ±2 window (llm/lm.py
     cooccurrence_pmi) — word-embedding training-pair statistics. Pair
     generation is a map-side array expression (no position self-join);
-    shuffles are bounded by vocab/pair cardinality."""
+    shuffles are bounded by vocab/pair cardinality. The gate quantizes
+    PMI to integer micros (``ln`` differs by 1 ulp between engines — see
+    tfidf_topterm); the library keeps the full double."""
     from ..llm.lm import cooccurrence_pmi
     d = load_table(spark, sf_dir, "documents")
-    return cooccurrence_pmi(d, "doc_id", "text", window=2, min_count=3)
+    return (cooccurrence_pmi(d, "doc_id", "text", window=2, min_count=3)
+            .withColumn("pmi_micros",
+                        F.floor(F.col("pmi") * 1e6).cast("long"))
+            .drop("pmi"))
