@@ -20,8 +20,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     # merged gates stand in for their standalone variants: text_profile
-    # covers token_counts/text_quality/fingerprints/lang_id in one pass,
-    # similarity_topk_suite covers cosine/ann_lsh/quantized top-k
+    # covers token_counts/quality/fingerprints/lang_id/repetition in one
+    # pass; similarity_topk_suite covers cosine/ann_lsh/int8/centroid;
+    # lm_score_suite = unigram+bigram LM; token_stats_suite =
+    # vocab+bpe+pmi; selection_suite = sample+resample+split;
+    # normalize_suite = nfc+html
     "pricing_summary",
     "trial_balance",
     "sales_register",
@@ -43,11 +46,10 @@ HEADLINE = [
     "hierarchy_paths",
     "embedding_cosine_dups",
     "mask_formatting",
-    "repetition_scores",
     "chunk_windows",
-    "vocab_topk",
+    "token_stats_suite",
     "mixture_stats",
-    "hash_sample",
+    "selection_suite",
     "length_stats",
     "asof_latest_view",
     "pii_redaction",
@@ -59,7 +61,7 @@ HEADLINE = [
     "inverted_index",
     "tfidf_topterm",
     "bm25_query_scores",
-    "unicode_nfc",
+    "normalize_suite",
     "incremental_dedup",
     "pack_sequences",
     "domain_cap",
@@ -69,8 +71,7 @@ HEADLINE = [
     "report_profit_loss",
     "report_stock_summary",
     "report_sales_register",
-    "unigram_lm_score",
-    "temperature_resample",
+    "lm_score_suite",
 ]
 
 

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from .packing import hash_order
 from .text import tokens as _tokens
 
-__all__ = ["unigram_logprob", "temperature_resample", "cooccurrence_pmi"]
+__all__ = ["unigram_logprob", "bigram_logprob", "temperature_resample",
+           "cooccurrence_pmi", "bpe_pair_counts"]
 
 _Q = 1_000_000  # fixed-point scale for log-prob quantization
 _H = 1 << 20    # hash-threshold denominator for sampling
@@ -68,6 +69,107 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                         (F.col("qsum").cast("double")
                          / (F.col("n") * F.lit(_Q)).cast("double"))
                         .alias("lm_score")))
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", add_k: int = 1,
+                   broadcast_model: bool = True) -> DataFrame:
+    """Per-document mean *bigram* conditional log-probability with add-k
+    smoothing — the context-sensitive upgrade of ``unigram_logprob``
+    (KenLM-style perplexity filters score with an n-gram model; bigrams
+    are the smallest model where word order matters, so boilerplate with
+    common words in odd orders scores low while fluent text scores high).
+
+    Model: ``p(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V)`` with ``V`` the
+    corpus vocabulary size and ``C(w1·)`` the bigram-left context total.
+    Both count tables are derived in one pass over the exploded bigram
+    stream; the context table folds FROM the bigram table (observed-pair
+    sized — never re-scans the corpus). ``V`` is a probe-then-parameterize
+    scalar (same discipline as BM25 / unigram_logprob).
+
+    Float discipline: per-bigram log-probs quantize to fixed-point BIGINT
+    (``floor(ln(p)·1e6)``) before the per-document sum — associative
+    integer math, AQE/retry-stable, bit-reproducible in any SQL engine.
+
+    Scale shape: scoring joins the pair stream back to the model on
+    (w1, w2). With ``broadcast_model=True`` (default) the model table is
+    broadcast — right whenever the observed-bigram table fits executor
+    memory (vocabulary-bounded, ≪ corpus). For an open-domain 100 TB
+    corpus whose bigram table outgrows broadcast, pass ``False`` and the
+    join shuffles on (w1, w2) instead — correctness identical.
+
+    Output: ``doc_id, n_bigrams, lm2_score`` (NULL score for docs with
+    fewer than two tokens).
+    """
+    if add_k <= 0:
+        raise ValueError("add_k must be positive")
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    bi_arr = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                           F.element_at(toks, i + 1).alias("w2")))) \
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(bi_arr).alias("p"))
+                 .select("doc_id", "p.w1", "p.w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = (docs.select(F.explode(toks).alias("tok"))
+                 .agg(F.countDistinct("tok")).first()[0])  # scalar probe
+    model = bc.join(ctx, "w1")
+    if broadcast_model:
+        model = F.broadcast(model)
+    q = F.floor(F.log((F.col("cb") + F.lit(add_k)).cast("double")
+                      / (F.col("cw") + F.lit(add_k * int(vocab)))
+                        .cast("double")) * F.lit(_Q)).cast("long")
+    scored = (pairs.join(model, ["w1", "w2"])
+                   .groupBy("doc_id")
+                   .agg(F.sum(q).alias("qsum"), F.count("*").alias("nb")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+                .join(scored, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("nb"), F.lit(0)).cast("int")
+                         .alias("n_bigrams"),
+                        (F.col("qsum").cast("double")
+                         / (F.col("nb") * F.lit(_Q)).cast("double"))
+                        .alias("lm2_score")))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    top_k: int = 100) -> DataFrame:
+    """Adjacent character-pair frequencies — the statistic a BPE tokenizer
+    trainer computes at every merge step (the highest-count pair becomes
+    the next merge rule). One relational round = one training iteration's
+    candidate table.
+
+    Scale shape: the corpus is scanned ONCE to build the word-frequency
+    vocabulary (map-side partial agg → vocabulary-sized table); pair
+    generation then explodes characters of *distinct words* weighted by
+    their corpus frequency — the classic BPE trick that makes the pair
+    scan O(vocabulary), independent of corpus size. Top-k lands in a
+    TakeOrderedAndProject (no global sort materialization).
+
+    Output: ``a, b, n_pairs`` — the ``top_k`` most frequent pairs,
+    deterministically tie-broken by (a, b).
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    words = (docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+                 .groupBy("w").agg(F.count("*").alias("wc")))
+    ln = F.length("w")
+    # sequence(1, len-1) would DESCEND for 1-char words (Spark extends
+    # sequences both ways) — guard on length ≥ 2.
+    pair_arr = F.when(ln >= 2, F.transform(
+        F.sequence(F.lit(1), ln - 1),
+        lambda i: F.struct(F.col("w").substr(i, F.lit(1)).alias("a"),
+                           F.col("w").substr(i + 1, F.lit(1)).alias("b")))) \
+        .otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (words.select("wc", F.explode(pair_arr).alias("p"))
+                 .groupBy("p.a", "p.b")
+                 .agg(F.sum("wc").cast("long").alias("n_pairs"))
+                 .orderBy(F.desc("n_pairs"), "a", "b")
+                 .limit(top_k))
 
 
 def temperature_resample(docs: DataFrame, group_col: str, id_col: str,

@@ -22,10 +22,14 @@ the group key and the cap bounds every partition's output.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "domain_cap", "hash_order"]
+__all__ = ["pack_sequences", "domain_cap", "group_split", "hash_order"]
+
+_H20 = 1 << 20  # hash bucket space for split thresholds
 
 
 def hash_order(id_col: Column) -> Column:
@@ -77,6 +81,41 @@ def pack_sequences(docs: DataFrame, shard_col: str, id_col: str,
         tok_from.alias("tok_from"), tok_to.alias("tok_to"),
         F.greatest(F.lit(0).cast("long"),
                    F.col("__start") - seq_start).alias("seq_pos"))
+
+
+def group_split(docs: DataFrame, group_col: str,
+                fractions: dict[str, float] | None = None) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the split is a pure
+    function of ``group_col`` (source domain, dedup-cluster id, URL host),
+    so every row of a group lands in the SAME split — near-duplicates and
+    same-source documents can never straddle the train/eval boundary,
+    which is the leak that inflates eval numbers.
+
+    Mechanics: ``bucket = hash(group) mod 2^20`` (keyed md5 order — the
+    engine's standard retry-stable, SQL-reproducible hash) compared to
+    cumulative integer thresholds ``floor(cumfrac · 2^20)``. Expected
+    split sizes follow the fractions in *group* mass, exactly as a random
+    group-level split would; determinism means re-runs, retries and other
+    engines assign identically. Zero shuffles: the split column is one
+    map-side expression.
+
+    Output: the input plus a ``split`` string column.
+    """
+    fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    if not fractions or any(v <= 0 for v in fractions.values()):
+        raise ValueError("fractions must be positive")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names = list(fractions)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(int(math.floor(acc * _H20)))
+    bucket = F.pmod(hash_order(F.col(group_col)), F.lit(_H20))
+    split = F.lit(names[-1])
+    for name, bound in zip(reversed(names[:-1]), reversed(bounds)):
+        split = F.when(bucket < bound, F.lit(name)).otherwise(split)
+    return docs.withColumn("split", split)
 
 
 def domain_cap(docs: DataFrame, group_col: str, id_col: str,

@@ -184,6 +184,59 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
              .filter(F.col("cos") >= threshold))
 
 
+_CQ = 1 << 14  # component quantization for centroid arithmetic
+
+
+def centroid_cosine(corpus: DataFrame, id_col: str = "vec_id",
+                    label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Cosine of every vector to its group's centroid — the embedding-
+    space quality filter (SemDeDup / data-pruning style): vectors far
+    from their cluster centroid are outliers (mislabeled, noise, or
+    off-distribution) and are the ones a curation pass drops first.
+
+    Exact-arithmetic design: cosine to the MEAN vector equals cosine to
+    the per-position SUM vector (the 1/n scale cancels), so the centroid
+    is kept as an integer sum of quantized components
+    (``floor(v·2^14 + 0.5)``) and every aggregation — per-position sums,
+    dot products, squared norms — is associative integer math in
+    DECIMAL(38,0). Partition order, AQE re-plans and retries cannot
+    perturb a single bit, and a SQL engine reproduces the doubles
+    exactly; the only roundings are the final cast and one sqrt/divide.
+
+    Scale shape: one posexplode scan → groupBy (label, pos) partial-agg
+    (labels × dim rows — dimension-sized); the scoring join broadcasts
+    that table back onto the exploded stream and re-aggregates by vector
+    id map-side. Two shuffles total, both on uniform keys.
+
+    Output: ``vec_id, label, cos_centroid`` (vectors with zero norm are
+    dropped — cosine undefined).
+    """
+    _d = "decimal(38,0)"
+    qv = F.floor(F.col("v").cast("double") * F.lit(float(_CQ))
+                 + F.lit(0.5)).cast("long")
+    e = (corpus.select(F.col(id_col).alias("vid"),
+                       F.col(label_col).alias("label"),
+                       F.posexplode(F.col(vec_col)).alias("pos", "v"))
+               .select("vid", "label", "pos", qv.alias("qv")))
+    s = e.groupBy("label", "pos").agg(F.sum("qv").alias("sq"))
+    cn = s.groupBy("label").agg(
+        F.sum((F.col("sq").cast(_d) * F.col("sq").cast(_d))).alias("cn2"))
+    scored = (e.join(F.broadcast(s), ["label", "pos"])
+               .groupBy("vid", "label")
+               .agg(F.sum(F.col("qv").cast(_d) * F.col("sq").cast(_d))
+                     .alias("dotq"),
+                    F.sum(F.col("qv").cast(_d) * F.col("qv").cast(_d))
+                     .alias("vn2"))
+               .join(F.broadcast(cn), "label")
+               .filter((F.col("vn2") > 0) & (F.col("cn2") > 0)))
+    cos = (F.col("dotq").cast("double")
+           / (F.sqrt(F.col("vn2").cast("double"))
+              * F.sqrt(F.col("cn2").cast("double"))))
+    return scored.select(F.col("vid").alias("vec_id"), "label",
+                         cos.alias("cos_centroid"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, nprobe: int = 2, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -38,17 +38,22 @@ _WINDOW = [
     "interval_attribution", "hypertable_rollup", "gap_fill_locf",
     # real reference reports over the derived 22-table model
     "report_trial_balance", "report_profit_loss", "report_stock_summary",
-    # text analysis (4 families in one pass) + dedup modalities
+    # text analysis (5 families in one pass) + dedup modalities
     "text_profile", "dedup_exact", "minhash_lsh_dedup", "simhash_parity",
     "span_dedup", "dedup_clusters", "incremental_dedup",
     "embedding_cosine_dups",
-    # multimodal plumbing + similarity search (3 strategies in one slot)
+    # multimodal plumbing + similarity search (4 strategies in one slot)
     "multimodal_decode", "image_resize", "similarity_topk_suite",
-    # corpus curation / retrieval / packing
-    "repetition_scores", "pii_redaction", "unicode_nfc", "inverted_index",
-    "bm25_query_scores", "chunk_windows", "vocab_topk", "mixture_stats",
-    "hash_sample", "length_stats", "benchmark_contamination",
-    "pack_sequences", "domain_cap",
+    # corpus curation / retrieval / packing / model-based scoring
+    # (suites carry several families per slot: lm_score_suite = unigram ∪
+    #  bigram LM; token_stats_suite = vocab ∪ BPE pairs ∪ PMI;
+    #  normalize_suite = NFC ∪ HTML-extract; selection_suite = stratified
+    #  sample ∪ temperature resample ∪ leakage-safe group split)
+    "pii_redaction", "normalize_suite", "inverted_index",
+    "bm25_query_scores", "chunk_windows", "token_stats_suite",
+    "mixture_stats", "selection_suite", "length_stats",
+    "benchmark_contamination", "pack_sequences", "domain_cap",
+    "lm_score_suite",
 ]
 
 

@@ -15,6 +15,8 @@ Oracle strategy (every query below is hash-matched against DuckDB):
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1198,6 +1200,16 @@ WITH q AS (
          CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
            / CAST(greatest(len(t), 1) AS DOUBLE) AS stopword_ratio
   FROM (SELECT doc_id, lang, text, {_DD_TOKENS} AS t FROM documents)
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+              ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              ELSE [] END AS g3
+  FROM (SELECT doc_id, {_DD_TOKENS} AS t FROM documents)
 )
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1220,21 +1232,34 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
        list_reduce(list_apply(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
                               c -> CAST(unicode(c) AS BIGINT)),
-                   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
-FROM q
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling,
+       CAST(len(g2) AS INT) AS n_bigrams,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM q JOIN rep USING (doc_id)
 """)
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined text-analysis profile: token counts + quality scoring +
-    language ID + fingerprints (llm/text.py) in ONE projection pass.
+    language ID + fingerprints + Gopher repetition signals (llm/text.py)
+    in ONE projection pass.
 
-    This is both the driver-window representative for all four families
+    This is both the driver-window representative for all five families
     (each also registered standalone) and the shape the operators take in
-    production: at 100 TB you never scan the corpus four times for four
+    production: at 100 TB you never scan the corpus five times for five
     per-document columns — one wide codegen'd projection computes them
-    together, zero shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    together. ``fan_out`` first widens the byte-small, compute-dense text
+    scan to cluster parallelism (the n-gram repetition arrays are ~100×
+    their storage in compute; at cluster scale the same lever is a lower
+    ``maxPartitionBytes``, SCALE.md §1)."""
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     quality = tx.quality_columns(t)
+    repetition = tx.repetition_columns(t)
     return d.select(
         "doc_id",
         tx.whitespace_token_count(t).alias("n_ws_tokens"),
@@ -1244,7 +1269,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         tx.lang_id(t).alias("lang_pred"),
         tx.fingerprint_md5(t).alias("fp_md5"),
-        tx.fingerprint_rolling(t).alias("fp_rolling"))
+        tx.fingerprint_rolling(t).alias("fp_rolling"),
+        *[c.alias(n) for n, c in repetition.items()])
 
 
 _DD_SUITE_TOPK = """
@@ -1260,7 +1286,25 @@ WITH b AS (
   SELECT vec_id, embedding, {_dd_srp_bucket('embedding', _PLANES4)} AS bucket
   FROM embeddings
 ),
-qz AS ({_DD_Q8})
+qz AS ({_DD_Q8}),
+ce AS (
+  SELECT vec_id, label, p.pos AS pos, p.qv AS qv
+  FROM (SELECT vec_id, label,
+               unnest([{{'pos': i,
+                        'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 16384.0
+                                         + 0.5) AS BIGINT)}}
+                       for i in range(1, len(embedding) + 1)]) AS p
+        FROM embeddings)
+),
+cs AS (SELECT label, pos, CAST(SUM(qv) AS HUGEINT) AS sq FROM ce GROUP BY 1, 2),
+cnorm AS (SELECT label, SUM(sq * sq) AS cn2 FROM cs GROUP BY 1),
+cscore AS (
+  SELECT ce.vec_id, ce.label,
+         SUM(CAST(ce.qv AS HUGEINT) * cs.sq) AS dotq,
+         SUM(CAST(ce.qv AS HUGEINT) * ce.qv) AS vn2
+  FROM ce JOIN cs ON cs.label = ce.label AND cs.pos = ce.pos
+  GROUP BY 1, 2
+)
 """ + " UNION ALL ".join([
     _DD_SUITE_TOPK.format(method="cosine", scored=f"""
       SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS score
@@ -1277,14 +1321,30 @@ qz AS ({_DD_Q8})
                  (a, b) -> a + b) AS DOUBLE) AS score
       FROM (SELECT vec_id AS q_id, scale AS sa, q AS qa FROM qz WHERE vec_id < 8) q
       JOIN qz e ON e.vec_id <> q.q_id"""),
+    """
+SELECT 'centroid_outlier' AS method, CAST(label AS BIGINT) AS q_id,
+       vec_id AS neighbor_id, CAST(rn AS INT) AS rank, score
+FROM (SELECT label, vec_id, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score ASC, vec_id) AS rn
+      FROM (SELECT sc.label, sc.vec_id,
+                   CAST(sc.dotq AS DOUBLE)
+                   / (sqrt(CAST(sc.vn2 AS DOUBLE))
+                      * sqrt(CAST(n.cn2 AS DOUBLE))) AS score
+            FROM cscore sc JOIN cnorm n ON n.label = sc.label
+            WHERE sc.vn2 > 0 AND n.cn2 > 0))
+WHERE rn <= 5
+""",
 ]))
 def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three similarity-search strategies over one query set, unioned
+    """Four embedding-space scoring strategies over one corpus, unioned
     with a method tag — exact brute-force cosine (baseline), SRP-LSH
-    bucketed ANN (the n²→n²/2^bits scale path), and int8-quantized
-    rescoring (the memory-bound scale path) — llm/similarity.py. One
-    driver slot hash-checks all three; each also registers standalone."""
-    from ..llm.similarity import quantized_topk
+    bucketed ANN (the n²→n²/2^bits scale path), int8-quantized rescoring
+    (the memory-bound scale path), and per-label centroid outliers (the
+    SemDeDup-style embedding quality filter, exact-integer centroid
+    math) — llm/similarity.py. One driver slot hash-checks all four;
+    each also registers standalone."""
+    from ..llm.similarity import centroid_cosine, quantized_topk
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
 
@@ -1292,10 +1352,20 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(F.lit(method).alias("method"), "q_id", "neighbor_id",
                          "rank", F.col(score_col).alias("score"))
 
+    cw = W.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    cent = (centroid_cosine(e)
+            .withColumn("rank", F.row_number().over(cw))
+            .filter(F.col("rank") <= 5)
+            .select(F.lit("centroid_outlier").alias("method"),
+                    F.col("label").cast("long").alias("q_id"),
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.col("cos_centroid").alias("score")))
     return (tag(cosine_topk(e, q, k=5), "cosine", "cos")
             .unionByName(tag(lsh_topk(e, q, k=5, n_bits=4, dim=64),
                              "srp_lsh", "cos"))
-            .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score")))
+            .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score"))
+            .unionByName(cent))
 
 
 # ---------------------------------------------------------------------------
@@ -1439,3 +1509,387 @@ def cooccurrence_pmi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pmi_micros",
                         F.floor(F.col("pmi") * 1e6).cast("long"))
             .drop("pmi"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer/LM statistics, leakage-safe splitting, centroid outliers
+# (llm/lm.py bigram_logprob / bpe_pair_counts, llm/packing.py group_split,
+#  llm/similarity.py centroid_cosine) + the merged driver-window suites
+# ---------------------------------------------------------------------------
+
+_DD_BIGRAM_LM = f"""
+btok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest([{{'w1': t[i], 'w2': t[i + 1]}} for i in range(1, len(t))]) AS p
+  FROM btok WHERE len(t) >= 2
+),
+bpp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bpp GROUP BY 1, 2),
+bctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bcnt GROUP BY 1),
+bvoc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         FROM (SELECT unnest(t) AS tok FROM btok)),
+bscored AS (
+  SELECT bpp.doc_id,
+         SUM(CAST(floor(ln(CAST(bcnt.cb + 1 AS DOUBLE)
+                           / CAST(bctx.cw + (SELECT v FROM bvoc) AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS qsum,
+         COUNT(*) AS nb
+  FROM bpp JOIN bcnt USING (w1, w2) JOIN bctx USING (w1)
+  GROUP BY bpp.doc_id
+)"""
+
+
+@gate_query("bigram_lm_score", oracle=f"""
+WITH {_DD_BIGRAM_LM}
+SELECT d.doc_id,
+       CAST(COALESCE(s.nb, 0) AS INT) AS n_bigrams,
+       CAST(s.qsum AS DOUBLE) / CAST(s.nb * 1000000 AS DOUBLE) AS lm2_score
+FROM documents d LEFT JOIN bscored s ON s.doc_id = d.doc_id
+""")
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM score with add-1 smoothing (llm/lm.py
+    bigram_logprob) — the context-sensitive perplexity-filter shape.
+    Count tables fold from one exploded-pair pass; per-pair log-probs
+    quantize to int64 BEFORE the document sum (associative, AQE-proof);
+    vocabulary size is a probe-then-parameterize scalar."""
+    from ..llm.lm import bigram_logprob
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return bigram_logprob(d, "doc_id", "text", add_k=1)
+
+
+@gate_query("bpe_pair_counts", oracle=f"""
+WITH words AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_DD_TOKENS}) AS t FROM documents) GROUP BY 1
+)
+SELECT a, b, n_pairs FROM (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS n_pairs,
+         row_number() OVER (ORDER BY SUM(wc) DESC, p.a, p.b) AS rnk
+  FROM (SELECT wc,
+               unnest([{{'a': w[i], 'b': w[i + 1]}}
+                       for i in range(1, len(w))]) AS p
+        FROM words WHERE len(w) >= 2)
+  GROUP BY p.a, p.b)
+WHERE rnk <= 100
+""")
+def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies (llm/lm.py bpe_pair_counts) —
+    one BPE-trainer merge iteration's candidate table. The corpus is
+    scanned once for word frequencies; pair generation explodes distinct
+    words weighted by count, so the pair scan is O(vocabulary) regardless
+    of corpus size; top-100 lands in TakeOrderedAndProject."""
+    from ..llm.lm import bpe_pair_counts
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_pair_counts(d, "text", top_k=100)
+
+
+# split fractions shared by the Spark gate and the rendered oracle bounds —
+# the bounds below are floor(cumulative_fraction · 2^20), accumulated with
+# the same float adds group_split performs, so the two cannot drift.
+_GS_FRACS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_GS_BOUNDS: list[int] = []
+_gs_acc = 0.0
+for _gs_name in list(_GS_FRACS)[:-1]:
+    _gs_acc += _GS_FRACS[_gs_name]
+    _GS_BOUNDS.append(int(_math.floor(_gs_acc * (1 << 20))))
+
+
+@gate_query("group_split", oracle=f"""
+WITH h AS (
+  SELECT lang, n_chars,
+         {_dd_hex15("substr(md5(source), 1, 15)")} % 1048576 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < {_GS_BOUNDS[0]} THEN 'train'
+            WHEN bk < {_GS_BOUNDS[1]} THEN 'valid'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM h GROUP BY 1, 2
+""")
+def group_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (llm/packing.py group_split):
+    assignment is a pure function of the SOURCE (hash-threshold on a
+    keyed md5 bucket), so near-duplicates from one source can never
+    straddle the train/eval boundary. Map-side expression, zero shuffle;
+    the gate aggregates per split × lang mixture stats."""
+    from ..llm.packing import group_split
+    d = load_table(spark, sf_dir, "documents")
+    return (group_split(d, "source", dict(_GS_FRACS))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                 F.sum("n_chars").cast("long").alias("chars")))
+
+
+_DD_CENTROID = """
+ce2 AS (
+  SELECT vec_id, label, p.pos AS pos, p.qv AS qv
+  FROM (SELECT vec_id, label,
+               unnest([{'pos': i,
+                        'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 16384.0
+                                         + 0.5) AS BIGINT)}
+                       for i in range(1, len(embedding) + 1)]) AS p
+        FROM embeddings)
+),
+cs2 AS (SELECT label, pos, CAST(SUM(qv) AS HUGEINT) AS sq
+        FROM ce2 GROUP BY 1, 2),
+cn2t AS (SELECT label, SUM(sq * sq) AS cn2 FROM cs2 GROUP BY 1),
+csc2 AS (
+  SELECT ce2.vec_id, ce2.label,
+         SUM(CAST(ce2.qv AS HUGEINT) * cs2.sq) AS dotq,
+         SUM(CAST(ce2.qv AS HUGEINT) * ce2.qv) AS vn2
+  FROM ce2 JOIN cs2 ON cs2.label = ce2.label AND cs2.pos = ce2.pos
+  GROUP BY 1, 2
+)"""
+
+
+@gate_query("centroid_outliers", oracle=f"""
+WITH {_DD_CENTROID}
+SELECT sc.vec_id, sc.label,
+       CAST(sc.dotq AS DOUBLE)
+       / (sqrt(CAST(sc.vn2 AS DOUBLE)) * sqrt(CAST(n.cn2 AS DOUBLE)))
+         AS cos_centroid
+FROM csc2 sc JOIN cn2t n ON n.label = sc.label
+WHERE sc.vn2 > 0 AND n.cn2 > 0
+""")
+def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every embedding to its label centroid (llm/similarity.py
+    centroid_cosine) — the SemDeDup-style embedding quality filter. All
+    centroid arithmetic is associative integer math (quantized components,
+    DECIMAL(38,0) sums), so partition order and AQE cannot perturb a bit
+    and the oracle reproduces the doubles exactly."""
+    from ..llm.similarity import centroid_cosine
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_cosine(e)
+
+
+@gate_query("lm_score_suite", oracle=f"""
+WITH utok AS (SELECT doc_id, unnest({_DD_TOKENS}) AS tok FROM documents),
+ucounts AS (SELECT tok, COUNT(*) AS c FROM utok GROUP BY 1),
+utot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM utok),
+uscored AS (
+  SELECT t.doc_id,
+         SUM(CAST(floor(ln(CAST(c.c AS DOUBLE) / (SELECT n FROM utot))
+                        * 1000000) AS BIGINT)) AS qsum,
+         COUNT(*) AS n
+  FROM utok t JOIN ucounts c USING (tok)
+  GROUP BY t.doc_id
+),
+{_DD_BIGRAM_LM}
+SELECT 'unigram' AS method, d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT) AS n_units,
+       CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS score
+FROM documents d LEFT JOIN uscored s ON s.doc_id = d.doc_id
+UNION ALL
+SELECT 'bigram', d.doc_id,
+       CAST(COALESCE(s.nb, 0) AS INT),
+       CAST(s.qsum AS DOUBLE) / CAST(s.nb * 1000000 AS DOUBLE)
+FROM documents d LEFT JOIN bscored s ON s.doc_id = d.doc_id
+""")
+def lm_score_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, both orders, one driver slot: corpus
+    unigram LM (CCNet/Gopher perplexity-filter shape) ∪ add-1-smoothed
+    bigram LM (word order matters) — llm/lm.py unigram_logprob /
+    bigram_logprob, each also registered standalone."""
+    from ..llm.lm import bigram_logprob, unigram_logprob
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    uni = unigram_logprob(d).select(
+        F.lit("unigram").alias("method"), "doc_id",
+        F.col("n_tokens").alias("n_units"), F.col("lm_score").alias("score"))
+    bi = bigram_logprob(d).select(
+        F.lit("bigram").alias("method"), "doc_id",
+        F.col("n_bigrams").alias("n_units"), F.col("lm2_score").alias("score"))
+    return uni.unionByName(bi)
+
+
+@gate_query("token_stats_suite", oracle=f"""
+WITH stok AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+sflat AS (SELECT doc_id, unnest(t) AS token FROM stok),
+svocab AS (
+  SELECT token, tf, df FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+    FROM sflat GROUP BY token)
+  WHERE rnk <= 100
+),
+swords AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM sflat GROUP BY 1),
+sbp AS (
+  SELECT a, b, n_pairs FROM (
+    SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS n_pairs,
+           row_number() OVER (ORDER BY SUM(wc) DESC, p.a, p.b) AS rnk
+    FROM (SELECT wc,
+                 unnest([{{'a': w[i], 'b': w[i + 1]}}
+                         for i in range(1, len(w))]) AS p
+          FROM swords WHERE len(w) >= 2)
+    GROUP BY p.a, p.b)
+  WHERE rnk <= 100
+),
+sprs AS (SELECT unnest(flatten([[{{'w1': t[i], 'w2': w}} for w in t[i+1:i+2]]
+                                for i in range(1, len(t))])) AS p
+         FROM stok WHERE len(t) >= 2),
+spp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM sprs),
+sptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spp),
+suni AS (SELECT token AS utok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM sflat GROUP BY 1),
+spc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM spp GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT 'vocab' AS method, token AS w1, CAST(NULL AS VARCHAR) AS w2,
+       tf AS n1, df AS n2
+FROM svocab
+UNION ALL
+SELECT 'bpe_pair', a, b, n_pairs, CAST(NULL AS BIGINT) FROM sbp
+UNION ALL
+SELECT 'pmi', spc.w1, spc.w2, spc.n_pairs,
+       CAST(floor(ln(CAST(spc.n_pairs * (SELECT n FROM sptot) AS DOUBLE)
+                     / CAST(u1.c * u2.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+FROM spc JOIN suni u1 ON u1.utok = spc.w1
+         JOIN suni u2 ON u2.utok = spc.w2
+""")
+def token_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics for tokenizer/embedding training, one
+    driver slot: vocabulary tf/df top-100 (tokenizer prep) ∪ BPE merge-
+    pair top-100 (llm/lm.py bpe_pair_counts) ∪ windowed co-occurrence PMI
+    (word-embedding training pairs, llm/lm.py cooccurrence_pmi). Every
+    branch is explode → partial-agg, bounded by vocabulary/pair
+    cardinality; each also registers standalone."""
+    from ..llm.lm import bpe_pair_counts, cooccurrence_pmi
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    vocab = (tok.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("tf"),
+                     F.countDistinct("doc_id").alias("df"))
+                .orderBy(F.desc("tf"), F.asc("token")).limit(100)
+                .select(F.lit("vocab").alias("method"),
+                        F.col("token").alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                        F.col("tf").cast("long").alias("n1"),
+                        F.col("df").cast("long").alias("n2")))
+    bpe = (bpe_pair_counts(d, "text", top_k=100)
+           .select(F.lit("bpe_pair").alias("method"),
+                   F.col("a").alias("w1"), F.col("b").alias("w2"),
+                   F.col("n_pairs").alias("n1"),
+                   F.lit(None).cast("long").alias("n2")))
+    pmi = (cooccurrence_pmi(d, "doc_id", "text", window=2, min_count=3)
+           .select(F.lit("pmi").alias("method"), "w1", "w2",
+                   F.col("n_pairs").alias("n1"),
+                   F.floor(F.col("pmi") * 1e6).cast("long").alias("n2")))
+    return vocab.unionByName(bpe).unionByName(pmi)
+
+
+@gate_query("normalize_suite", oracle=f"""
+WITH nenr AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o ' || chr(8491)
+           AS payload
+  FROM documents
+),
+hpage AS (SELECT doc_id, {_DD_HTMLIFY} AS html FROM documents),
+hex0 AS (
+  SELECT doc_id,
+         trim(BOTH E' \\n' FROM
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g'),
+             '(?is)<head[^>]*>.*?</head>', '', 'g'),
+             '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>', E'\\n', 'g'),
+             '<[^>]+>', '', 'g'),
+             '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+           E'[ \\t]+', ' ', 'g'),
+           E' ?\\n ?', E'\\n', 'g')) AS txt
+  FROM hpage
+)
+SELECT 'nfc' AS method, doc_id, md5(nfc_normalize(payload)) AS out_md5,
+       CAST(length(nfc_normalize(payload)) AS INT) AS n_chars
+FROM nenr
+UNION ALL
+SELECT 'html', doc_id,
+       md5(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')),
+       CAST(length(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')) AS INT)
+FROM hex0
+""")
+def normalize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization/extraction, one driver slot: Unicode NFC (the
+    text layer's single Arrow-batched pandas_udf hop) ∪ HTML→text
+    boilerplate stripping (codegen regexp chain) — llm/text.py
+    normalize_nfc / html_to_text, each also registered standalone."""
+    nfc = unicode_nfc(spark, sf_dir).select(
+        F.lit("nfc").alias("method"), "doc_id",
+        F.col("nfc_md5").alias("out_md5"),
+        F.col("n_chars_nfc").alias("n_chars"))
+    ht = html_extract(spark, sf_dir).select(
+        F.lit("html").alias("method"), "doc_id",
+        F.col("text_md5").alias("out_md5"), "n_chars")
+    return nfc.unionByName(ht)
+
+
+@gate_query("selection_suite", oracle=f"""
+WITH strat AS (
+  SELECT 'stratified_sample' AS method, lang AS grp, doc_id FROM (
+    SELECT doc_id, lang, {_DD_SAMPLE_U} AS u FROM documents)
+  WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+),
+tbase AS (SELECT source AS grp, doc_id FROM documents),
+tsizes AS (SELECT grp, COUNT(*) AS n FROM tbase GROUP BY 1),
+twq AS (SELECT grp, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS w
+        FROM tsizes),
+ttot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(w) AS BIGINT) AS ww
+         FROM twq),
+tthr AS (SELECT grp,
+                LEAST(CAST(1048576 AS BIGINT),
+                      (1048576 * 1 * (SELECT nn FROM ttot) * w)
+                      // (2 * (SELECT ww FROM ttot) * n)) AS t
+         FROM twq),
+ttemp AS (
+  SELECT 'temperature_resample' AS method, b.grp, b.doc_id
+  FROM tbase b JOIN tthr ON tthr.grp = b.grp
+  WHERE {_dd_hex15("substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)")}
+        % 1048576 < tthr.t
+),
+gsplit AS (
+  SELECT 'group_split' AS method,
+         CASE WHEN bk < {_GS_BOUNDS[0]} THEN 'train'
+              WHEN bk < {_GS_BOUNDS[1]} THEN 'valid'
+              ELSE 'test' END AS grp,
+         doc_id
+  FROM (SELECT doc_id,
+               {_dd_hex15("substr(md5(source), 1, 15)")} % 1048576 AS bk
+        FROM documents)
+)
+SELECT * FROM strat
+UNION ALL SELECT * FROM ttemp
+UNION ALL SELECT * FROM gsplit
+""")
+def selection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three deterministic keyed-hash selection operators, one driver
+    slot: stratified downsampling (per-language keep rates) ∪ α=1/2
+    temperature mixture resampling (over-represented sources thinned
+    ∝ 1/√n) ∪ leakage-safe group split (train/valid/test as a pure
+    function of the source). All are map-side hash-threshold filters —
+    retry/speculation-stable where rand() is not; each also registers
+    standalone."""
+    from ..llm.lm import temperature_resample
+    from ..llm.packing import group_split
+    d = load_table(spark, sf_dir, "documents")
+    strat = hash_sample(spark, sf_dir).select(
+        F.lit("stratified_sample").alias("method"),
+        F.col("lang").alias("grp"), "doc_id")
+    temp = temperature_resample(d, "source", "doc_id").select(
+        F.lit("temperature_resample").alias("method"), "grp", "doc_id")
+    spl = group_split(d, "source", dict(_GS_FRACS)).select(
+        F.lit("group_split").alias("method"),
+        F.col("split").alias("grp"), "doc_id")
+    return strat.unionByName(temp).unionByName(spl)

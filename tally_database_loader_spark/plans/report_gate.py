@@ -468,3 +468,117 @@ def report_sales_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-format pivot input with the party GSTN via a mst_ledger
     self-join)."""
     return _money_to_double(R.sales_register(tally_catalog(spark, sf_dir)))
+
+
+@gate_query("report_purchase_register", oracle=f"""
+WITH {_CTES}
+SELECT v.date, v.voucher_number, v.voucher_type, v.party_name, z.gstn, a.ledger,
+       CAST(CAST(-a.amount AS DECIMAL(17,2)) AS DOUBLE) AS amount
+FROM trn_accounting a
+JOIN trn_voucher v ON v.guid = a.guid
+JOIN mst_vouchertype t ON v.voucher_type = t.name
+JOIN mst_ledger l ON a.ledger = l.name
+JOIN mst_ledger z ON v.party_name = z.name
+WHERE t.parent IN ('Purchase') AND a.ledger <> v.party_name
+""")
+def report_purchase_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL purchase-register program (plans/tally_reports.py
+    purchase_register; reference reports/mssql/purchase-register.sql —
+    the sales register's mirror with the :10 unary-minus amounts and the
+    same mst_ledger self-join for the party GSTN)."""
+    return _money_to_double(R.purchase_register(tally_catalog(spark, sf_dir)))
+
+
+@gate_query("report_accounting_voucher_view", oracle=f"""
+WITH {_CTES},
+lg AS (
+  SELECT l.name, l.opening_balance, g.primary_group
+  FROM mst_ledger l JOIN mst_group g ON g.name = l.parent
+),
+eff AS ({_ACC_EFF})
+SELECT DATE '2000-01-01' AS date,
+       'Opening Balance' AS voucher_type,
+       '' AS voucher_number,
+       name AS ledger,
+       CAST(CAST(opening_balance AS DECIMAL(17,2)) AS DOUBLE) AS amount,
+       '' AS party_name,
+       primary_group,
+       'Opening Balance' AS voucher_category
+FROM lg WHERE opening_balance <> 0
+UNION ALL
+SELECT e.date, e.voucher_type, e.voucher_number, e.ledger,
+       CAST(CAST(e.amount AS DECIMAL(17,2)) AS DOUBLE),
+       e.party_name, lg.primary_group, t.parent
+FROM eff e
+JOIN lg ON lg.name = e.ledger
+JOIN mst_vouchertype t ON t.name = e.voucher_type
+""")
+def report_accounting_voucher_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL accounting-voucher-view program (plans/tally_reports.py
+    accounting_voucher_view; reference reports/mssql/accounting-voucher-
+    view.sql — opening-balance synthetic vouchers dated 2000-01-01
+    unioned with accounting effects, annotated with primary group and
+    voucher category)."""
+    return _money_to_double(
+        R.accounting_voucher_view(tally_catalog(spark, sf_dir)))
+
+
+@gate_query("report_sales_daily", oracle=f"""
+WITH {_CTES},
+eff AS (
+  SELECT v.date AS date, SUM(a.amount) AS amount
+  FROM trn_accounting a
+  JOIN trn_voucher v ON v.guid = a.guid
+  JOIN mst_ledger l ON a.ledger = l.name
+  JOIN mst_group g ON g.name = l.parent
+  WHERE g.primary_group = 'Sales Accounts'
+    AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
+  GROUP BY v.date
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(DATE '{FROM}', DATE '{TO}',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+)
+SELECT s.date,
+       CAST(CAST(COALESCE(e.amount, 0) AS DECIMAL(17,2)) AS DOUBLE) AS amount
+FROM spine s LEFT JOIN eff e ON e.date = s.date
+""")
+def report_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL sales-daily program (plans/tally_reports.py sales_daily;
+    reference reports/mssql/sales-daily.sql — closed-form date spine per
+    the BigQuery generate_date_array formulation, never the recursive
+    CTE, left-joined onto daily revenue sums)."""
+    return _money_to_double(
+        R.sales_daily(tally_catalog(spark, sf_dir), FROM, TO))
+
+
+@gate_query("report_sales_monthly", oracle=f"""
+WITH {_CTES},
+months AS (
+  SELECT DISTINCT CAST(EXTRACT(YEAR FROM d) AS INT) AS year,
+                  CAST(EXTRACT(MONTH FROM d) AS INT) AS month
+  FROM (SELECT CAST(unnest(generate_series(DATE '{FROM}', DATE '{TO}',
+                                           INTERVAL 1 DAY)) AS DATE) AS d)
+),
+eff AS (
+  SELECT CAST(EXTRACT(YEAR FROM v.date) AS INT) AS year,
+         CAST(EXTRACT(MONTH FROM v.date) AS INT) AS month,
+         SUM(a.amount) AS amount
+  FROM trn_accounting a
+  JOIN trn_voucher v ON v.guid = a.guid
+  JOIN mst_ledger l ON a.ledger = l.name
+  JOIN mst_group g ON g.name = l.parent
+  WHERE g.primary_group = 'Sales Accounts'
+    AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
+  GROUP BY 1, 2
+)
+SELECT m.year, m.month,
+       CAST(CAST(COALESCE(e.amount, 0) AS DECIMAL(17,2)) AS DOUBLE) AS amount
+FROM months m LEFT JOIN eff e ON e.year = m.year AND e.month = m.month
+""")
+def report_sales_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL sales-monthly program (plans/tally_reports.py
+    sales_monthly; reference reports/mssql/sales-monthly.sql — month
+    spine ⟕ monthly revenue sums)."""
+    return _money_to_double(
+        R.sales_monthly(tally_catalog(spark, sf_dir), FROM, TO))

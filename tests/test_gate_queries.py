@@ -37,6 +37,9 @@ def test_driver_window_covers_all_families():
         "simhash_parity", "multimodal_decode", "image_resize",
         "similarity_topk_suite", "incremental_dedup", "pack_sequences",
         "benchmark_contamination", "domain_cap",
+        # round-2 suites (several families per slot)
+        "lm_score_suite", "token_stats_suite", "normalize_suite",
+        "selection_suite",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

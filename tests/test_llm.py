@@ -331,3 +331,81 @@ def test_cooccurrence_pmi_window_and_values(spark):
     # PMI = ln(n_xy * T / (c_x * c_y)); T=7 pairs, c_a=4, c_b=4, c_c=1
     assert math.isclose(out[("a", "b")].pmi, math.log(4 * 7 / (4 * 4)))
     assert math.isclose(out[("b", "c")].pmi, math.log(1 * 7 / (4 * 1)))
+
+
+def test_bigram_logprob_scores_fluent_above_scrambled(spark):
+    """Docs made of common-in-corpus bigrams outscore docs with the same
+    unigrams in never-seen orders — the property a unigram LM cannot
+    express. Corpus: many repeats of 'a b', so P(b|a) is high while
+    P(a|b) is smoothed-tiny."""
+    from tally_database_loader_spark.llm.lm import bigram_logprob
+    rows = [(i, "a b") for i in range(20)] + [(100, "b a")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(d).collect()}
+    assert out[0].n_bigrams == 1 and out[100].n_bigrams == 1
+    assert out[0].lm2_score > out[100].lm2_score
+    # one-token docs have no bigram and a NULL score
+    single = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = bigram_logprob(single).collect()[0]
+    assert r.n_bigrams == 0 and r.lm2_score is None
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    from collections import Counter
+    from tally_database_loader_spark.llm.lm import bpe_pair_counts
+    texts = ["low lower lowest", "low low newer", "wider new newer"]
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string")
+    got = {(r.a, r.b): r.n_pairs for r in bpe_pair_counts(d, "text").collect()}
+    ref: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                ref[(w[i], w[i + 1])] += 1
+    assert got == dict(ref)
+    # top_k truncates deterministically by (count desc, a, b)
+    top2 = [(r.a, r.b) for r in bpe_pair_counts(d, "text", top_k=2).collect()]
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert top2 == [k for k, _ in expect]
+
+
+def test_group_split_is_leakage_safe_and_total(spark):
+    import pytest
+    from tally_database_loader_spark.llm.packing import group_split
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    s = group_split(d, "source").cache()
+    # total: every row assigned to a known split
+    names = {r.split for r in s.select("split").distinct().collect()}
+    assert names <= {"train", "valid", "test"}
+    assert s.count() == d.count()
+    # leakage-safe: one split per source, always
+    per_src = (s.groupBy("source")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per_src)
+    # deterministic across invocations
+    a = {(r.doc_id, r.split) for r in s.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split)
+         for r in group_split(d, "source").select("doc_id", "split").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        group_split(d, "source", {"train": 0.7, "valid": 0.2})  # sums to 0.9
+
+
+def test_centroid_cosine_flags_outliers(spark):
+    """A tight cluster plus one opposite-direction vector: cluster members
+    score near 1, the outlier scores lowest; and because the 1/n scale
+    cancels, scores are invariant to duplicating the whole group."""
+    from tally_database_loader_spark.llm.similarity import centroid_cosine
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.98, 0.02, 0.0, 0.0]
+    far = [-1.0, 0.2, 0.0, 0.0]
+    rows = [(1, base, 7), (2, base, 7), (3, near, 7), (4, far, 7)]
+    d = spark.createDataFrame(rows,
+                              "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.cos_centroid for r in centroid_cosine(d).collect()}
+    assert min(out, key=out.get) == 4
+    assert out[1] > 0.9 and out[3] > 0.9 and out[4] < 0.2
+    # zero vectors are dropped (cosine undefined), not NaN'd
+    z = spark.createDataFrame([(9, [0.0, 0.0], 1)],
+                              "vec_id long, embedding array<float>, label int")
+    assert centroid_cosine(z).count() == 0
