@@ -54,20 +54,27 @@ _VT_MAP = [
     ("5-LOW", "Journal"),
 ]
 
-# (name, parent, affects_stock)
+# (name, parent, affects_stock) — Journal's parent is Contra so the
+# cash-movement report's receipt/payment/contra voucher filter
+# (reports/mssql/daily-cash-movement.sql:24) selects a real subset
 _VT_ROWS = [
     ("Sales Invoice", "Sales", 0),
     ("Purchase Invoice", "Purchase", 0),
     ("Receipt Note", "Receipt Note", 1),
     ("Delivery Note", "Delivery Note", 1),
-    ("Journal", "Journal", 0),
+    ("Journal", "Contra", 0),
 ]
 
-# (name, primary_group, is_revenue, is_deemedpositive, affects_gross_profit)
+# (name, parent, primary_group, is_revenue, is_deemedpositive,
+#  affects_gross_profit) — parent edges form the acyclic tree the
+# group-tree reports traverse (Primary = root sentinel, as in Tally)
 _GROUP_ROWS = [
-    ("Sundry Debtors", "Current Assets", 0, 1, 0),
-    ("Sales Accounts", "Sales Accounts", 1, 0, 1),
-    ("Stock-in-hand", "Stock-in-hand", 0, 1, 0),
+    ("Sundry Debtors", "Current Assets", "Current Assets", 0, 1, 0),
+    ("Sales Accounts", "Primary", "Sales Accounts", 1, 0, 1),
+    ("Stock-in-hand", "Primary", "Stock-in-hand", 0, 1, 0),
+    ("Cash-in-Hand", "Primary", "Cash-in-Hand", 0, 1, 0),
+    ("Current Assets", "Primary", "Current Assets", 0, 1, 0),
+    ("Retail Debtors", "Sundry Debtors", "Current Assets", 0, 1, 0),
 ]
 
 _INV_TYPES = ("Receipt Note", "Delivery Note")
@@ -139,9 +146,13 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
           .join(F.broadcast(customer.select("c_custkey", "c_name")),
                 F.col("o_custkey") == F.col("c_custkey")))
 
-    # one scan of the joined fact, exploded into the debit + credit rows
-    # (the SQL CTE spells it as UNION ALL; the values are identical, but a
-    # union would run the 4-table join twice — at 100 TB, once matters)
+    # one scan of the joined fact, exploded into the debit + credit + cash
+    # rows (the SQL CTE spells it as UNION ALL; the values are identical,
+    # but a union would run the 4-table join thrice — at 100 TB, once
+    # matters). The Cash line gives the cash-in-hand ledger real movement
+    # for the daily-cash-movement report.
+    cash_amt = (F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+                 .otherwise(-F.col("l_extendedprice"))).cast(_D17)
     trn_accounting = (
         li.select(
             F.col("l_orderkey").cast("string").alias("guid"),
@@ -151,6 +162,8 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
                 F.struct(F.concat(F.lit("Sales: "), F.col("p_brand"))
                           .alias("ledger"),
                          F.col("l_extendedprice").cast(_D17).alias("amount")),
+                F.struct(F.lit("Cash").alias("ledger"),
+                         cash_amt.alias("amount")),
             )).alias("e"))
           .select("guid", "e.ledger", "e.amount"))
 
@@ -175,7 +188,15 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
                         F.lit("Stock-in-hand").alias("parent"),
                         F.col("ob").cast(_D17).alias("opening_balance"),
                         F.lit(0).alias("is_revenue"),
-                        F.lit("").alias("gstn"))))
+                        F.lit("").alias("gstn")))
+        .unionByName(
+            spark.createDataFrame(
+                [("Cash", "Cash-in-Hand", "0", 0, "")],
+                "name string, parent string, opening_balance string, "
+                "is_revenue int, gstn string")
+            .select("name", "parent",
+                    F.col("opening_balance").cast(_D17).alias("opening_balance"),
+                    "is_revenue", "gstn")))
 
     trn_closingstock_ledger = (
         lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
@@ -185,6 +206,10 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
         .select(F.concat(F.lit("Stock: "), F.col("p_brand")).alias("ledger"),
                 "stock_date", F.col("sv").cast(_D17).alias("stock_value")))
 
+    # tracking numbers include the line number so every (tracking, item)
+    # window partition has a deterministic single candidate — the
+    # repetition-1 ranking (docs/data-structure.md:242-258) stays
+    # structurally exercised while both engines elect identical rows
     trn_inventory = (
         lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
                       lineitem.l_partkey == F.col("p_partkey"))
@@ -192,10 +217,24 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
                 F.concat(F.lit("Item: "), F.col("p_brand")).alias("item"),
                 F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
                  .otherwise(-F.col("l_quantity")).cast(_D15).alias("quantity"),
+                F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+                 .otherwise(-F.col("l_extendedprice")).cast(_D17).alias("amount"),
+                F.concat(F.lit("G"), (F.col("l_suppkey") % 3).cast("string"))
+                 .alias("godown"),
                 F.when(F.col("l_linenumber") >= 4,
                        F.concat(F.lit("trk-"), F.col("l_orderkey").cast("string"),
-                                F.lit("-"), F.col("l_partkey").cast("string")))
+                                F.lit("-"), F.col("l_partkey").cast("string"),
+                                F.lit("-"), F.col("l_linenumber").cast("string")))
                  .otherwise(F.lit("")).alias("tracking_number")))
+
+    mst_opening_batch_allocation = (
+        part.groupBy("p_brand")
+            .agg(F.sum(F.col("p_size").cast(_D15)).alias("ob"),
+                 F.sum(F.col("p_retailprice").cast(_D17)).alias("ov"))
+            .select(F.concat(F.lit("Item: "), F.col("p_brand")).alias("item"),
+                    F.col("ob").cast(_D15).alias("opening_balance"),
+                    F.col("ov").cast(_D17).alias("opening_value"),
+                    F.lit("G0").alias("godown")))
 
     mst_stock_item = (
         part.groupBy("p_brand")
@@ -208,8 +247,9 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
     mst_vouchertype = spark.createDataFrame(
         _VT_ROWS, "name string, parent string, affects_stock int")
     mst_group = spark.createDataFrame(
-        _GROUP_ROWS, "name string, primary_group string, is_revenue int, "
-                     "is_deemedpositive int, affects_gross_profit int")
+        _GROUP_ROWS, "name string, parent string, primary_group string, "
+                     "is_revenue int, is_deemedpositive int, "
+                     "affects_gross_profit int")
 
     return {
         "trn_voucher": trn_voucher,
@@ -220,6 +260,7 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
         "mst_group": mst_group,
         "mst_vouchertype": mst_vouchertype,
         "mst_stock_item": mst_stock_item,
+        "mst_opening_batch_allocation": mst_opening_batch_allocation,
     }
 
 
@@ -235,8 +276,9 @@ _INV_SQL = "('Receipt Note', 'Delivery Note')"
 _CTES = f"""
 vt_map AS ({_values(_VT_MAP, ['priority', 'vt'])}),
 mst_vouchertype AS ({_values(_VT_ROWS, ['name', 'parent', 'affects_stock'])}),
-mst_group AS ({_values(_GROUP_ROWS, ['name', 'primary_group', 'is_revenue',
-                                     'is_deemedpositive', 'affects_gross_profit'])}),
+mst_group AS ({_values(_GROUP_ROWS, ['name', 'parent', 'primary_group',
+                                     'is_revenue', 'is_deemedpositive',
+                                     'affects_gross_profit'])}),
 trn_voucher AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS guid,
          CAST(o_orderdate AS DATE) AS date,
@@ -266,6 +308,11 @@ trn_accounting AS (
   SELECT CAST(l_orderkey AS VARCHAR), 'Sales: ' || p_brand,
          CAST(l_extendedprice AS DECIMAL(17,2))
   FROM li
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'Cash',
+         CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+                   ELSE -l_extendedprice END AS DECIMAL(17,2))
+  FROM li
 ),
 mst_ledger AS (
   SELECT c_name AS name, 'Sundry Debtors' AS parent,
@@ -280,6 +327,8 @@ mst_ledger AS (
   SELECT 'Stock: ' || p_brand, 'Stock-in-hand',
          CAST(SUM(CAST(p_retailprice AS DECIMAL(17,2))) AS DECIMAL(17,2)), 0, ''
   FROM part GROUP BY p_brand
+  UNION ALL
+  SELECT 'Cash', 'Cash-in-Hand', CAST('0' AS DECIMAL(17,2)), 0, ''
 ),
 trn_closingstock_ledger AS (
   SELECT 'Stock: ' || p_brand AS ledger,
@@ -293,14 +342,24 @@ trn_inventory AS (
          'Item: ' || p_brand AS item,
          CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
                    ELSE -l_quantity END AS DECIMAL(15,4)) AS quantity,
+         CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+                   ELSE -l_extendedprice END AS DECIMAL(17,2)) AS amount,
+         'G' || (l_suppkey % 3) AS godown,
          CASE WHEN l_linenumber >= 4
-              THEN 'trk-' || l_orderkey || '-' || l_partkey
+              THEN 'trk-' || l_orderkey || '-' || l_partkey || '-' || l_linenumber
               ELSE '' END AS tracking_number
   FROM lineitem JOIN part ON p_partkey = l_partkey
 ),
 mst_stock_item AS (
   SELECT 'Item: ' || p_brand AS name, 'Stock-in-hand' AS parent, 'Nos' AS uom,
          CAST(SUM(CAST(p_size AS DECIMAL(15,4))) AS DECIMAL(15,4)) AS opening_balance
+  FROM part GROUP BY p_brand
+),
+mst_opening_batch_allocation AS (
+  SELECT 'Item: ' || p_brand AS item,
+         CAST(SUM(CAST(p_size AS DECIMAL(15,4))) AS DECIMAL(15,4)) AS opening_balance,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(17,2))) AS DECIMAL(17,2)) AS opening_value,
+         'G0' AS godown
   FROM part GROUP BY p_brand
 )"""
 
@@ -582,3 +641,107 @@ def report_sales_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine ⟕ monthly revenue sums)."""
     return _money_to_double(
         R.sales_monthly(tally_catalog(spark, sf_dir), FROM, TO))
+
+
+@gate_query("report_daily_cash_movement", oracle=f"""
+WITH {_CTES},
+mov AS (
+  SELECT v.date,
+         SUM(CASE WHEN a.amount < 0 THEN -a.amount
+                  ELSE CAST('0' AS DECIMAL(17,2)) END) AS receipt,
+         SUM(CASE WHEN a.amount > 0 THEN a.amount
+                  ELSE CAST('0' AS DECIMAL(17,2)) END) AS payment
+  FROM trn_accounting a
+  JOIN trn_voucher v ON v.guid = a.guid
+  JOIN mst_ledger l ON a.ledger = l.name
+  JOIN mst_group g ON g.name = l.parent
+  JOIN mst_vouchertype t ON t.name = v.voucher_type
+  WHERE lower(g.primary_group) = 'cash-in-hand'
+    AND lower(t.parent) IN ('receipt', 'payment', 'contra')
+  GROUP BY v.date
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(DATE '{FROM}', DATE '{TO}',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+)
+SELECT s.date,
+       CAST(CAST(COALESCE(m.receipt, 0) AS DECIMAL(17,2)) AS DOUBLE) AS receipt,
+       CAST(CAST(COALESCE(m.payment, 0) AS DECIMAL(17,2)) AS DOUBLE) AS payment
+FROM spine s LEFT JOIN mov m ON m.date = s.date
+""")
+def report_daily_cash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL daily-cash-movement program (plans/tally_reports.py
+    daily_cash_movement; reference reports/mssql/daily-cash-movement.sql
+    — cash-in-hand receipts/payments over receipt/payment/contra
+    vouchers, lower() comparisons per the BigQuery variant, spine ⟕
+    daily splits). The derived slice gives the Cash ledger real movement
+    via the per-line cash leg and parents Journal under Contra."""
+    return _money_to_double(
+        R.daily_cash_movement(tally_catalog(spark, sf_dir), FROM, TO))
+
+
+@gate_query("report_stock_voucher_view", oracle=f"""
+WITH {_CTES},
+svv AS (
+  SELECT v.date, v.voucher_number, v.voucher_type, i.item,
+         i.quantity, i.amount, i.godown,
+         CASE WHEN i.tracking_number = '' THEN 1
+              ELSE row_number() OVER (PARTITION BY i.tracking_number, i.item
+                                      ORDER BY v.date, i.quantity, i.amount,
+                                               i.godown) END AS repetition
+  FROM trn_inventory i
+  JOIN trn_voucher v ON v.guid = i.guid
+  WHERE v.is_order_voucher = 0
+)
+SELECT DATE '2000-01-01' AS date, '' AS voucher_number,
+       'Opening Balance' AS voucher_type, item,
+       CAST(CAST(opening_balance AS DECIMAL(15,4)) AS DOUBLE) AS quantity,
+       CAST(CAST(opening_value AS DECIMAL(17,2)) AS DOUBLE) AS amount,
+       godown
+FROM mst_opening_batch_allocation
+UNION ALL
+SELECT date, voucher_number, voucher_type, item,
+       CAST(CAST(quantity AS DECIMAL(15,4)) AS DOUBLE),
+       CAST(CAST(amount AS DECIMAL(17,2)) AS DOUBLE),
+       godown
+FROM svv WHERE repetition = 1
+""")
+def report_stock_voucher_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stock-voucher-view program (plans/tally_reports.py
+    stock_voucher_view; reference reports/mssql/stock-voucher-view.sql —
+    opening batch allocations unioned with inventory movements deduped
+    to workflow repetition 1 via the tracking-number ranking window,
+    docs/data-structure.md:242-258)."""
+    return _money_to_double(
+        R.stock_voucher_view(tally_catalog(spark, sf_dir)))
+
+
+@gate_query("report_group_trees", oracle=f"""
+WITH RECURSIVE {_CTES},
+down AS (
+  SELECT name, parent FROM mst_group WHERE name = 'Current Assets'
+  UNION ALL
+  SELECT g.name, g.parent FROM mst_group g JOIN down d ON g.parent = d.name
+),
+up AS (
+  SELECT name, parent FROM mst_group WHERE name = 'Retail Debtors'
+  UNION ALL
+  SELECT g.name, g.parent FROM mst_group g JOIN up u ON u.parent = g.name
+)
+SELECT 'parent_child' AS direction, name, parent FROM down
+UNION ALL
+SELECT 'children_parent', name, parent FROM up
+""")
+def report_group_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL group-tree programs (plans/tally_reports.py
+    group_tree_parent_child / group_tree_children_parent; reference
+    reports/mssql/group-tree-parent-child.sql and group-tree-children-
+    parent.sql) — descendants of Current Assets and ancestors of Retail
+    Debtors over the acyclic group tree, via the iterative frontier join
+    (Spark has no recursive CTE; the oracle uses DuckDB's)."""
+    cat = tally_catalog(spark, sf_dir)
+    down = R.group_tree_parent_child(cat, "Current Assets").select(
+        F.lit("parent_child").alias("direction"), "name", "parent")
+    up = R.group_tree_children_parent(cat, "Retail Debtors").select(
+        F.lit("children_parent").alias("direction"), "name", "parent")
+    return down.unionByName(up)

@@ -247,7 +247,13 @@ def stock_voucher_view(cat: Catalog) -> DataFrame:
         F.col("opening_balance").cast(T.DecimalType(15, 4)).alias("quantity"),
         F.col("opening_value").cast(_D17).alias("amount"),
         F.col("godown"))
-    w = W.partitionBy("tracking_number", "item").orderBy("date")
+    # tie-break beyond the reference's ORDER BY date: rows tied on date
+    # inside a (tracking, item) partition would otherwise be elected
+    # nondeterministically (across retries AND engines) — pin the full
+    # order so the kept repetition-1 row is stable (SURVEY §4's
+    # deterministic-ordering convention)
+    w = W.partitionBy("tracking_number", "item") \
+         .orderBy("date", "quantity", "amount", "godown")
     moves = (cat["trn_inventory"]
              .join(cat["trn_voucher"].select("guid", "date", "voucher_number",
                                              "voucher_type", "is_order_voucher"), "guid")

@@ -113,7 +113,11 @@ def test_new_gate_plan_shapes(spark):
     scorer joins its vocabulary-sized count table broadcast; nothing
     funnels through a single partition."""
     tp = _plan(spark, "text_profile")
-    assert tp.count("Exchange") == 0 and "Join" not in tp
+    # exactly one Exchange: the deliberate fan_out round-robin that widens
+    # the byte-small, compute-dense text scan (SCALE.md §9) — still no
+    # join and no aggregation shuffle in the profile itself
+    assert tp.count("Exchange") == 1 and "roundrobin" in tp.lower()
+    assert "Join" not in tp
     tr = _plan(spark, "temperature_resample")
     assert tr.count("Exchange") == 0 and "Join" not in tr
     lm = _plan(spark, "unigram_lm_score")

@@ -232,7 +232,8 @@ SELECT date, voucher_number, voucher_type, item,
 FROM (
   SELECT v.date, v.voucher_number, v.voucher_type, i.item, i.quantity, i.amount, i.godown,
          CASE WHEN i.tracking_number = '' THEN 1
-              ELSE row_number() OVER (PARTITION BY i.tracking_number, i.item ORDER BY v.date)
+              ELSE row_number() OVER (PARTITION BY i.tracking_number, i.item
+                                      ORDER BY v.date, i.quantity, i.amount, i.godown)
          END AS repetition
   FROM trn_inventory i JOIN trn_voucher v ON v.guid = i.guid
   WHERE v.is_order_voucher = 0
