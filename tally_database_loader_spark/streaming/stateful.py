@@ -89,3 +89,88 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
     return (docs.groupBy(key_col)
             .applyInPandasWithState(update, _DEDUP_OUT, _DEDUP_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming MinHash-LSH near-duplicate candidates
+# ---------------------------------------------------------------------------
+
+_ND_OUT = "band int, bsig string, d1 bigint, d2 bigint"
+_ND_STATE = "keeper bigint"
+
+
+def band_signatures(text, n: int = 3, k: int = 16, bands: int = 4):
+    """``array<struct<band:int, bsig:string>>`` — the document's LSH band
+    signatures computed entirely MAP-SIDE (array_min over transformed
+    shingle hashes), no explode/groupBy. Same constants and md5-parity
+    base hash as the batch path (llm/dedup.minhash_signature_table), so
+    a document lands in identical buckets streaming or batch.
+
+    The shuffle-free formulation matters specifically for streaming:
+    Structured Streaming allows only one stateful operator per query, so
+    the per-doc signature aggregation the batch path runs as a groupBy
+    must collapse into a projection here."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import (MINHASH_PRIME, _parity_base,
+                             _permutation_constants, shingles)
+    consts = _permutation_constants(k)
+    sh = shingles(text, n)
+    bases = F.transform(sh, lambda s: F.pmod(_parity_base(s),
+                                             F.lit(MINHASH_PRIME)))
+    mh = [F.array_min(F.transform(
+              bases, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)))
+          for a, b in consts]
+    rows = k // bands
+    return F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.concat_ws(",", *[mh[j * rows + i].cast("string")
+                                    for i in range(rows)]).alias("bsig"))
+        for j in range(bands)])
+
+
+def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3, k: int = 16,
+                         bands: int = 4) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: documents landing
+    in an LSH bucket already claimed by an earlier document emit a
+    candidate pair against that bucket's stable representative.
+
+    State per (band, bsig) bucket is ONE scalar — the representative
+    (min doc id of the earliest micro-batch that touched the bucket, the
+    same min-wins convention as ``streaming_dedup``) — so state size is
+    bounded by distinct buckets, not stream length. Emitted pairs form a
+    spanning star per bucket: connectivity-equivalent to the batch
+    ``lsh_candidates`` pair set (every bucket co-member connects through
+    the representative), which is what duplicate CLUSTERING consumes;
+    downstream exact-Jaccard verification stays a batch join. Documents
+    shorter than the shingle width produce no signatures and pass
+    through unexamined, exactly like the batch path."""
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]",
+               state: GroupState) -> "Iterator[pd.DataFrame]":
+        keeper = state.get[0] if state.exists else None
+        ids: set[int] = set()
+        for pdf in pdfs:
+            ids.update(int(x) for x in pdf[id_col])
+        ids = sorted(ids)
+        if keeper is None and ids:
+            keeper = ids[0]
+        state.update((keeper,))
+        others = [i for i in ids if i != keeper]
+        yield pd.DataFrame({
+            "band": [key[0]] * len(others),
+            "bsig": [key[1]] * len(others),
+            "d1": [min(keeper, o) for o in others],
+            "d2": [max(keeper, o) for o in others]})
+
+    from pyspark.sql import functions as F
+    sig = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(band_signatures(F.col(text_col), n, k, bands))
+                        .alias("b"))
+               .select("doc_id", F.col("b.band").alias("band"),
+                       F.col("b.bsig").alias("bsig"))
+               .filter(F.col("bsig") != ""))
+    return (sig.groupBy("band", "bsig")
+            .applyInPandasWithState(update, _ND_OUT, _ND_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -202,3 +202,62 @@ def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
          .write.mode("append").parquet(src)
     got = run_once()
     assert got == {"fa": (1, 2), "fc": (4, 0)}
+
+
+def test_band_signatures_match_batch_minhash(spark):
+    """The streaming path's map-side band signatures (array_min over
+    transformed shingle hashes — no explode/groupBy) must equal the batch
+    groupBy signature table bucket-for-bucket."""
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.llm.dedup import minhash_signature_table
+    from tally_database_loader_spark.sources.catalog import load_table
+    from tally_database_loader_spark.streaming.stateful import band_signatures
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = minhash_signature_table(d, "doc_id", "text", parity_hash=True)
+    bexp = {(r.doc_id, j): ",".join(str(r[f"mh{j*4+i}"]) for i in range(4))
+            for r in batch.collect() for j in range(4)}
+    stream_style = (d.select("doc_id",
+                             F.explode(band_signatures(F.col("text")))
+                              .alias("b"))
+                     .select("doc_id", "b.band", "b.bsig")
+                     .filter(F.col("bsig") != ""))
+    sgot = {(r.doc_id, r.band): r.bsig for r in stream_style.collect()}
+    assert sgot == bexp
+
+
+def test_streaming_near_dedup_stars_and_stable_keeper(spark, tmp_path):
+    """Near-identical documents arriving in different micro-batches emit a
+    candidate pair against the bucket's stable representative; distinct
+    documents emit nothing; restarts keep the representative."""
+    from tally_database_loader_spark.streaming.stateful import streaming_near_dedup
+
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_c = "completely unrelated legal boilerplate about parquet files"
+
+    def run_once():
+        out: list = []
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string").parquet(src))
+        q = (streaming_near_dedup(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _id: out.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.d1, r.d2) for r in out}
+
+    spark.createDataFrame([(1, text_a), (3, text_c)],
+                          "doc_id bigint, text string") \
+         .write.mode("append").parquet(src)
+    assert run_once() == set()  # no bucket has two members yet
+
+    # doc 2 shares every shingle with doc 1 -> same buckets -> pair (1, 2);
+    # keeper stayed 1 across the restart from checkpoint
+    spark.createDataFrame([(2, text_a)], "doc_id bigint, text string") \
+         .write.mode("append").parquet(src)
+    assert run_once() == {(1, 2)}
