@@ -94,3 +94,83 @@ def test_range_join_matches_naive(spark, points, ivals, width):
     expect = sorted((i, j) for i, p in enumerate(points)
                     for j, (s, d) in enumerate(ivals) if s <= p <= s + d)
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    groups=st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                    min_size=1, max_size=30),
+    fracs=st.sampled_from([
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        {"train": 0.5, "test": 0.5},
+        {"x": 0.25, "y": 0.25, "z": 0.5},
+    ]),
+)
+def test_group_split_properties(spark, groups, fracs):
+    """For ANY group multiset and fraction map: every row gets a split
+    from the map, every group maps to exactly one split, and the split
+    of a group is independent of which other rows exist."""
+    from tally_database_loader_spark.llm.packing import group_split
+    rows = [(i, g) for i, g in enumerate(groups)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = group_split(d, "grp", dict(fracs)).collect()
+    assert len(got) == len(rows)
+    by_grp = {}
+    for r in got:
+        assert r.split in fracs
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_grp.values())
+    # subset invariance: a one-row frame assigns the same split
+    for g, splits in by_grp.items():
+        solo = group_split(
+            spark.createDataFrame([(0, g)], "doc_id long, grp string"),
+            "grp", dict(fracs)).collect()[0].split
+        assert {solo} == splits
+
+
+@settings(**_SETTINGS)
+@given(words=st.lists(
+    st.text(alphabet="abcxyz019", min_size=1, max_size=8),
+    min_size=1, max_size=25))
+def test_bpe_pair_counts_matches_reference(spark, words):
+    """BPE pair counts over ANY word multiset equal the per-occurrence
+    python fold (the vocabulary-weighted rewrite is exact, not an
+    approximation)."""
+    from collections import Counter
+    from tally_database_loader_spark.llm.lm import bpe_pair_counts
+    text = " ".join(words)
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {(r.a, r.b): r.n_pairs
+           for r in bpe_pair_counts(d, "text", top_k=10_000).collect()}
+    ref: Counter = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            ref[(w[i], w[i + 1])] += 1
+    assert got == dict(ref)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(st.text(alphabet="ab x", min_size=0, max_size=20),
+                   min_size=1, max_size=12),
+)
+def test_bigram_logprob_total_mass_and_nulls(spark, texts):
+    """For ANY corpus: docs with <2 tokens score NULL with 0 bigrams;
+    scoring is total (every doc returns exactly one row); and scores are
+    ≤ 0 (smoothed probabilities never exceed 1)."""
+    from tally_database_loader_spark.llm.lm import bigram_logprob
+    rows = list(enumerate(texts))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(d).collect()}
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        toks = [w for w in t.replace("x", " x ").split() if w.strip()]
+        # engine tokenizer: [a-z0-9]+ — recompute with the same rule
+        import re
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        r = got[i]
+        if len(toks) < 2:
+            assert r.n_bigrams == 0 and r.lm2_score is None
+        else:
+            assert r.n_bigrams == len(toks) - 1
+            assert r.lm2_score <= 0.0
