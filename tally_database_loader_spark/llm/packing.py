@@ -27,9 +27,28 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "domain_cap", "group_split", "hash_order"]
+__all__ = ["pack_sequences", "domain_cap", "group_split", "split_bounds",
+           "hash_order"]
 
 _H20 = 1 << 20  # hash bucket space for split thresholds
+
+
+def split_bounds(fractions: dict[str, float]) -> list[int]:
+    """Cumulative integer thresholds ``floor(cumfrac · 2^20)`` for all but
+    the last split name — THE derivation ``group_split`` compares hash
+    buckets against. Exported so oracle/SQL renderings use the same
+    accumulation (same float adds, same floor) instead of re-implementing
+    it and drifting."""
+    if not fractions or any(v <= 0 for v in fractions.values()):
+        raise ValueError("fractions must be positive")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names = list(fractions)
+    bounds, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(int(math.floor(acc * _H20)))
+    return bounds
 
 
 def hash_order(id_col: Column) -> Column:
@@ -99,19 +118,19 @@ def group_split(docs: DataFrame, group_col: str,
     engines assign identically. Zero shuffles: the split column is one
     map-side expression.
 
+    A NULL group key is one more group (all NULL-keyed rows travel
+    together, hashed under a sentinel that cannot collide with a real
+    string key) — without this, md5(NULL)=NULL would dump every NULL-key
+    row into the LAST split name, silently concentrating an unhashed
+    cohort on one side of the train/eval boundary.
+
     Output: the input plus a ``split`` string column.
     """
     fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
-    if not fractions or any(v <= 0 for v in fractions.values()):
-        raise ValueError("fractions must be positive")
-    if abs(sum(fractions.values()) - 1.0) > 1e-9:
-        raise ValueError("fractions must sum to 1")
     names = list(fractions)
-    bounds, acc = [], 0.0
-    for name in names[:-1]:
-        acc += fractions[name]
-        bounds.append(int(math.floor(acc * _H20)))
-    bucket = F.pmod(hash_order(F.col(group_col)), F.lit(_H20))
+    bounds = split_bounds(fractions)
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    bucket = F.pmod(hash_order(key), F.lit(_H20))
     split = F.lit(names[-1])
     for name, bound in zip(reversed(names[:-1]), reversed(bounds)):
         split = F.when(bucket < bound, F.lit(name)).otherwise(split)

@@ -15,8 +15,6 @@ Oracle strategy (every query below is hash-matched against DuckDB):
 
 from __future__ import annotations
 
-import math as _math
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1281,30 +1279,38 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
 WHERE rn <= 5
 """
 
+# shared centroid CTE block (quantized per-position sums, exact integer
+# dot/norms) — used by BOTH the similarity suite and the standalone
+# centroid_outliers gate so the two oracles cannot drift
+_DD_CENTROID = """
+ce2 AS (
+  SELECT vec_id, label, p.pos AS pos, p.qv AS qv
+  FROM (SELECT vec_id, label,
+               unnest([{'pos': i,
+                        'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 16384.0
+                                         + 0.5) AS BIGINT)}
+                       for i in range(1, len(embedding) + 1)]) AS p
+        FROM embeddings)
+),
+cs2 AS (SELECT label, pos, CAST(SUM(qv) AS HUGEINT) AS sq
+        FROM ce2 GROUP BY 1, 2),
+cn2t AS (SELECT label, SUM(sq * sq) AS cn2 FROM cs2 GROUP BY 1),
+csc2 AS (
+  SELECT ce2.vec_id, ce2.label,
+         SUM(CAST(ce2.qv AS HUGEINT) * cs2.sq) AS dotq,
+         SUM(CAST(ce2.qv AS HUGEINT) * ce2.qv) AS vn2
+  FROM ce2 JOIN cs2 ON cs2.label = ce2.label AND cs2.pos = ce2.pos
+  GROUP BY 1, 2
+)"""
+
+
 @gate_query("similarity_topk_suite", oracle=f"""
 WITH b AS (
   SELECT vec_id, embedding, {_dd_srp_bucket('embedding', _PLANES4)} AS bucket
   FROM embeddings
 ),
 qz AS ({_DD_Q8}),
-ce AS (
-  SELECT vec_id, label, p.pos AS pos, p.qv AS qv
-  FROM (SELECT vec_id, label,
-               unnest([{{'pos': i,
-                        'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 16384.0
-                                         + 0.5) AS BIGINT)}}
-                       for i in range(1, len(embedding) + 1)]) AS p
-        FROM embeddings)
-),
-cs AS (SELECT label, pos, CAST(SUM(qv) AS HUGEINT) AS sq FROM ce GROUP BY 1, 2),
-cnorm AS (SELECT label, SUM(sq * sq) AS cn2 FROM cs GROUP BY 1),
-cscore AS (
-  SELECT ce.vec_id, ce.label,
-         SUM(CAST(ce.qv AS HUGEINT) * cs.sq) AS dotq,
-         SUM(CAST(ce.qv AS HUGEINT) * ce.qv) AS vn2
-  FROM ce JOIN cs ON cs.label = ce.label AND cs.pos = ce.pos
-  GROUP BY 1, 2
-)
+{_DD_CENTROID}
 """ + " UNION ALL ".join([
     _DD_SUITE_TOPK.format(method="cosine", scored=f"""
       SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS score
@@ -1331,7 +1337,7 @@ FROM (SELECT label, vec_id, score,
                    CAST(sc.dotq AS DOUBLE)
                    / (sqrt(CAST(sc.vn2 AS DOUBLE))
                       * sqrt(CAST(n.cn2 AS DOUBLE))) AS score
-            FROM cscore sc JOIN cnorm n ON n.label = sc.label
+            FROM csc2 sc JOIN cn2t n ON n.label = sc.label
             WHERE sc.vn2 > 0 AND n.cn2 > 0))
 WHERE rn <= 5
 """,
@@ -1587,14 +1593,12 @@ def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # split fractions shared by the Spark gate and the rendered oracle bounds —
-# the bounds below are floor(cumulative_fraction · 2^20), accumulated with
-# the same float adds group_split performs, so the two cannot drift.
+# the bounds come from the SAME split_bounds() derivation group_split
+# compares hash buckets against, so the two cannot drift.
+from ..llm.packing import split_bounds as _split_bounds  # noqa: E402
+
 _GS_FRACS = {"train": 0.9, "valid": 0.05, "test": 0.05}
-_GS_BOUNDS: list[int] = []
-_gs_acc = 0.0
-for _gs_name in list(_GS_FRACS)[:-1]:
-    _gs_acc += _GS_FRACS[_gs_name]
-    _GS_BOUNDS.append(int(_math.floor(_gs_acc * (1 << 20))))
+_GS_BOUNDS = _split_bounds(_GS_FRACS)
 
 
 @gate_query("group_split", oracle=f"""
@@ -1623,28 +1627,6 @@ def group_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).cast("long").alias("docs"),
                  F.sum("n_chars").cast("long").alias("chars")))
-
-
-_DD_CENTROID = """
-ce2 AS (
-  SELECT vec_id, label, p.pos AS pos, p.qv AS qv
-  FROM (SELECT vec_id, label,
-               unnest([{'pos': i,
-                        'qv': CAST(floor(CAST(embedding[i] AS DOUBLE) * 16384.0
-                                         + 0.5) AS BIGINT)}
-                       for i in range(1, len(embedding) + 1)]) AS p
-        FROM embeddings)
-),
-cs2 AS (SELECT label, pos, CAST(SUM(qv) AS HUGEINT) AS sq
-        FROM ce2 GROUP BY 1, 2),
-cn2t AS (SELECT label, SUM(sq * sq) AS cn2 FROM cs2 GROUP BY 1),
-csc2 AS (
-  SELECT ce2.vec_id, ce2.label,
-         SUM(CAST(ce2.qv AS HUGEINT) * cs2.sq) AS dotq,
-         SUM(CAST(ce2.qv AS HUGEINT) * ce2.qv) AS vn2
-  FROM ce2 JOIN cs2 ON cs2.label = ce2.label AND cs2.pos = ce2.pos
-  GROUP BY 1, 2
-)"""
 
 
 @gate_query("centroid_outliers", oracle=f"""

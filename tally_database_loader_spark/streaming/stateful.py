@@ -114,6 +114,9 @@ def band_signatures(text, n: int = 3, k: int = 16, bands: int = 4):
 
     from ..llm.dedup import (MINHASH_PRIME, _parity_base,
                              _permutation_constants, shingles)
+    if bands <= 0 or k % bands:
+        raise ValueError("bands must divide k (every minhash row belongs "
+                         "to exactly one band)")
     consts = _permutation_constants(k)
     sh = shingles(text, n)
     bases = F.transform(sh, lambda s: F.pmod(_parity_base(s),
@@ -152,7 +155,9 @@ def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
         keeper = state.get[0] if state.exists else None
         ids: set[int] = set()
         for pdf in pdfs:
-            ids.update(int(x) for x in pdf[id_col])
+            # the grouped frame carries the ALIASED id column, never the
+            # caller's original name
+            ids.update(int(x) for x in pdf["doc_id"])
         ids = sorted(ids)
         if keeper is None and ids:
             keeper = ids[0]

@@ -389,6 +389,16 @@ def test_group_split_is_leakage_safe_and_total(spark):
     assert a == b
     with pytest.raises(ValueError):
         group_split(d, "source", {"train": 0.7, "valid": 0.2})  # sums to 0.9
+    # NULL group keys are ONE group hashed under a sentinel — never dumped
+    # wholesale into the last split name
+    nd = spark.createDataFrame([(1, None), (2, None), (3, "src1")],
+                               "doc_id long, grp string")
+    ns = {r.doc_id: r.split for r in group_split(nd, "grp").collect()}
+    assert ns[1] == ns[2]
+    sentinel = group_split(
+        spark.createDataFrame([(9, "\x00<null>")], "doc_id long, grp string"),
+        "grp").collect()[0].split
+    assert ns[1] == sentinel
 
 
 def test_centroid_cosine_flags_outliers(spark):

@@ -161,12 +161,11 @@ def test_bigram_logprob_total_mass_and_nulls(spark, texts):
     from tally_database_loader_spark.llm.lm import bigram_logprob
     rows = list(enumerate(texts))
     d = spark.createDataFrame(rows, "doc_id long, text string")
+    import re
     got = {r.doc_id: r for r in bigram_logprob(d).collect()}
     assert set(got) == {i for i, _ in rows}
     for i, t in rows:
-        toks = [w for w in t.replace("x", " x ").split() if w.strip()]
         # engine tokenizer: [a-z0-9]+ — recompute with the same rule
-        import re
         toks = re.findall(r"[a-z0-9]+", t.lower())
         r = got[i]
         if len(toks) < 2:

@@ -240,9 +240,11 @@ def test_streaming_near_dedup_stars_and_stable_keeper(spark, tmp_path):
 
     def run_once():
         out: list = []
+        # non-default id/text column names: regression for the grouped
+        # frame carrying the ALIASED id column, not the caller's name
         stream = (spark.readStream
-                  .schema("doc_id bigint, text string").parquet(src))
-        q = (streaming_near_dedup(stream)
+                  .schema("my_id bigint, body string").parquet(src))
+        q = (streaming_near_dedup(stream, id_col="my_id", text_col="body")
              .writeStream.foreachBatch(
                  lambda df, _id: out.extend(df.collect()))
              .outputMode("update")
@@ -252,12 +254,17 @@ def test_streaming_near_dedup_stars_and_stable_keeper(spark, tmp_path):
         return {(r.d1, r.d2) for r in out}
 
     spark.createDataFrame([(1, text_a), (3, text_c)],
-                          "doc_id bigint, text string") \
+                          "my_id bigint, body string") \
          .write.mode("append").parquet(src)
     assert run_once() == set()  # no bucket has two members yet
 
     # doc 2 shares every shingle with doc 1 -> same buckets -> pair (1, 2);
     # keeper stayed 1 across the restart from checkpoint
-    spark.createDataFrame([(2, text_a)], "doc_id bigint, text string") \
+    spark.createDataFrame([(2, text_a)], "my_id bigint, body string") \
          .write.mode("append").parquet(src)
     assert run_once() == {(1, 2)}
+
+    import pytest
+    with pytest.raises(ValueError):
+        from tally_database_loader_spark.streaming.stateful import band_signatures
+        band_signatures(F.lit("x"), k=16, bands=5)
