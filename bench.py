@@ -71,7 +71,10 @@ HEADLINE = [
     "report_profit_loss",
     "report_stock_summary",
     "report_sales_register",
+    "report_stock_voucher_view",
+    "report_daily_cash_movement",
     "lm_score_suite",
+    "batch_layout",
 ]
 
 

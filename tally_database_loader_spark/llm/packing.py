@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences", "domain_cap", "group_split", "split_bounds",
-           "hash_order"]
+           "length_bucketed_batches", "batch_padding_stats", "hash_order"]
 
 _H20 = 1 << 20  # hash bucket space for split thresholds
 
@@ -135,6 +135,56 @@ def group_split(docs: DataFrame, group_col: str,
     for name, bound in zip(reversed(names[:-1]), reversed(bounds)):
         split = F.when(bucket < bound, F.lit(name)).otherwise(split)
     return docs.withColumn("split", split)
+
+
+def length_bucketed_batches(docs: DataFrame, id_col: str, len_col: str,
+                            batch_size: int, n_shards: int) -> DataFrame:
+    """Padding-efficient batch layout: deterministically shard the corpus,
+    sort each shard by length, and cut fixed-size batches — so a batch
+    holds similar-length documents and the pad-to-max waste collapses
+    (the fairseq/HuggingFace ``group_by_length`` loader layout, done once
+    relationally instead of per-epoch in the loader).
+
+    Sharding is ``hash(doc_id) mod n_shards`` (keyed md5 — retry-stable,
+    engine-reproducible); within a shard documents order by
+    ``(length, doc_id)`` and batch ``(rank-1) div batch_size``. The sort
+    is per shard — the window shuffle partitions on the shard key, so no
+    global ordering bottleneck exists at any corpus size; shards are
+    hash-balanced in expectation.
+
+    Output: ``shard, batch_idx, doc_id, n_tokens, pos_in_batch``.
+    """
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    shard = F.pmod(hash_order(F.col(id_col)), F.lit(n_shards)).cast("int")
+    # the window runs over the ALIASED projection (shard/doc_id/n_tokens),
+    # so it must order by the aliased names, not the caller's columns
+    w = (W.partitionBy("shard")
+          .orderBy(F.asc_nulls_last("n_tokens"), F.asc_nulls_last("doc_id")))
+    d = (docs.select(shard.alias("shard"),
+                     F.col(id_col).alias("doc_id"),
+                     F.col(len_col).cast("long").alias("n_tokens"))
+             .withColumn("__rn", F.row_number().over(w)))
+    return d.select(
+        "shard",
+        F.expr(f"(__rn - 1) div {batch_size}").cast("int").alias("batch_idx"),
+        "doc_id", "n_tokens",
+        F.expr(f"(__rn - 1) % {batch_size}").cast("int").alias("pos_in_batch"))
+
+
+def batch_padding_stats(batches: DataFrame) -> DataFrame:
+    """Per-batch padding accounting over ``length_bucketed_batches``
+    output: ``shard, batch_idx, n_docs, tok_sum, tok_max, pad_waste``
+    where ``pad_waste = n_docs·tok_max − tok_sum`` (tokens burned if the
+    batch pads to its longest member). Integer-only aggregates —
+    AQE-order-proof and SQL-replayable."""
+    return (batches.groupBy("shard", "batch_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tok_sum"),
+                 F.max("n_tokens").cast("long").alias("tok_max"))
+            .withColumn("pad_waste",
+                        (F.col("n_docs") * F.col("tok_max")
+                         - F.col("tok_sum")).cast("long")))
 
 
 def domain_cap(docs: DataFrame, group_col: str, id_col: str,

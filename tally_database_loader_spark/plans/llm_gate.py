@@ -1875,3 +1875,37 @@ def selection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("group_split").alias("method"),
         F.col("split").alias("grp"), "doc_id")
     return strat.unionByName(temp).unionByName(spl)
+
+
+@gate_query("batch_layout", oracle=f"""
+WITH hb AS (
+  SELECT doc_id, n_chars,
+         CAST({_dd_hex15("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
+              % 4 AS INT) AS shard
+  FROM documents
+),
+brn AS (
+  SELECT shard, n_chars,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_chars, doc_id) AS r
+  FROM hb
+)
+SELECT shard, CAST((r - 1) // 16 AS INT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS tok_sum,
+       CAST(MAX(n_chars) AS BIGINT) AS tok_max,
+       CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS pad_waste
+FROM brn GROUP BY 1, 2
+""")
+def batch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch layout + padding accounting (llm/packing.py
+    length_bucketed_batches / batch_padding_stats) — the group_by_length
+    training-loader layout done once relationally: hash-sharded, sorted
+    per shard, cut into 16-doc batches of similar length so pad-to-max
+    waste collapses. The per-shard window is the only shuffle; shards
+    are hash-balanced, so no global sort exists at any corpus size."""
+    from ..llm.packing import batch_padding_stats, length_bucketed_batches
+    d = load_table(spark, sf_dir, "documents")
+    return batch_padding_stats(
+        length_bucketed_batches(d, "doc_id", "n_chars",
+                                batch_size=16, n_shards=4))

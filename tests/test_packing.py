@@ -101,3 +101,51 @@ def test_pack_sequences_duplicate_doc_ids_still_tile(spark):
     # per-row coverage: each physical row contributes exactly its n tokens
     total = sum(r.tok_to - r.tok_from for r in out)
     assert total == 42
+
+
+def test_length_bucketed_batches_shape_and_waste(spark):
+    """Batches are full except the last per shard; lengths are
+    non-decreasing across batch boundaries within a shard; and the
+    length-sorted layout never pads worse than the same batching over
+    hash order (the unsorted loader baseline)."""
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.llm.packing import (
+        batch_padding_stats, hash_order, length_bucketed_batches)
+    from tally_database_loader_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    B, S = 16, 4
+    b = length_bucketed_batches(d, "doc_id", "n_chars", B, S).cache()
+    stats = batch_padding_stats(b).collect()
+    per_shard = {}
+    for r in stats:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r.batch_idx)
+        assert [r.batch_idx for r in rows] == list(range(len(rows)))
+        assert all(r.n_docs == B for r in rows[:-1])
+        assert 1 <= rows[-1].n_docs <= B
+    # monotone boundaries: max of batch k <= max of batch k+1
+    for rows in per_shard.values():
+        ms = [r.tok_max for r in sorted(rows, key=lambda r: r.batch_idx)]
+        assert ms == sorted(ms)
+    sorted_waste = sum(r.pad_waste for r in stats)
+    # baseline: same shards, batches cut in hash order (loader without
+    # group_by_length)
+    w = (__import__("pyspark.sql.window", fromlist=["Window"]).Window
+         .partitionBy("shard").orderBy("hk"))
+    base = (d.select(F.pmod(hash_order(F.col("doc_id")), F.lit(S))
+                      .cast("int").alias("shard"),
+                     hash_order(F.concat(F.lit("o:"),
+                                         F.col("doc_id").cast("string")))
+                     .alias("hk"),
+                     F.col("n_chars").cast("long").alias("n_tokens"))
+              .withColumn("batch_idx",
+                          ((F.row_number().over(w) - 1) / B).cast("int")))
+    naive = (base.groupBy("shard", "batch_idx")
+                 .agg((F.count(F.lit(1)) * F.max("n_tokens")
+                       - F.sum("n_tokens")).alias("waste"))
+                 .agg(F.sum("waste")).first()[0])
+    assert sorted_waste <= naive
+    assert sorted_waste < naive * 0.5  # and decisively so on real lengths
