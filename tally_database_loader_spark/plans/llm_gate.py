@@ -724,7 +724,11 @@ SELECT lang,
        CAST(max(n_chars) AS INT) AS max_chars,
        CAST(min(CASE WHEN cum_c >= (n + 1) // 2 THEN n_chars END)
             + min(CASE WHEN cum_c >= (n + 2) // 2 THEN n_chars END) AS DOUBLE) / 2.0
-         AS median_chars
+         AS median_chars,
+       CAST(min(CASE WHEN cum_c * 10 >= n * 9 THEN n_chars END) AS INT)
+         AS p90_chars,
+       CAST(min(CASE WHEN cum_c * 100 >= n * 99 THEN n_chars END) AS INT)
+         AS p99_chars
 FROM cum GROUP BY lang
 """)
 def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,7 +738,10 @@ def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-count walk over that tiny histogram — never a per-group
     sort of the raw rows, which for a handful of giant language groups
     would funnel 100 TB through a few partitions. Median of an even group
-    is the mean of the two middle values (ints until one final /2.0)."""
+    is the mean of the two middle values (ints until one final /2.0);
+    p90/p99 are exact lower quantiles (smallest value whose cumulative
+    count reaches ⌈p·n⌉, compared in cross-multiplied integers — no
+    float thresholds)."""
     from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
     hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
@@ -753,7 +760,13 @@ def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_chars").cast("int").alias("max_chars"),
                  ((F.min(F.when(F.col("cum_c") >= p1, F.col("n_chars")))
                    + F.min(F.when(F.col("cum_c") >= p2, F.col("n_chars"))))
-                  .cast("double") / F.lit(2.0)).alias("median_chars")))
+                  .cast("double") / F.lit(2.0)).alias("median_chars"),
+                 F.min(F.when(F.col("cum_c") * 10 >= F.col("n") * 9,
+                              F.col("n_chars"))).cast("int")
+                  .alias("p90_chars"),
+                 F.min(F.when(F.col("cum_c") * 100 >= F.col("n") * 99,
+                              F.col("n_chars"))).cast("int")
+                  .alias("p99_chars")))
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -419,3 +419,22 @@ def test_centroid_cosine_flags_outliers(spark):
     z = spark.createDataFrame([(9, [0.0, 0.0], 1)],
                               "vec_id long, embedding array<float>, label int")
     assert centroid_cosine(z).count() == 0
+
+
+def test_length_stats_percentiles_match_duckdb_builtins(spark, duck):
+    """The histogram-walk median/p90/p99 must equal DuckDB's BUILT-IN
+    median and quantile_disc — an independent implementation, unlike the
+    gate oracle which replays the same cumulative walk."""
+    from tally_database_loader_spark.plans.gate import QUERIES
+    got = {r.lang: r for r in
+           QUERIES["length_stats"](spark, SF_CORRECTNESS).collect()}
+    ref = duck.sql("""
+        SELECT lang, median(n_chars) AS med,
+               quantile_disc(n_chars, 0.9) AS p90,
+               quantile_disc(n_chars, 0.99) AS p99
+        FROM documents GROUP BY lang""").fetchall()
+    assert len(ref) == len(got)
+    for lang, med, p90, p99 in ref:
+        assert float(got[lang].median_chars) == float(med)
+        assert got[lang].p90_chars == p90
+        assert got[lang].p99_chars == p99
