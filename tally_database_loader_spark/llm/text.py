@@ -269,3 +269,33 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     # trim spaces AND newlines (F.trim strips spaces only)
     return F.regexp_replace(t, r"^[ \n]+|[ \n]+$", "")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl dedup/grouping (the C4/CommonCrawl
+    convention): strip the fragment, drop ``utm_*`` tracking params,
+    strip a ``www.`` host prefix and any trailing slash, and lowercase
+    the scheme+authority while PRESERVING path/query case (paths are
+    case-sensitive; hosts are not).
+
+    Every step is one ``regexp_replace`` with no backreferences — Java
+    regex and RE2 disagree on backreference syntax ($1 vs \\1), so the
+    patterns avoid them entirely and a SQL oracle replays the chain
+    byte-for-byte. Zero Python, zero shuffle.
+    """
+    u = F.regexp_replace(url, r"#.*", "")               # fragment
+    u = F.regexp_replace(u, r"utm_[^&#]*&", "")          # utm_, mid-query
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")       # utm_, last param
+    # lowercase scheme+authority BEFORE the www strip, or an uppercase
+    # 'WWW.' would survive the case-sensitive pattern
+    head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[^/]*//[^/?#]*", "")
+    lc = F.when(head == "", u).otherwise(F.concat(head, tail))
+    lc = F.regexp_replace(lc, r"://www\.", "://")        # www strip
+    return F.regexp_replace(lc, r"/+$", "")              # trailing slash
+
+
+def url_host(url: Column) -> Column:
+    """Registered host of a (normalized) URL — the key for per-domain
+    caps, domain mixture stats, and leakage-safe splits."""
+    return F.regexp_extract(normalize_url(url), r"^[a-z]+://([^/:?#]+)", 1)

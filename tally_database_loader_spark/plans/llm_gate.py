@@ -1779,6 +1779,32 @@ def token_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.unionByName(bpe).unionByName(pmi)
 
 
+_DD_URLIFY = ("'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/' || "
+              "doc_id || '/?utm_source=feed&id=' || (doc_id % 7) || "
+              "'&utm_medium=rss#sec-' || doc_id")
+
+_DD_URL_NORM = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(lc, '://www\\.', '://', 'g'),
+                      '/+$', '', 'g') AS norm
+FROM (
+  SELECT doc_id,
+         CASE WHEN lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1)) = ''
+              THEN u
+              ELSE lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1))
+                   || regexp_replace(u, '^[^/]*//[^/?#]*', '')
+         END AS lc
+  FROM (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+             regexp_replace(raw, '#.*', '', 'g'),
+             'utm_[^&#]*&', '', 'g'),
+             '[?&]utm_[^&#]*', '', 'g') AS u
+    FROM raws
+  )
+)"""
+
+
 @gate_query("normalize_suite", oracle=f"""
 WITH nenr AS (
   SELECT doc_id,
@@ -1805,7 +1831,9 @@ hex0 AS (
            E'[ \\t]+', ' ', 'g'),
            E' ?\\n ?', E'\\n', 'g')) AS txt
   FROM hpage
-)
+),
+raws AS (SELECT doc_id, {_DD_URLIFY} AS raw FROM documents),
+normed AS ({_DD_URL_NORM})
 SELECT 'nfc' AS method, doc_id, md5(nfc_normalize(payload)) AS out_md5,
        CAST(length(nfc_normalize(payload)) AS INT) AS n_chars
 FROM nenr
@@ -1814,12 +1842,16 @@ SELECT 'html', doc_id,
        md5(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')),
        CAST(length(regexp_replace(txt, E'\\n{{2,}}', E'\\n', 'g')) AS INT)
 FROM hex0
+UNION ALL
+SELECT 'url', doc_id, md5(norm), CAST(length(norm) AS INT)
+FROM normed
 """)
 def normalize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization/extraction, one driver slot: Unicode NFC (the
     text layer's single Arrow-batched pandas_udf hop) ∪ HTML→text
-    boilerplate stripping (codegen regexp chain) — llm/text.py
-    normalize_nfc / html_to_text, each also registered standalone."""
+    boilerplate stripping (codegen regexp chain) ∪ URL canonicalization
+    (crawl-dedup convention) — llm/text.py normalize_nfc / html_to_text
+    / normalize_url, each also registered standalone."""
     nfc = unicode_nfc(spark, sf_dir).select(
         F.lit("nfc").alias("method"), "doc_id",
         F.col("nfc_md5").alias("out_md5"),
@@ -1827,7 +1859,10 @@ def normalize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ht = html_extract(spark, sf_dir).select(
         F.lit("html").alias("method"), "doc_id",
         F.col("text_md5").alias("out_md5"), "n_chars")
-    return nfc.unionByName(ht)
+    ur = url_normalize(spark, sf_dir).select(
+        F.lit("url").alias("method"), "doc_id",
+        F.col("norm_md5").alias("out_md5"), "n_chars")
+    return nfc.unionByName(ht).unionByName(ur)
 
 
 @gate_query("selection_suite", oracle=f"""
@@ -1922,3 +1957,36 @@ def batch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_padding_stats(
         length_bucketed_batches(d, "doc_id", "n_chars",
                                 batch_size=16, n_shards=4))
+
+
+def _urlify_payload() -> "F.Column":
+    return F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_medium=rss#sec-"), F.col("doc_id").cast("string"))
+
+
+@gate_query("url_normalize", oracle=f"""
+WITH raws AS (SELECT doc_id, {_DD_URLIFY} AS raw FROM documents),
+normed AS ({_DD_URL_NORM})
+SELECT doc_id,
+       regexp_extract(norm, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       md5(norm) AS norm_md5,
+       CAST(length(norm) AS INT) AS n_chars
+FROM normed
+""")
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host extraction (llm/text.py normalize_url
+    / url_host) — the crawl-curation convention (fragment stripped,
+    utm_* dropped, www. and trailing slash removed, scheme+host
+    lowercased with path/query case preserved). Deterministic
+    mixed-case/tracking-param URLs are synthesized per document (the
+    corpus has no URL column); the whole chain is backreference-free
+    regexp_replace so Java regex and RE2 agree byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = tx.normalize_url(_urlify_payload())
+    return d.select("doc_id",
+                    tx.url_host(_urlify_payload()).alias("host"),
+                    F.md5(norm).alias("norm_md5"),
+                    F.length(norm).cast("int").alias("n_chars"))

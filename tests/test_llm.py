@@ -438,3 +438,21 @@ def test_length_stats_percentiles_match_duckdb_builtins(spark, duck):
         assert float(got[lang].median_chars) == float(med)
         assert got[lang].p90_chars == p90
         assert got[lang].p99_chars == p99
+
+
+def test_normalize_url_semantics(spark):
+    from tally_database_loader_spark.llm.text import normalize_url, url_host
+    cases = [
+        ("HTTPS://WWW.Site.COM/Docs/X/?utm_source=a&id=3&utm_medium=b#f",
+         "https://site.com/Docs/X/?id=3", "site.com"),
+        ("http://Host.org/path/", "http://host.org/path", "host.org"),
+        ("https://a.b/?utm_x=1", "https://a.b", "a.b"),
+        ("no-scheme-just-text", "no-scheme-just-text", ""),
+    ]
+    d = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
+                              "i long, u string")
+    got = {r.i: (r.n, r.h) for r in
+           d.select("i", normalize_url(F.col("u")).alias("n"),
+                    url_host(F.col("u")).alias("h")).collect()}
+    for i, (_, want_n, want_h) in enumerate(cases):
+        assert got[i] == (want_n, want_h), (i, got[i])
