@@ -126,3 +126,26 @@ def test_new_gate_plan_shapes(spark):
     suite = _plan(spark, "similarity_topk_suite")
     assert "CartesianProduct" not in suite
     assert "Exchange SinglePartition" not in suite
+
+
+def test_round2_suite_plan_shapes(spark):
+    """The round-2 merged suites and layout gates keep scale-correct
+    shapes: selection is map-side (its only join is the broadcast of the
+    dimension-sized per-group threshold table), the batch layout's only
+    exchange partitions by shard (never a single partition), the
+    token-stats top-k plans as TakeOrderedAndProject, and the bigram LM
+    joins its model broadcast."""
+    sel = _plan(spark, "selection_suite")
+    assert "SortMergeJoin" not in sel
+    assert "Exchange SinglePartition" not in sel
+    assert "CartesianProduct" not in sel
+    bl = _plan(spark, "batch_layout")
+    assert "Exchange SinglePartition" not in bl
+    assert "Join" not in bl
+    ts = _plan(spark, "token_stats_suite")
+    assert "TakeOrderedAndProject" in ts
+    assert "CartesianProduct" not in ts
+    lm2 = _plan(spark, "bigram_lm_score")
+    assert "BroadcastHashJoin" in lm2 and "SortMergeJoin" not in lm2
+    url = _plan(spark, "url_normalize")
+    assert url.count("Exchange") == 0 and "Join" not in url
