@@ -316,3 +316,59 @@ def write_bucketed_table(df: DataFrame, name: str, *, bucket_col: str,
     if path:
         w = w.option("path", path)  # external table at an explicit location
     w.saveAsTable(name)
+
+
+def write_training_shards(df: DataFrame, path: str, *, id_col: str,
+                          len_col: str, n_shards: int,
+                          batch_size: int | None = None,
+                          mode: str = "overwrite") -> dict:
+    """Write a corpus as the training-loader layout: ``shard=K/`` parquet
+    directories with deterministic hash-shard assignment (optionally
+    length-bucketed ``batch_idx``/``pos_in_batch`` columns so the loader
+    streams padding-efficient batches straight off disk, no per-epoch
+    sort), plus a ``_manifest.json`` recording per-shard document/token
+    totals and a content checksum.
+
+    Scale shape: shard assignment is a map-side hash expression; the only
+    shuffle is the optional per-shard batch window, and each shard
+    directory is written by its own tasks, so output parallelism is
+    ``n_shards`` regardless of input layout. The manifest checksum is a
+    ``bit_xor`` of per-row hashes — order-insensitive and overflow-free,
+    so retries and AQE re-plans cannot change it. Returns the manifest.
+    """
+    from ..llm.packing import hash_order, length_bucketed_batches
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if batch_size is not None:
+        laid = length_bucketed_batches(df, id_col, len_col,
+                                       batch_size, n_shards)
+        out = df.join(
+            laid.select(F.col("doc_id").alias("__lid"), "shard",
+                        "batch_idx", "pos_in_batch"),
+            df[id_col] == F.col("__lid")).drop("__lid")
+    else:
+        out = df.withColumn(
+            "shard", F.pmod(hash_order(F.col(id_col)),
+                            F.lit(n_shards)).cast("int"))
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+    back = df.sparkSession.read.parquet(path)
+    rows = (back.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                 F.sum(F.col(len_col).cast("long")).alias("tokens"),
+                 F.expr(f"bit_xor(xxhash64(CAST({id_col} AS STRING)))")
+                  .alias("checksum"))
+            .collect())
+    manifest = {
+        "n_shards": n_shards,
+        "shards": sorted(
+            ({"shard": int(r["shard"]), "docs": int(r["docs"]),
+              "tokens": int(r["tokens"]), "checksum": int(r["checksum"])}
+             for r in rows), key=lambda s: s["shard"]),
+    }
+    import json
+    import os
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

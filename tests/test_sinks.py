@@ -180,3 +180,51 @@ def test_bigquery_stub_load_job(spark, tmp_path):
                     "writeDisposition": "WRITE_APPEND",
                     "intermediateFormat": "parquet",
                     "temporaryGcsBucket": "b"}
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Sharded training layout: every document lands in exactly one
+    shard, shard assignment matches the deterministic hash, the manifest
+    totals/checksums match an independent recomputation, and the batched
+    variant carries loader-ready (batch_idx, pos_in_batch) columns."""
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.llm.packing import hash_order
+    from tally_database_loader_spark.sinks.writers import write_training_shards
+    from tally_database_loader_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    path = str(tmp_path / "shards")
+    man = write_training_shards(d, path, id_col="doc_id",
+                                len_col="n_chars", n_shards=4)
+    assert man["n_shards"] == 4 and len(man["shards"]) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    # assignment is the documented hash, not arbitrary
+    bad = back.filter(
+        F.col("shard") != F.pmod(hash_order(F.col("doc_id")), F.lit(4))
+        .cast("int")).count()
+    assert bad == 0
+    # manifest matches an independent recomputation from the files
+    ref = {r["shard"]: r for r in
+           back.groupBy("shard")
+               .agg(F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_chars").alias("tokens"),
+                    F.expr("bit_xor(xxhash64(CAST(doc_id AS STRING)))")
+                     .alias("checksum")).collect()}
+    for s in man["shards"]:
+        r = ref[s["shard"]]
+        assert (s["docs"], s["tokens"], s["checksum"]) == \
+            (r["docs"], r["tokens"], r["checksum"])
+    # hash shards balance within a loose envelope on 500 docs
+    docs = [s["docs"] for s in man["shards"]]
+    assert max(docs) <= 2 * min(docs)
+
+    batched = str(tmp_path / "batched")
+    write_training_shards(d, batched, id_col="doc_id", len_col="n_chars",
+                          n_shards=2, batch_size=16)
+    b = spark.read.parquet(batched)
+    assert {"batch_idx", "pos_in_batch", "shard"} <= set(b.columns)
+    assert b.count() == d.count()
+    full = b.filter(F.col("batch_idx") == 0).groupBy("shard").count().collect()
+    assert all(r["count"] == 16 for r in full)
