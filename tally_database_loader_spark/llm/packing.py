@@ -138,7 +138,8 @@ def group_split(docs: DataFrame, group_col: str,
 
 
 def length_bucketed_batches(docs: DataFrame, id_col: str, len_col: str,
-                            batch_size: int, n_shards: int) -> DataFrame:
+                            batch_size: int, n_shards: int,
+                            passthrough: bool = False) -> DataFrame:
     """Padding-efficient batch layout: deterministically shard the corpus,
     sort each shard by length, and cut fixed-size batches — so a batch
     holds similar-length documents and the pad-to-max waste collapses
@@ -146,30 +147,39 @@ def length_bucketed_batches(docs: DataFrame, id_col: str, len_col: str,
     relationally instead of per-epoch in the loader).
 
     Sharding is ``hash(doc_id) mod n_shards`` (keyed md5 — retry-stable,
-    engine-reproducible); within a shard documents order by
+    engine-reproducible; a NULL id hashes under the same sentinel
+    ``group_split`` uses, so NULL-id rows shard deterministically instead
+    of collapsing into a NULL shard); within a shard documents order by
     ``(length, doc_id)`` and batch ``(rank-1) div batch_size``. The sort
     is per shard — the window shuffle partitions on the shard key, so no
     global ordering bottleneck exists at any corpus size; shards are
     hash-balanced in expectation.
 
-    Output: ``shard, batch_idx, doc_id, n_tokens, pos_in_batch``.
+    Output: ``shard, batch_idx, doc_id, n_tokens, pos_in_batch`` — or,
+    with ``passthrough=True``, ALL input columns plus ``shard``,
+    ``batch_idx``, ``pos_in_batch`` (the writer-side form: one window, no
+    join back to the input, exact even for duplicate or NULL ids).
     """
     if batch_size <= 0 or n_shards <= 0:
         raise ValueError("batch_size and n_shards must be positive")
-    shard = F.pmod(hash_order(F.col(id_col)), F.lit(n_shards)).cast("int")
-    # the window runs over the ALIASED projection (shard/doc_id/n_tokens),
-    # so it must order by the aliased names, not the caller's columns
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<null>"))
+    shard = F.pmod(hash_order(key), F.lit(n_shards)).cast("int")
+    # the window runs over the derived frame, so it orders by the derived
+    # length column, not the caller's
     w = (W.partitionBy("shard")
-          .orderBy(F.asc_nulls_last("n_tokens"), F.asc_nulls_last("doc_id")))
-    d = (docs.select(shard.alias("shard"),
-                     F.col(id_col).alias("doc_id"),
-                     F.col(len_col).cast("long").alias("n_tokens"))
-             .withColumn("__rn", F.row_number().over(w)))
-    return d.select(
-        "shard",
-        F.expr(f"(__rn - 1) div {batch_size}").cast("int").alias("batch_idx"),
-        "doc_id", "n_tokens",
-        F.expr(f"(__rn - 1) % {batch_size}").cast("int").alias("pos_in_batch"))
+          .orderBy(F.asc_nulls_last("__len"), F.asc_nulls_last(id_col)))
+    d = (docs.withColumn("shard", shard)
+             .withColumn("__len", F.col(len_col).cast("long"))
+             .withColumn("__rn", F.row_number().over(w))
+             .withColumn("batch_idx",
+                         F.expr(f"(__rn - 1) div {batch_size}").cast("int"))
+             .withColumn("pos_in_batch",
+                         F.expr(f"(__rn - 1) % {batch_size}").cast("int")))
+    if passthrough:
+        return d.drop("__rn", "__len")
+    return d.select("shard", "batch_idx",
+                    F.col(id_col).alias("doc_id"),
+                    F.col("__len").alias("n_tokens"), "pos_in_batch")
 
 
 def batch_padding_stats(batches: DataFrame) -> DataFrame:

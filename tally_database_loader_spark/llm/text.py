@@ -273,29 +273,42 @@ def html_to_text(html: Column) -> Column:
 
 def normalize_url(url: Column) -> Column:
     """Canonicalize a URL for crawl dedup/grouping (the C4/CommonCrawl
-    convention): strip the fragment, drop ``utm_*`` tracking params,
-    strip a ``www.`` host prefix and any trailing slash, and lowercase
-    the scheme+authority while PRESERVING path/query case (paths are
-    case-sensitive; hosts are not).
+    convention): strip the fragment, drop ``utm_*`` tracking params
+    (case-insensitively, anchored to parameter boundaries — a param whose
+    NAME merely contains ``utm_`` is preserved), strip a leading ``www.``
+    and any trailing PATH slash, and lowercase the scheme+authority while
+    preserving path/query case (paths are case-sensitive; hosts are not).
 
-    Every step is one ``regexp_replace`` with no backreferences — Java
-    regex and RE2 disagree on backreference syntax ($1 vs \\1), so the
-    patterns avoid them entirely and a SQL oracle replays the chain
-    byte-for-byte. Zero Python, zero shuffle.
+    The www-strip and slash-strip are anchored to the authority/path by
+    working on the split pieces, never on the whole string — query values
+    that embed a URL or end in '/' survive untouched. Every step is a
+    backreference-free ``regexp_replace``/``regexp_extract`` (Java regex
+    and RE2 disagree on backreference syntax, and RE2 has no lookaround),
+    so a SQL oracle replays the chain byte-for-byte. Zero Python, zero
+    shuffle.
     """
-    u = F.regexp_replace(url, r"#.*", "")               # fragment
-    u = F.regexp_replace(u, r"utm_[^&#]*&", "")          # utm_, mid-query
-    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")       # utm_, last param
-    # lowercase scheme+authority BEFORE the www strip, or an uppercase
-    # 'WWW.' would survive the case-sensitive pattern
+    u = F.regexp_replace(url, r"#.*", "")                # fragment
+    # utm_* params: non-first, then first-with-successor, then first-alone
+    u = F.regexp_replace(u, r"(?i)&utm_[^&#]*", "")
+    u = F.regexp_replace(u, r"(?i)\?utm_[^&#]*&", "?")
+    u = F.regexp_replace(u, r"(?i)\?utm_[^&#]*$", "")
     head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1))
     tail = F.regexp_replace(u, r"^[^/]*//[^/?#]*", "")
-    lc = F.when(head == "", u).otherwise(F.concat(head, tail))
-    lc = F.regexp_replace(lc, r"://www\.", "://")        # www strip
-    return F.regexp_replace(lc, r"/+$", "")              # trailing slash
+    scheme = F.regexp_extract(head, r"^[a-z]+://", 0)
+    rest = F.regexp_replace(F.regexp_replace(head, r"^[a-z]+://", ""),
+                            r"^www\.", "")
+    path = F.regexp_replace(F.regexp_extract(tail, r"^[^?]*", 0),
+                            r"/+$", "")
+    query = F.regexp_replace(tail, r"^[^?]*", "")
+    return F.when(head == "", F.regexp_replace(u, r"/+$", "")) \
+            .otherwise(F.concat(scheme, rest, path, query))
 
 
 def url_host(url: Column) -> Column:
     """Registered host of a (normalized) URL — the key for per-domain
-    caps, domain mixture stats, and leakage-safe splits."""
-    return F.regexp_extract(normalize_url(url), r"^[a-z]+://([^/:?#]+)", 1)
+    caps, domain mixture stats, and leakage-safe splits. Userinfo
+    (``user:pass@``) and the port are stripped, so credentialed URLs key
+    on the actual domain."""
+    auth = F.regexp_extract(normalize_url(url), r"^[a-z]+://([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r"^[^/@]*@", "")
+    return F.regexp_replace(host, r":.*", "")

@@ -1785,21 +1785,25 @@ _DD_URLIFY = ("'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/' || "
 
 _DD_URL_NORM = """
 SELECT doc_id,
-       regexp_replace(regexp_replace(lc, '://www\\.', '://', 'g'),
-                      '/+$', '', 'g') AS norm
+       CASE WHEN head = '' THEN regexp_replace(u, '/+$', '', 'g')
+            ELSE regexp_extract(head, '^[a-z]+://')
+                 || regexp_replace(regexp_replace(head, '^[a-z]+://', ''),
+                                   '^www\\.', '')
+                 || regexp_replace(regexp_extract(tail, '^[^?]*'),
+                                   '/+$', '', 'g')
+                 || regexp_replace(tail, '^[^?]*', '')
+       END AS norm
 FROM (
-  SELECT doc_id,
-         CASE WHEN lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1)) = ''
-              THEN u
-              ELSE lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1))
-                   || regexp_replace(u, '^[^/]*//[^/?#]*', '')
-         END AS lc
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1)) AS head,
+         regexp_replace(u, '^[^/]*//[^/?#]*', '') AS tail
   FROM (
     SELECT doc_id,
-           regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
              regexp_replace(raw, '#.*', '', 'g'),
-             'utm_[^&#]*&', '', 'g'),
-             '[?&]utm_[^&#]*', '', 'g') AS u
+             '(?i)&utm_[^&#]*', '', 'g'),
+             '(?i)\\?utm_[^&#]*&', '?', 'g'),
+             '(?i)\\?utm_[^&#]*$', '', 'g') AS u
     FROM raws
   )
 )"""
@@ -1971,7 +1975,9 @@ def _urlify_payload() -> "F.Column":
 WITH raws AS (SELECT doc_id, {_DD_URLIFY} AS raw FROM documents),
 normed AS ({_DD_URL_NORM})
 SELECT doc_id,
-       regexp_extract(norm, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       regexp_replace(regexp_replace(
+         regexp_extract(norm, '^[a-z]+://([^/?#]*)', 1),
+         '^[^/@]*@', '', 'g'), ':.*', '', 'g') AS host,
        md5(norm) AS norm_md5,
        CAST(length(norm) AS INT) AS n_chars
 FROM normed

@@ -329,28 +329,27 @@ def write_training_shards(df: DataFrame, path: str, *, id_col: str,
     sort), plus a ``_manifest.json`` recording per-shard document/token
     totals and a content checksum.
 
-    Scale shape: shard assignment is a map-side hash expression; the only
-    shuffle is the optional per-shard batch window, and each shard
-    directory is written by its own tasks, so output parallelism is
-    ``n_shards`` regardless of input layout. The manifest checksum is a
-    ``bit_xor`` of per-row hashes — order-insensitive and overflow-free,
-    so retries and AQE re-plans cannot change it. Returns the manifest.
+    Scale shape: shard assignment is a map-side hash expression over the
+    full-width rows — the batched variant runs ONE per-shard window
+    (``length_bucketed_batches(passthrough=True)``), never a join back to
+    the input, so duplicate or NULL ids cannot fan out or drop rows. The
+    manifest checksum is a ``bit_xor`` of per-row hashes —
+    order-insensitive and overflow-free, so retries and AQE re-plans
+    cannot change it — and is written through the Hadoop FileSystem API,
+    so ``s3a://``/``abfs://``/``hdfs://`` destinations work exactly like
+    local paths. Returns the manifest dict.
     """
     from ..llm.packing import hash_order, length_bucketed_batches
 
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     if batch_size is not None:
-        laid = length_bucketed_batches(df, id_col, len_col,
-                                       batch_size, n_shards)
-        out = df.join(
-            laid.select(F.col("doc_id").alias("__lid"), "shard",
-                        "batch_idx", "pos_in_batch"),
-            df[id_col] == F.col("__lid")).drop("__lid")
+        out = length_bucketed_batches(df, id_col, len_col, batch_size,
+                                      n_shards, passthrough=True)
     else:
+        key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<null>"))
         out = df.withColumn(
-            "shard", F.pmod(hash_order(F.col(id_col)),
-                            F.lit(n_shards)).cast("int"))
+            "shard", F.pmod(hash_order(key), F.lit(n_shards)).cast("int"))
     out.write.mode(mode).partitionBy("shard").parquet(path)
 
     back = df.sparkSession.read.parquet(path)
@@ -364,11 +363,19 @@ def write_training_shards(df: DataFrame, path: str, *, id_col: str,
         "n_shards": n_shards,
         "shards": sorted(
             ({"shard": int(r["shard"]), "docs": int(r["docs"]),
-              "tokens": int(r["tokens"]), "checksum": int(r["checksum"])}
+              "tokens": int(r["tokens"]),
+              "checksum": int(r["checksum"]) if r["checksum"] is not None
+              else 0}
              for r in rows), key=lambda s: s["shard"]),
     }
-    import json
-    import os
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/_manifest.json")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, indent=1,
+                                          sort_keys=True).encode("utf-8")))
+    finally:
+        stream.close()
     return manifest

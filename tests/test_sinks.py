@@ -228,3 +228,19 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert b.count() == d.count()
     full = b.filter(F.col("batch_idx") == 0).groupBy("shard").count().collect()
     assert all(r["count"] == 16 for r in full)
+
+
+def test_write_training_shards_duplicate_and_null_ids(spark, tmp_path):
+    """The batched path must neither fan out duplicate ids (the old
+    self-join multiplied rows k x k) nor drop NULL-id rows; totals in the
+    manifest match the input exactly."""
+    from tally_database_loader_spark.sinks.writers import write_training_shards
+    rows = [(1, 10), (1, 20), (1, 30), (2, 5), (None, 7), (None, 9)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    path = str(tmp_path / "dups")
+    man = write_training_shards(d, path, id_col="doc_id",
+                                len_col="n_chars", n_shards=2, batch_size=2)
+    back = spark.read.parquet(path)
+    assert back.count() == len(rows)
+    assert sum(s["docs"] for s in man["shards"]) == len(rows)
+    assert sum(s["tokens"] for s in man["shards"]) == sum(n for _, n in rows)
