@@ -39,7 +39,7 @@ from .packing import hash_order
 from .text import tokens as _tokens
 
 __all__ = ["unigram_logprob", "bigram_logprob", "temperature_resample",
-           "cooccurrence_pmi", "bpe_pair_counts"]
+           "cooccurrence_pmi", "bpe_pair_counts", "dsir_importance"]
 
 _Q = 1_000_000  # fixed-point scale for log-prob quantization
 _H = 1 << 20    # hash-threshold denominator for sampling
@@ -170,6 +170,71 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
                  .agg(F.sum("wc").cast("long").alias("n_pairs"))
                  .orderBy(F.desc("n_pairs"), "a", "b")
                  .limit(top_k))
+
+
+def dsir_importance(docs: DataFrame, target: Column,
+                    n_buckets: int = 4096, add_k: int = 1,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed-unigram features are under a *target* domain than under the
+    raw corpus — ``Σ_tokens log(p_target(bucket)/p_raw(bucket))``. The
+    top of the ranking is the raw data that "looks like" the target;
+    resampling by this weight shifts the corpus mixture toward it.
+
+    ``target`` is a boolean Column over ``docs`` marking the target-domain
+    examples (e.g. ``F.col('lang') == 'en'`` or a quality-classifier
+    verdict). Features are token hash-buckets (``n_buckets`` of them) so
+    the two "models" are fixed-width count vectors regardless of
+    vocabulary — the DSIR trick that makes the fit one aggregation.
+
+    Scale shape: one token explode; one bucket-count aggregation bounded
+    by ``n_buckets`` (map-side partial agg does almost all the work); the
+    bucket-score table (≤ n_buckets rows) broadcasts back onto the token
+    stream; the per-document sum aggregates map-side. The two corpus
+    totals are probe-then-parameterize scalars (BM25 discipline).
+
+    Float discipline: per-token log-ratios quantize to fixed-point BIGINT
+    before the per-document sum. The ratio is computed as
+    ``((ct+k)/(cr+k)) · ((Nr+kB)/(Nt+kB))`` — two correctly-rounded
+    double divisions of exact integers and one multiply (overflow-free at
+    any corpus size, unlike a cross-product numerator), then one ``ln``:
+    bit-reproducible across engines, associative under AQE/retries.
+
+    Output: ``doc_id, n_tokens, dsir_logratio`` (mean per-token log
+    importance ratio; NULL for token-less documents; higher = more
+    target-like).
+    """
+    if n_buckets <= 0 or add_k <= 0:
+        raise ValueError("n_buckets and add_k must be positive")
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      target.alias("is_t"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn(
+        "bkt", F.pmod(hash_order(F.col("tok")), F.lit(n_buckets)))
+    counts = tok.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"))
+    totals = counts.agg(F.sum("ct"), F.sum("cr")).first()
+    n_t, n_r = int(totals[0] or 0), int(totals[1])
+    # p_t/p_r = ((ct+k)/(cr+k)) · ((Nr+kB)/(Nt+kB)) — per-bucket double
+    # division times a constant double ratio, one ln, quantized.
+    c_ratio = float(n_r + add_k * n_buckets) / float(n_t + add_k * n_buckets)
+    ratio = ((F.col("ct") + F.lit(add_k)).cast("double")
+             / (F.col("cr") + F.lit(add_k)).cast("double")) * F.lit(c_ratio)
+    q = F.floor(F.log(ratio) * F.lit(_Q)).cast("long")
+    scored = (tok.join(F.broadcast(counts), "bkt")
+                 .groupBy("doc_id")
+                 .agg(F.sum(q).alias("qsum"), F.count("*").alias("n")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+                .join(scored, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("n"), F.lit(0)).cast("int")
+                         .alias("n_tokens"),
+                        (F.col("qsum").cast("double")
+                         / (F.col("n") * F.lit(_Q)).cast("double"))
+                        .alias("dsir_logratio")))
 
 
 def temperature_resample(docs: DataFrame, group_col: str, id_col: str,

@@ -178,6 +178,78 @@ def fingerprint_rolling(text: Column) -> Column:
 # PII scrubbing (corpus sanitization before training)
 # ---------------------------------------------------------------------------
 
+# Gopher rule-filter constants (Rae et al. 2021, table A1 thresholds).
+# The required-stopword set is Gopher's own; thresholds are parameters so
+# short-document corpora (like the bench tables) can tighten them.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that",
+                             "have", "with"]
+# a line that *starts with* a bullet glyph / *ends with* an ellipsis
+_BULLET_START = r"^\s*[-*•]"
+_ELLIPSIS_END = r"(\.\.\.|…)\s*$"
+# symbol classes Gopher counts against the word count: '#' and ellipses
+_SYMBOLS = r"#|\.\.\.|…"
+
+
+def gopher_columns(text: Column, min_words: int = 50,
+                   max_words: int = 100_000) -> dict[str, Column]:
+    """Gopher-style rule-filter signals: per-rule booleans plus the raw
+    ratios they threshold, and a composite ``gopher_pass``.
+
+    Rules (Rae et al. 2021): word count in [min_words, max_words]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#'/ellipsis) <= 0.1;
+    <= 90% of lines bullet-started; <= 30% of lines ellipsis-ended;
+    >= 80% of words contain an alphabetic character; >= 2 distinct
+    required stopwords present.
+
+    Scale shape: one projection pass, all JVM-side regex/array
+    expressions inside whole-stage codegen — zero shuffles, composes
+    with any downstream filter in the same stage. Every expression has
+    an exact DuckDB twin (integer counts; the only doubles are single
+    divisions of exact integers — IEEE-identical across engines)."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    # sum of token lengths == length of the gap-free concatenation
+    mean_word_len = (F.length(F.concat_ws("", toks)).cast("double") / denom_w)
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(_SYMBOLS), 0))
+    symbol_ratio = n_symbols.cast("double") / denom_w
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (F.size(F.filter(lines, lambda l: l.rlike(_BULLET_START)))
+                   .cast("double") / n_lines)
+    ellipsis_frac = (F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END)))
+                     .cast("double") / n_lines)
+    alpha_frac = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+                  .cast("double") / denom_w)
+    n_req_stops = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])))
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "r_symbol_ratio": symbol_ratio <= 0.1,
+        "r_bullet_lines": bullet_frac <= 0.9,
+        "r_ellipsis_lines": ellipsis_frac <= 0.3,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": n_req_stops >= 2,
+    }
+    out: dict[str, Column] = {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "n_req_stopwords": n_req_stops.cast("int"),
+    }
+    passed = F.lit(True)
+    for name, rule in rules.items():
+        out[name] = rule
+        passed = passed & rule
+    out["gopher_pass"] = passed
+    return out
+
+
 # Patterns restricted to syntax with identical semantics in Java regex
 # (Spark, backtracking) and RE2 (DuckDB oracle, leftmost-longest): no
 # alternation between overlapping branches, no lookaround.

@@ -1195,6 +1195,43 @@ def quantized_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
+_DD_GOPHER_METRICS = """
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(len(array_to_string(t, '')) AS DOUBLE)
+           / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+           / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+           / CAST(greatest(len(ls), 1) AS DOUBLE) AS bullet_frac,
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+           / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipsis_frac,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS INT)
+           AS n_req_stopwords
+  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+               string_split(text, chr(10)) AS ls
+        FROM documents)
+"""
+
+_DD_GOPHER_RULES = """
+       CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS r_word_count,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol_ratio,
+       CAST(bullet_frac <= 0.9 AS INT) AS r_bullet_lines,
+       CAST(ellipsis_frac <= 0.3 AS INT) AS r_ellipsis_lines,
+       CAST(alpha_frac >= 0.8 AS INT) AS r_alpha_words,
+       CAST(n_req_stopwords >= 2 AS INT) AS r_stopwords,
+       CAST(n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+            AND n_req_stopwords >= 2 AS INT) AS gopher_pass
+"""
+
+
 # ---------------------------------------------------------------------------
 # merged driver-window gates: several single-pass families in one slot
 # ---------------------------------------------------------------------------
@@ -1250,15 +1287,18 @@ SELECT doc_id,
             ELSE 0.0 END AS dup_bigram_frac,
        CASE WHEN len(g3) > 0
             THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
-            ELSE 0.0 END AS dup_trigram_frac
-FROM q JOIN rep USING (doc_id)
+            ELSE 0.0 END AS dup_trigram_frac,
+       gm.mean_word_len, gm.symbol_ratio, gm.bullet_frac, gm.ellipsis_frac,
+       gm.alpha_frac, gm.n_req_stopwords,
+{_DD_GOPHER_RULES}
+FROM q JOIN rep USING (doc_id) JOIN ({_DD_GOPHER_METRICS}) gm USING (doc_id)
 """)
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined text-analysis profile: token counts + quality scoring +
-    language ID + fingerprints + Gopher repetition signals (llm/text.py)
-    in ONE projection pass.
+    language ID + fingerprints + Gopher repetition signals + Gopher rule
+    filters (llm/text.py) in ONE projection pass.
 
-    This is both the driver-window representative for all five families
+    This is both the driver-window representative for all six families
     (each also registered standalone) and the shape the operators take in
     production: at 100 TB you never scan the corpus five times for five
     per-document columns — one wide codegen'd projection computes them
@@ -1271,6 +1311,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     quality = tx.quality_columns(t)
     repetition = tx.repetition_columns(t)
+    gopher = tx.gopher_columns(t, min_words=20)
+    gopher.pop("n_words")  # already emitted by word_token_count
     return d.select(
         "doc_id",
         tx.whitespace_token_count(t).alias("n_ws_tokens"),
@@ -1281,7 +1323,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.lang_id(t).alias("lang_pred"),
         tx.fingerprint_md5(t).alias("fp_md5"),
         tx.fingerprint_rolling(t).alias("fp_rolling"),
-        *[c.alias(n) for n, c in repetition.items()])
+        *[c.alias(n) for n, c in repetition.items()],
+        *[(c.cast("int").alias(n)
+           if n.startswith("r_") or n == "gopher_pass" else c.alias(n))
+          for n, c in gopher.items()])
 
 
 _DD_SUITE_TOPK = """
@@ -1674,7 +1719,26 @@ uscored AS (
   FROM utok t JOIN ucounts c USING (tok)
   GROUP BY t.doc_id
 ),
-{_DD_BIGRAM_LM}
+{_DD_BIGRAM_LM},
+ddb AS (SELECT doc_id,
+               {_dd_hex15("substr(md5(tok), 1, 15)")} % 4096 AS bkt,
+               (lang = 'en') AS is_t
+        FROM (SELECT doc_id, lang, unnest({_DD_TOKENS}) AS tok
+              FROM documents)),
+ddc AS (SELECT bkt,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM ddb GROUP BY 1),
+ddt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+        FROM ddc),
+ddq AS (SELECT bkt,
+               CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+                             * (CAST((SELECT nr FROM ddt) + 4096 AS DOUBLE)
+                                / CAST((SELECT nt FROM ddt) + 4096 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS qv
+        FROM ddc),
+dds AS (SELECT ddb.doc_id, SUM(ddq.qv) AS qsum, COUNT(*) AS n
+        FROM ddb JOIN ddq USING (bkt) GROUP BY 1)
 SELECT 'unigram' AS method, d.doc_id,
        CAST(COALESCE(s.n, 0) AS INT) AS n_units,
        CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS score
@@ -1684,13 +1748,20 @@ SELECT 'bigram', d.doc_id,
        CAST(COALESCE(s.nb, 0) AS INT),
        CAST(s.qsum AS DOUBLE) / CAST(s.nb * 1000000 AS DOUBLE)
 FROM documents d LEFT JOIN bscored s ON s.doc_id = d.doc_id
+UNION ALL
+SELECT 'dsir', d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT),
+       CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE)
+FROM documents d LEFT JOIN dds s ON s.doc_id = d.doc_id
 """)
 def lm_score_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality scoring, both orders, one driver slot: corpus
-    unigram LM (CCNet/Gopher perplexity-filter shape) ∪ add-1-smoothed
-    bigram LM (word order matters) — llm/lm.py unigram_logprob /
-    bigram_logprob, each also registered standalone."""
-    from ..llm.lm import bigram_logprob, unigram_logprob
+    """Model-based quality scoring, one driver slot: corpus unigram LM
+    (CCNet/Gopher perplexity-filter shape) ∪ add-1-smoothed bigram LM
+    (word order matters) ∪ DSIR hashed-unigram importance weights
+    (target-domain resampling signal, target = English docs) — llm/lm.py
+    unigram_logprob / bigram_logprob / dsir_importance, each also
+    registered standalone."""
+    from ..llm.lm import bigram_logprob, dsir_importance, unigram_logprob
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
     uni = unigram_logprob(d).select(
@@ -1699,7 +1770,11 @@ def lm_score_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = bigram_logprob(d).select(
         F.lit("bigram").alias("method"), "doc_id",
         F.col("n_bigrams").alias("n_units"), F.col("lm2_score").alias("score"))
-    return uni.unionByName(bi)
+    ds = dsir_importance(d, F.col("lang") == "en").select(
+        F.lit("dsir").alias("method"), "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        F.col("dsir_logratio").alias("score"))
+    return uni.unionByName(bi).unionByName(ds)
 
 
 @gate_query("token_stats_suite", oracle=f"""
@@ -1996,3 +2071,73 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tx.url_host(_urlify_payload()).alias("host"),
                     F.md5(norm).alias("norm_md5"),
                     F.length(norm).cast("int").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filtering (Gopher) + importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+
+
+@gate_query("gopher_rules", oracle=f"""
+WITH gm AS ({_DD_GOPHER_METRICS})
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_req_stopwords,
+{_DD_GOPHER_RULES}
+FROM gm
+""")
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 table A1): per-document
+    rule booleans (word count, mean word length, symbol/bullet/ellipsis
+    ratios, alpha-word fraction, required stopwords) + composite pass —
+    llm/text.py gopher_columns. One codegen'd projection pass, zero
+    shuffles; the rule thresholds are parameters (min_words=20 here so
+    the short bench documents exercise both branches). Booleans surface
+    as INT 0/1 for engine-neutral hashing."""
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cols = tx.gopher_columns(F.col("text"), min_words=20)
+    sel = [F.col("doc_id")]
+    for n, c in cols.items():
+        sel.append(c.cast("int").alias(n)
+                   if n.startswith("r_") or n == "gopher_pass"
+                   else c.alias(n))
+    return d.select(*sel)
+
+
+@gate_query("dsir_weights", oracle=f"""
+WITH dtok AS (SELECT doc_id, (lang = 'en') AS is_t, unnest({_DD_TOKENS}) AS tok
+              FROM documents),
+db AS (SELECT doc_id, is_t,
+              {_dd_hex15("substr(md5(tok), 1, 15)")} % 4096 AS bkt
+       FROM dtok),
+dcounts AS (SELECT bkt,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(COUNT(*) AS BIGINT) AS cr
+            FROM db GROUP BY 1),
+dtot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+         FROM dcounts),
+dq AS (SELECT bkt,
+              CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+                            * (CAST((SELECT nr FROM dtot) + 4096 AS DOUBLE)
+                               / CAST((SELECT nt FROM dtot) + 4096 AS DOUBLE)))
+                         * 1000000) AS BIGINT) AS qv
+       FROM dcounts),
+dscored AS (SELECT db.doc_id, SUM(dq.qv) AS qsum, COUNT(*) AS n
+            FROM db JOIN dq USING (bkt) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT) AS n_tokens,
+       CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS dsir_logratio
+FROM documents d LEFT JOIN dscored s ON s.doc_id = d.doc_id
+""")
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document
+    Σ log(p_target/p_raw) over 4096 hashed-unigram buckets, target =
+    English documents — llm/lm.py dsir_importance. The "model fit" is one
+    bucket-count aggregation (4096 rows, broadcast back); ranking by the
+    weight is the importance-resampling selection signal that shifts a
+    raw crawl toward a target domain."""
+    from ..llm.lm import dsir_importance
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return dsir_importance(d, F.col("lang") == "en")

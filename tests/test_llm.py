@@ -473,3 +473,49 @@ def test_normalize_url_semantics(spark):
                     url_host(F.col("u")).alias("h")).collect()}
     for i, (_, want_n, want_h) in enumerate(cases):
         assert got[i] == (want_n, want_h), (i, got[i])
+
+
+def test_gopher_columns_rules_fire_correctly(spark):
+    from tally_database_loader_spark.llm.text import gopher_columns
+    good = ("the quick brown fox jumps over the lazy dog and then runs to "
+            "be with all of that other animals that have fun with friends")
+    bullets = "- one\n- two\n- three\n- four"
+    dots = "first line...\nsecond line…\nthird ok"
+    symbols = "# # # # tag"
+    numbers = "111 222 333 444 555"
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, numbers)],
+        "doc_id long, text string")
+    cols = gopher_columns(F.col("text"), min_words=5)
+    got = {r.doc_id: r for r in
+           docs.select("doc_id",
+                       *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert got[1].gopher_pass  # fluent english, all rules pass
+    assert got[1].n_req_stopwords >= 2 and got[1].r_alpha_words
+    assert not got[2].r_bullet_lines          # 4/4 lines bullet-started
+    assert not got[3].r_ellipsis_lines        # 2/3 lines ellipsis-ended
+    assert not got[4].r_symbol_ratio          # 4 symbols / 2 words
+    assert not got[5].r_alpha_words and not got[5].gopher_pass
+    # ratio columns are consistent with the booleans
+    assert got[2].bullet_frac == 1.0
+    assert abs(got[3].ellipsis_frac - 2.0 / 3.0) < 1e-12
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from tally_database_loader_spark.llm.lm import dsir_importance
+    target_text = "alpha beta gamma delta alpha beta"
+    raw_text = "omega sigma rho tau omega sigma"
+    rows = ([(i, target_text, True) for i in range(10)]
+            + [(100 + i, raw_text, False) for i in range(10)]
+            # two probe docs, both non-target: one target-like, one raw-like
+            + [(900, "alpha beta gamma", False),
+               (901, "omega sigma rho", False),
+               (902, "", False)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {r.doc_id: r for r in
+           dsir_importance(docs, F.col("is_t"), n_buckets=256).collect()}
+    # the target-like probe scores strictly above the raw-like probe
+    assert got[900].dsir_logratio > got[901].dsir_logratio
+    # target vocabulary is over-represented in the target model
+    assert got[900].dsir_logratio > 0 > got[901].dsir_logratio
+    assert got[902].n_tokens == 0 and got[902].dsir_logratio is None
