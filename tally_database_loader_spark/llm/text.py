@@ -175,7 +175,7 @@ def fingerprint_rolling(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# PII scrubbing (corpus sanitization before training)
+# Gopher-style rule filtering (rule-based corpus quality gates)
 # ---------------------------------------------------------------------------
 
 # Gopher rule-filter constants (Rae et al. 2021, table A1 thresholds).
@@ -183,9 +183,11 @@ def fingerprint_rolling(text: Column) -> Column:
 # short-document corpora (like the bench tables) can tighten them.
 GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that",
                              "have", "with"]
-# a line that *starts with* a bullet glyph / *ends with* an ellipsis
-_BULLET_START = r"^\s*[-*•]"
-_ELLIPSIS_END = r"(\.\.\.|…)\s*$"
+# a line that *starts with* a bullet glyph / *ends with* an ellipsis;
+# explicit [ \t] instead of \s — Java \s includes \x0B, RE2's does not,
+# and these patterns must be exact DuckDB twins
+_BULLET_START = r"^[ \t]*[-*•]"
+_ELLIPSIS_END = r"(\.\.\.|…)[ \t]*$"
 # symbol classes Gopher counts against the word count: '#' and ellipses
 _SYMBOLS = r"#|\.\.\.|…"
 
@@ -249,6 +251,10 @@ def gopher_columns(text: Column, min_words: int = 50,
     out["gopher_pass"] = passed
     return out
 
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (corpus sanitization before training)
+# ---------------------------------------------------------------------------
 
 # Patterns restricted to syntax with identical semantics in Java regex
 # (Spark, backtracking) and RE2 (DuckDB oracle, leftmost-longest): no

@@ -38,7 +38,8 @@ _WINDOW = [
     "interval_attribution", "hypertable_rollup", "gap_fill_locf",
     # real reference reports over the derived 22-table model
     "report_trial_balance", "report_profit_loss", "report_stock_summary",
-    # text analysis (5 families in one pass) + dedup modalities
+    # text analysis (6 families in one pass, incl. Gopher rule filters)
+    # + dedup modalities
     "text_profile", "dedup_exact", "minhash_lsh_dedup", "simhash_parity",
     "span_dedup", "dedup_clusters", "incremental_dedup",
     "embedding_cosine_dups",
@@ -46,7 +47,7 @@ _WINDOW = [
     "multimodal_decode", "image_resize", "similarity_topk_suite",
     # corpus curation / retrieval / packing / model-based scoring
     # (suites carry several families per slot: lm_score_suite = unigram ∪
-    #  bigram LM; token_stats_suite = vocab ∪ BPE pairs ∪ PMI;
+    #  bigram LM ∪ DSIR weights; token_stats_suite = vocab ∪ BPE ∪ PMI;
     #  normalize_suite = NFC ∪ HTML-extract; selection_suite = stratified
     #  sample ∪ temperature resample ∪ leakage-safe group split)
     "pii_redaction", "normalize_suite", "inverted_index",

@@ -1202,9 +1202,9 @@ _DD_GOPHER_METRICS = """
            / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
          CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
            / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
-         CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
            / CAST(greatest(len(ls), 1) AS DOUBLE) AS bullet_frac,
-         CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+         CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
            / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipsis_frac,
          CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
            / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
@@ -1215,6 +1215,32 @@ _DD_GOPHER_METRICS = """
                string_split(text, chr(10)) AS ls
         FROM documents)
 """
+
+# shared DSIR CTE block (hashed-unigram bucket counts → smoothed
+# target/raw log-ratio, int64-quantized → per-doc sums) — used by BOTH
+# the standalone dsir_weights gate and the lm_score_suite oracle so the
+# two cannot drift. Target = English documents, 4096 buckets, add-1.
+_DD_DSIR_CTES = f"""
+ddb AS (SELECT doc_id,
+               {_dd_hex15("substr(md5(tok), 1, 15)")} % 4096 AS bkt,
+               (lang = 'en') AS is_t
+        FROM (SELECT doc_id, lang, unnest({_DD_TOKENS}) AS tok
+              FROM documents)),
+ddc AS (SELECT bkt,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM ddb GROUP BY 1),
+ddt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+        FROM ddc),
+ddq AS (SELECT bkt,
+               CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+                             * (CAST((SELECT nr FROM ddt) + 4096 AS DOUBLE)
+                                / CAST((SELECT nt FROM ddt) + 4096 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS qv
+        FROM ddc),
+dds AS (SELECT ddb.doc_id, SUM(ddq.qv) AS qsum, COUNT(*) AS n
+        FROM ddb JOIN ddq USING (bkt) GROUP BY 1)"""
+
 
 _DD_GOPHER_RULES = """
        CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS r_word_count,
@@ -1300,8 +1326,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is both the driver-window representative for all six families
     (each also registered standalone) and the shape the operators take in
-    production: at 100 TB you never scan the corpus five times for five
-    per-document columns — one wide codegen'd projection computes them
+    production: at 100 TB you never scan the corpus six times for six
+    per-document column families — one wide codegen'd projection computes them
     together. ``fan_out`` first widens the byte-small, compute-dense text
     scan to cluster parallelism (the n-gram repetition arrays are ~100×
     their storage in compute; at cluster scale the same lever is a lower
@@ -1720,25 +1746,7 @@ uscored AS (
   GROUP BY t.doc_id
 ),
 {_DD_BIGRAM_LM},
-ddb AS (SELECT doc_id,
-               {_dd_hex15("substr(md5(tok), 1, 15)")} % 4096 AS bkt,
-               (lang = 'en') AS is_t
-        FROM (SELECT doc_id, lang, unnest({_DD_TOKENS}) AS tok
-              FROM documents)),
-ddc AS (SELECT bkt,
-               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-               CAST(COUNT(*) AS BIGINT) AS cr
-        FROM ddb GROUP BY 1),
-ddt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
-        FROM ddc),
-ddq AS (SELECT bkt,
-               CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
-                             * (CAST((SELECT nr FROM ddt) + 4096 AS DOUBLE)
-                                / CAST((SELECT nt FROM ddt) + 4096 AS DOUBLE)))
-                          * 1000000) AS BIGINT) AS qv
-        FROM ddc),
-dds AS (SELECT ddb.doc_id, SUM(ddq.qv) AS qsum, COUNT(*) AS n
-        FROM ddb JOIN ddq USING (bkt) GROUP BY 1)
+{_DD_DSIR_CTES}
 SELECT 'unigram' AS method, d.doc_id,
        CAST(COALESCE(s.n, 0) AS INT) AS n_units,
        CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS score
@@ -2106,29 +2114,11 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate_query("dsir_weights", oracle=f"""
-WITH dtok AS (SELECT doc_id, (lang = 'en') AS is_t, unnest({_DD_TOKENS}) AS tok
-              FROM documents),
-db AS (SELECT doc_id, is_t,
-              {_dd_hex15("substr(md5(tok), 1, 15)")} % 4096 AS bkt
-       FROM dtok),
-dcounts AS (SELECT bkt,
-                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                   CAST(COUNT(*) AS BIGINT) AS cr
-            FROM db GROUP BY 1),
-dtot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
-         FROM dcounts),
-dq AS (SELECT bkt,
-              CAST(floor(ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
-                            * (CAST((SELECT nr FROM dtot) + 4096 AS DOUBLE)
-                               / CAST((SELECT nt FROM dtot) + 4096 AS DOUBLE)))
-                         * 1000000) AS BIGINT) AS qv
-       FROM dcounts),
-dscored AS (SELECT db.doc_id, SUM(dq.qv) AS qsum, COUNT(*) AS n
-            FROM db JOIN dq USING (bkt) GROUP BY 1)
+WITH {_DD_DSIR_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(s.n, 0) AS INT) AS n_tokens,
        CAST(s.qsum AS DOUBLE) / CAST(s.n * 1000000 AS DOUBLE) AS dsir_logratio
-FROM documents d LEFT JOIN dscored s ON s.doc_id = d.doc_id
+FROM documents d LEFT JOIN dds s ON s.doc_id = d.doc_id
 """)
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): per-document

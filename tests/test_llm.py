@@ -494,7 +494,7 @@ def test_gopher_columns_rules_fire_correctly(spark):
     assert got[1].n_req_stopwords >= 2 and got[1].r_alpha_words
     assert not got[2].r_bullet_lines          # 4/4 lines bullet-started
     assert not got[3].r_ellipsis_lines        # 2/3 lines ellipsis-ended
-    assert not got[4].r_symbol_ratio          # 4 symbols / 2 words
+    assert not got[4].r_symbol_ratio          # 4 symbols / 1 word ('tag')
     assert not got[5].r_alpha_words and not got[5].gopher_pass
     # ratio columns are consistent with the booleans
     assert got[2].bullet_frac == 1.0
