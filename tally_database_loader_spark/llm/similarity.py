@@ -237,6 +237,142 @@ def centroid_cosine(corpus: DataFrame, id_col: str = "vec_id",
                          cos.alias("cos_centroid"))
 
 
+_KQ = 1 << 14  # component quantization for exact k-means arithmetic
+
+
+def _kmeans_uq(vec: Column) -> Column:
+    """Non-negative integer quantization for exact k-means distances:
+    ``u[i] = clamp(floor(v[i]·2^14 + 0.5), ±2^14) + 2^14`` ∈ [0, 2^15].
+
+    The +2^14 offset makes every value (hence every per-cell component
+    sum) non-negative, so integer division truncates identically in every
+    engine (Spark ``div``, DuckDB ``//``, Python ``//`` all agree on
+    non-negative operands). Distances are differences, so the common
+    offset cancels — cluster geometry is unchanged. The clamp bounds the
+    domain for unnormalized vectors (components beyond ±1 saturate)."""
+    return F.transform(vec, lambda x: (
+        F.least(F.greatest(F.floor(x.cast("double") * F.lit(float(_KQ))
+                                   + F.lit(0.5)),
+                           F.lit(-_KQ)), F.lit(_KQ)) + F.lit(_KQ)).cast("long"))
+
+
+def _argmin_cell(u: Column, cents: list[list[int]]) -> Column:
+    """Index of the nearest centroid by exact integer squared distance
+    (vector components at scale 2^14·2^6 = 2^20, centroids already at
+    2^20); ties break on the lower cell id. Flat codegen expression —
+    n_lists structs, no join, no shuffle. Max magnitude: dim·(2^21)² ≤
+    2^48 for dim ≤ 64 — comfortably int64."""
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(u, F.array(*[F.lit(int(c)).cast("long") for c in cent]),
+                           lambda x, y: (x * F.lit(64) - y) * (x * F.lit(64) - y)),
+                F.lit(0).cast("long"), lambda acc, d: acc + d).alias("dist"),
+            F.lit(j).alias("cell"))
+        for j, cent in enumerate(cents)])
+    return F.array_min(dists).getField("cell")
+
+
+def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic distributed Lloyd k-means in exact integer
+    arithmetic — a coarse quantizer whose every step a SQL engine can
+    replay bit-for-bit (unlike MLlib's ``KMeans``, whose float reductions
+    are partition-order-dependent).
+
+    - **Init**: the ``n_lists`` vectors with the smallest
+      ``md5(cast(id as string))`` (hash order ≈ uniform sample, stable
+      under retries/repartition — the same keyed-hash trick as
+      ``hash_sample``/``domain_cap``).
+    - **Iterate** (fixed ``iters`` rounds): assignment is an ``array_min``
+      over exact integer squared distances (map-side, zero shuffle);
+      the update is one posexplode → groupBy(cell, pos) partial-agg
+      (n_lists × dim groups) whose sums are exact int64; new centroid
+      components are ``(64·sum) div count`` — non-negative integer
+      division, identical in Spark/DuckDB/Python. Cells that lose all
+      vectors keep their previous centroid.
+    - **Scale**: the corpus is scanned once per iteration with a
+      dimension-sized shuffle (n_lists·dim rows); centroids live as plan
+      literals (n_lists × dim ints ≤ a few KB — the same
+      probe-then-parameterize pattern as the BM25 corpus scalars), so
+      lineage does NOT grow with iterations and no checkpoint is needed.
+
+    Returns ``(assignments, centroids)``: the corpus with a ``cell``
+    column, and the final scale-2^20 integer centroid components."""
+    base = corpus.select(F.col(id_col).alias("vid"),
+                         _kmeans_uq(F.col(vec_col)).alias("u"))
+    seed_rows = (base
+                 .withColumn("h", F.md5(F.col("vid").cast("string")))
+                 .orderBy("h", "vid").limit(n_lists).collect())
+    cents = [[64 * int(x) for x in r["u"]] for r in seed_rows]
+    n_lists = len(cents)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        # NB: the argmin projection and the posexplode must be separate
+        # selects — a generator in the same projection as a getField
+        # expression breaks struct-field resolution (Spark 4 analyzer).
+        sums = (base
+                .select(_argmin_cell(F.col("u"), cents).alias("cell"), "u")
+                .select("cell", F.posexplode("u").alias("pos", "uv"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("uv").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect())
+        new = {(r["cell"], r["pos"]): (64 * r["s"]) // r["cnt"] for r in sums}
+        cents = [[new.get((j, p), cents[j][p]) for p in range(dim)]
+                 for j in range(n_lists)]
+    assigned = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        _argmin_cell(_kmeans_uq(F.col(vec_col)), cents).alias("cell"))
+    return assigned, cents
+
+
+def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_lists: int = 8, iters: int = 2, nprobe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN whose coarse quantizer is the exact-integer ``kmeans_cells``
+    — end-to-end deterministic AND SQL-replayable, closing the one gap the
+    MLlib-backed ``ivf_topk`` leaves (its float k-means cannot be
+    oracle-checked; this one is hash-matched by the driver).
+
+    Search mirrors ``ivf_topk``: each query ranks cells by the same
+    integer distance (ties → lower cell id), probes its ``nprobe``
+    nearest, and scores candidates with the deterministic double-fold
+    cosine. Queries are broadcast; the cell join replaces the cross
+    product."""
+    assigned, cents = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
+                                   id_col=id_col, vec_col=vec_col)
+
+    def _cell_rank(u: Column) -> Column:
+        dists = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(u, F.array(*[F.lit(int(c)).cast("long")
+                                            for c in cent]),
+                               lambda x, y: (x * F.lit(64) - y)
+                               * (x * F.lit(64) - y)),
+                    F.lit(0).cast("long"), lambda acc, d: acc + d).alias("dist"),
+                F.lit(j).alias("cell"))
+            for j, cent in enumerate(cents)])
+        return F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+                           lambda s: s.getField("cell"))
+
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("cell",
+                     F.explode(_cell_rank(_kmeans_uq(F.col("q_vec"))))))
+    scored = (assigned.join(F.broadcast(q), "cell")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .select("q_id", "n_id",
+                      cosine(F.col("q_vec"), F.col("n_vec")).alias("cos")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", F.col("n_id").alias("neighbor_id"),
+                          F.col("rank").cast("int").alias("rank"), "cos"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, nprobe: int = 2, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -496,6 +496,99 @@ def ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_lists=8, nprobe=2)
 
 
+def _dd_kmeans_ctes(n_lists: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """DuckDB replay of the exact-integer Lloyd k-means + IVF cell
+    assignment (llm/similarity.py kmeans_cells) — every step is integer
+    arithmetic, so the chain hash-matches with no tolerance. The
+    ``iters`` Lloyd rounds unroll into one CTE triple (assign,
+    per-position sums, new centroids) per round; emits ``kaf`` (corpus
+    cell assignment) and ``kqp`` (per-query nprobe probe cells)."""
+    uq = ("list_transform(embedding, x -> CAST(least(greatest("
+          "floor(CAST(x AS DOUBLE) * 16384.0 + 0.5), -16384.0), 16384.0)"
+          " + 16384.0 AS BIGINT))")
+
+    def dist(u: str, c: str) -> str:
+        return ("list_reduce(list_apply(list_zip(" + u + ", " + c + "), "
+                "p -> (p[1] * 64 - p[2]) * (p[1] * 64 - p[2])), "
+                "(a, b) -> a + b)")
+
+    parts = [f"""
+kuq AS (SELECT vec_id, embedding, {uq} AS u FROM embeddings),
+kc0 AS (SELECT rn - 1 AS cell, list_transform(u, x -> x * 64) AS c
+        FROM (SELECT u, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM kuq)
+        WHERE rn <= {n_lists})"""]
+    for t in range(1, iters + 1):
+        prev = f"kc{t - 1}"
+        parts.append(f"""
+ka{t} AS (SELECT vec_id, u, cell FROM (
+    SELECT kuq.vec_id, kuq.u, c.cell,
+           row_number() OVER (PARTITION BY kuq.vec_id
+                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
+    FROM kuq CROSS JOIN {prev} c) WHERE rn = 1),
+ks{t} AS (SELECT cell, p.pos AS pos, SUM(p.uv) AS s, COUNT(*) AS cnt
+          FROM (SELECT cell,
+                       unnest([{{'pos': i, 'uv': u[i]}}
+                               for i in range(1, len(u) + 1)]) AS p
+                FROM ka{t})
+          GROUP BY 1, 2),
+kc{t} AS (SELECT pc.cell, coalesce(nc.c, pc.c) AS c
+          FROM {prev} pc LEFT JOIN (
+            SELECT cell, list((s * 64) // cnt ORDER BY pos) AS c
+            FROM ks{t} GROUP BY cell) nc
+          ON nc.cell = pc.cell)""")
+    fin = f"kc{iters}"
+    parts.append(f"""
+kaf AS (SELECT vec_id, cell FROM (
+    SELECT kuq.vec_id, c.cell,
+           row_number() OVER (PARTITION BY kuq.vec_id
+                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
+    FROM kuq CROSS JOIN {fin} c) WHERE rn = 1),
+kqp AS (SELECT q_id, q_vec, cell FROM (
+    SELECT kuq.vec_id AS q_id, kuq.embedding AS q_vec, c.cell,
+           row_number() OVER (PARTITION BY kuq.vec_id
+                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
+    FROM kuq CROSS JOIN {fin} c WHERE kuq.vec_id < 8) WHERE rn <= {nprobe})""")
+    return ",".join(parts)
+
+
+_DD_KMEANS_COS = (_dd_dot("kqp.q_vec", "e.embedding")
+                  + " / (sqrt(" + _dd_dot("kqp.q_vec", "kqp.q_vec")
+                  + ") * sqrt(" + _dd_dot("e.embedding", "e.embedding") + "))")
+
+_DD_KMEANS_SCORED = f"""
+      SELECT kqp.q_id, e.vec_id AS neighbor_id, {_DD_KMEANS_COS} AS cos
+      FROM kqp JOIN kaf ON kaf.cell = kqp.cell AND kaf.vec_id <> kqp.q_id
+      JOIN embeddings e ON e.vec_id = kaf.vec_id"""
+
+
+def _dd_kmeans_ivf(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
+                   k: int = 5) -> str:
+    """Full standalone oracle: k-means CTE chain + cosine top-k search."""
+    return f"""
+WITH {_dd_kmeans_ctes(n_lists, iters, nprobe)}
+SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM ({_DD_KMEANS_SCORED}))
+WHERE rn <= {k}"""
+
+
+@gate_query("ivf_kmeans_topk", oracle=_dd_kmeans_ivf())
+def ivf_kmeans_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the exact-integer deterministic k-means coarse
+    quantizer (llm/similarity.py ivf_kmeans_topk) — the oracle replays
+    the full Lloyd iteration chain, upgrading IVF from a rows-only check
+    to a value-hash match. The MLlib float variant stays registered as
+    ``ivf_topk`` (rows-only); recall of both vs exact cosine is asserted
+    in tests/test_llm.py."""
+    from ..llm.similarity import ivf_kmeans_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(e, e.filter(F.col("vec_id") < 8), k=5,
+                           n_lists=8, iters=2, nprobe=2)
+
+
 def _dd_simhash_parity() -> str:
     base = _dd_hex15("substr(md5(shingle), 1, 15)")
     sums = ",\n         ".join(
@@ -1394,7 +1487,8 @@ WITH b AS (
   FROM embeddings
 ),
 qz AS ({_DD_Q8}),
-{_DD_CENTROID}
+{_DD_CENTROID},
+{_dd_kmeans_ctes()}
 """ + " UNION ALL ".join([
     _DD_SUITE_TOPK.format(method="cosine", scored=f"""
       SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS score
@@ -1411,6 +1505,9 @@ qz AS ({_DD_Q8}),
                  (a, b) -> a + b) AS DOUBLE) AS score
       FROM (SELECT vec_id AS q_id, scale AS sa, q AS qa FROM qz WHERE vec_id < 8) q
       JOIN qz e ON e.vec_id <> q.q_id"""),
+    _DD_SUITE_TOPK.format(
+        method="ivf_kmeans",
+        scored=_DD_KMEANS_SCORED.replace(" AS cos", " AS score")),
     """
 SELECT 'centroid_outlier' AS method, CAST(label AS BIGINT) AS q_id,
        vec_id AS neighbor_id, CAST(rn AS INT) AS rank, score
@@ -1427,14 +1524,17 @@ WHERE rn <= 5
 """,
 ]))
 def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four embedding-space scoring strategies over one corpus, unioned
+    """Five embedding-space scoring strategies over one corpus, unioned
     with a method tag — exact brute-force cosine (baseline), SRP-LSH
     bucketed ANN (the n²→n²/2^bits scale path), int8-quantized rescoring
-    (the memory-bound scale path), and per-label centroid outliers (the
+    (the memory-bound scale path), IVF over the exact-integer
+    deterministic k-means (the cell-probe scale path, Lloyd chain
+    replayed by the oracle), and per-label centroid outliers (the
     SemDeDup-style embedding quality filter, exact-integer centroid
-    math) — llm/similarity.py. One driver slot hash-checks all four;
+    math) — llm/similarity.py. One driver slot hash-checks all five;
     each also registers standalone."""
-    from ..llm.similarity import centroid_cosine, quantized_topk
+    from ..llm.similarity import (centroid_cosine, ivf_kmeans_topk,
+                                  quantized_topk)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
 
@@ -1455,6 +1555,9 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tag(lsh_topk(e, q, k=5, n_bits=4, dim=64),
                              "srp_lsh", "cos"))
             .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score"))
+            .unionByName(tag(ivf_kmeans_topk(e, q, k=5, n_lists=8, iters=2,
+                                             nprobe=2),
+                             "ivf_kmeans", "cos"))
             .unionByName(cent))
 
 

@@ -98,6 +98,44 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert approx == approx2
 
 
+def test_ivf_kmeans_recall_determinism_and_balance(spark):
+    from tally_database_loader_spark.llm.similarity import (
+        cosine_topk, ivf_kmeans_topk, kmeans_cells)
+    from tally_database_loader_spark.sources.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 8")
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in ivf_kmeans_topk(e, q, k=5, n_lists=8, iters=2,
+                                       nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-kmeans recall {recall} too low"
+    # exact integer arithmetic ⇒ bit-identical on re-run (no seed needed)
+    approx2 = {(r["q_id"], r["neighbor_id"])
+               for r in ivf_kmeans_topk(e, q, k=5, n_lists=8, iters=2,
+                                        nprobe=3).collect()}
+    assert approx == approx2
+    # Lloyd rounds actually spread the corpus: every cell non-empty
+    assigned, cents = kmeans_cells(e, n_lists=8, iters=2)
+    sizes = {r["cell"]: r["count"]
+             for r in assigned.groupBy("cell").count().collect()}
+    assert len(sizes) == 8 and min(sizes.values()) > 0
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+
+def test_ivf_kmeans_handles_tiny_corpus(spark):
+    """Fewer vectors than n_lists: k clamps to the corpus size instead of
+    emitting empty centroids."""
+    from tally_database_loader_spark.llm.similarity import kmeans_cells
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)],
+        "vec_id long, embedding array<float>")
+    assigned, cents = kmeans_cells(tiny, n_lists=8, iters=2)
+    assert len(cents) == 3
+    assert assigned.count() == 3
+
+
 def test_embedding_near_dups_symmetric_and_thresholded(spark):
     from tally_database_loader_spark.llm.similarity import (
         cosine, embedding_near_duplicates)
