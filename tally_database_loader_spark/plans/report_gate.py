@@ -109,6 +109,16 @@ def tally_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
         return cached
     cat = _derive_catalog(spark, sf_dir)
     cat = {name: df.localCheckpoint(eager=False) for name, df in cat.items()}
+    # pre-stage the library's two hottest joins (header ⋈ detail on guid)
+    # so every report starts from the joined fact — one shuffle for the
+    # whole library instead of one per report (the same amortization
+    # write_bucketed_table provides on disk, here in checkpoint blocks)
+    cat["__acct_voucher__"] = (cat["trn_accounting"]
+                               .join(cat["trn_voucher"], "guid")
+                               .localCheckpoint(eager=False))
+    cat["__inv_voucher__"] = (cat["trn_inventory"]
+                              .join(cat["trn_voucher"], "guid")
+                              .localCheckpoint(eager=False))
     _CATALOG_CACHE[key] = cat
     return cat
 

@@ -37,15 +37,33 @@ def _dzero():
     return F.lit("0").cast(_D17)
 
 
+def acct_voucher(cat: Catalog) -> DataFrame:
+    """trn_accounting ⋈ trn_voucher on guid (all voucher columns) — the
+    report library's hottest join: nearly every report starts from it.
+    A catalog may pre-stage it under ``__acct_voucher__`` (report_gate
+    materializes it once per catalog), so the whole library pays the
+    header/detail shuffle once instead of once per report; Catalyst
+    prunes unused columns per consumer either way."""
+    pre = cat.get("__acct_voucher__")
+    if pre is not None:
+        return pre
+    return cat["trn_accounting"].join(cat["trn_voucher"], "guid")
+
+
+def inv_voucher(cat: Catalog) -> DataFrame:
+    """trn_inventory ⋈ trn_voucher on guid — the inventory-side analogue
+    of ``acct_voucher`` (same optional ``__inv_voucher__`` staging)."""
+    pre = cat.get("__inv_voucher__")
+    if pre is not None:
+        return pre
+    return cat["trn_inventory"].join(cat["trn_voucher"], "guid")
+
+
 def _accounting_effects(cat: Catalog) -> DataFrame:
     """trn_accounting ⋈ trn_voucher filtered to pure accounting effects
     (reference docs/data-structure.md:203-213)."""
-    a, v = cat["trn_accounting"], cat["trn_voucher"]
-    return (a.join(v.select("guid", "date", "voucher_type", "voucher_number",
-                            "narration", "party_name", "is_accounting_voucher",
-                            "is_order_voucher", "is_inventory_voucher"), "guid")
-             .filter((F.col("is_order_voucher") == 0)
-                     & (F.col("is_inventory_voucher") == 0)))
+    return acct_voucher(cat).filter((F.col("is_order_voucher") == 0)
+                                    & (F.col("is_inventory_voucher") == 0))
 
 
 def _date_spine(spark, from_date: str, to_date: str) -> DataFrame:
@@ -95,15 +113,10 @@ def profit_loss(cat: Catalog) -> DataFrame:
     via ranking window, :32-35)."""
     led, grp = cat["mst_ledger"], cat["mst_group"]
     vt = cat["mst_vouchertype"]
-    eff = (cat["trn_accounting"]
-           .join(cat["trn_voucher"].select("guid", "voucher_type",
-                                           "is_order_voucher", "is_inventory_voucher"),
-                 "guid")
+    eff = (_accounting_effects(cat)
            .join(F.broadcast(vt.select(F.col("name").alias("voucher_type"),
                                        "affects_stock")), "voucher_type")
-           .filter((F.col("is_order_voucher") == 0)
-                   & (F.col("is_inventory_voucher") == 0)
-                   & (F.col("affects_stock") == 0)))
+           .filter(F.col("affects_stock") == 0))
     gb = (eff.join(F.broadcast(led.select(F.col("name").alias("ledger"),
                                           F.col("parent").alias("l_parent"))), "ledger")
              .join(F.broadcast(grp.select(F.col("name").alias("l_parent"),
@@ -145,9 +158,7 @@ def profit_loss(cat: Catalog) -> DataFrame:
 def stock_summary(cat: Catalog) -> DataFrame:
     """reports/mssql/stock-summary.sql — per-item opening/in/out/closing
     with the 3-regime tracking reconciliation (docs/data-structure.md:242-258)."""
-    inv = (cat["trn_inventory"]
-           .join(cat["trn_voucher"].select("guid", "voucher_type", "is_order_voucher"),
-                 "guid")
+    inv = (inv_voucher(cat)
            .join(F.broadcast(cat["mst_vouchertype"]
                              .select(F.col("name").alias("voucher_type"),
                                      F.col("parent").alias("vt_parent"))), "voucher_type"))
@@ -183,22 +194,19 @@ def stock_summary(cat: Catalog) -> DataFrame:
 def account_ledger(cat: Catalog, ledger: str, from_date: str, to_date: str) -> DataFrame:
     """reports/mssql/account-ledger.sql:6-26 — statement of one ledger with
     co-ledger string aggregation (sorted for determinism)."""
-    a, v = cat["trn_accounting"], cat["trn_voucher"]
-    led = (a.filter(F.col("ledger") == ledger)
-            .join(v.select("guid", "date", "voucher_number", "voucher_type",
-                           "narration", "is_accounting_voucher"), "guid")
-            .filter((F.col("is_accounting_voucher") == 1)
-                    & F.col("date").between(from_date, to_date))
+    av = acct_voucher(cat)
+    led = (av.filter(F.col("ledger") == ledger)
+             .filter((F.col("is_accounting_voucher") == 1)
+                     & F.col("date").between(from_date, to_date))
             .select("guid", "date", "voucher_number", "voucher_type", "narration",
                     F.when(F.col("amount") < 0, -F.col("amount")).otherwise(_dzero())
                      .cast(_D17).alias("debit"),
                     F.when(F.col("amount") > 0, F.col("amount")).otherwise(_dzero())
                      .cast(_D17).alias("credit")))
-    entry = (v.join(a.filter(F.col("ledger") != ledger)
-                     .select("guid", "ledger"), "guid")
-              .filter((F.col("is_order_voucher") == 0)
-                      & (F.col("is_inventory_voucher") == 0))
-              .join(led.select("guid").distinct(), "guid", "left_semi")
+    entry = (av.filter(F.col("ledger") != ledger)
+               .filter((F.col("is_order_voucher") == 0)
+                       & (F.col("is_inventory_voucher") == 0))
+               .join(led.select("guid").distinct(), "guid", "left_semi")
               .groupBy("guid")
               .agg(F.array_join(F.sort_array(F.collect_list("ledger")), ",").alias("ledgers")))
     return (led.join(entry, "guid")
@@ -254,9 +262,7 @@ def stock_voucher_view(cat: Catalog) -> DataFrame:
     # deterministic-ordering convention)
     w = W.partitionBy("tracking_number", "item") \
          .orderBy("date", "quantity", "amount", "godown")
-    moves = (cat["trn_inventory"]
-             .join(cat["trn_voucher"].select("guid", "date", "voucher_number",
-                                             "voucher_type", "is_order_voucher"), "guid")
+    moves = (inv_voucher(cat)
              .filter(F.col("is_order_voucher") == 0)
              .withColumn("repetition",
                          F.when(F.col("tracking_number") == "", F.lit(1))
@@ -272,11 +278,9 @@ def _register(cat: Catalog, voucher_parent: str, negate: bool) -> DataFrame:
     """reports/mssql/sales-register.sql / purchase-register.sql — long-format
     register (pivot input): ledger lines of Sales/Purchase vouchers with the
     party's GSTN via a second (self-)join of mst_ledger."""
-    a, v = cat["trn_accounting"], cat["trn_voucher"]
     vt, led = cat["mst_vouchertype"], cat["mst_ledger"]
     amount = (-F.col("amount")) if negate else F.col("amount")
-    return (a.join(v.select("guid", "date", "voucher_number", "voucher_type",
-                            "party_name"), "guid")
+    return (acct_voucher(cat)
              .join(F.broadcast(vt.select(F.col("name").alias("voucher_type"),
                                          F.col("parent").alias("vt_parent"))),
                    "voucher_type")
@@ -301,9 +305,7 @@ def purchase_register(cat: Catalog) -> DataFrame:
 def _daily_series(cat: Catalog, primary_group: str, from_date: str, to_date: str,
                   negate: bool, accounting_only: bool) -> DataFrame:
     spark = cat["trn_voucher"].sparkSession
-    eff = (cat["trn_accounting"]
-           .join(cat["trn_voucher"].select("guid", "date", "is_order_voucher",
-                                           "is_inventory_voucher"), "guid")
+    eff = (acct_voucher(cat)
            .join(F.broadcast(cat["mst_ledger"].select(F.col("name").alias("ledger"),
                                                       F.col("parent").alias("l_parent"))),
                  "ledger")
@@ -339,8 +341,7 @@ def _monthly_series(cat: Catalog, primary_group: str, from_date: str,
     months = (_date_spine(spark, from_date, to_date)
               .select(F.year("date").alias("year"), F.month("date").alias("month"))
               .distinct())
-    eff = (cat["trn_accounting"]
-           .join(cat["trn_voucher"].select("guid", "date"), "guid")
+    eff = (acct_voucher(cat)
            .join(F.broadcast(cat["mst_ledger"].select(F.col("name").alias("ledger"),
                                                       F.col("parent").alias("l_parent"))),
                  "ledger")
@@ -371,8 +372,7 @@ def daily_cash_movement(cat: Catalog, from_date: str, to_date: str) -> DataFrame
     cash-in-hand ledgers over receipt/payment/contra vouchers (lower()
     comparisons per the BigQuery variant)."""
     spark = cat["trn_voucher"].sparkSession
-    mov = (cat["trn_accounting"]
-           .join(cat["trn_voucher"].select("guid", "date", "voucher_type"), "guid")
+    mov = (acct_voucher(cat)
            .join(F.broadcast(cat["mst_ledger"].select(F.col("name").alias("ledger"),
                                                       F.col("parent").alias("l_parent"))),
                  "ledger")
