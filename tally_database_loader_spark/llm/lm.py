@@ -54,8 +54,12 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     more negative = more surprising under the corpus model."""
     tok = docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(_tokens(F.col(text_col))).alias("tok"))
-    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    n_total = tok.count()  # scalar probe → literal in the scoring plan
+    # vocabulary-sized model table, checkpointed: the N probe folds from
+    # it (Σc == token count) and the broadcast build reads the same
+    # blocks — ONE corpus tokenize pass builds the model instead of three
+    counts = (tok.groupBy("tok").agg(F.count("*").alias("c"))
+                 .localCheckpoint(eager=False))
+    n_total = int(counts.agg(F.sum("c")).first()[0] or 0)
     q = F.floor(F.log(F.col("c").cast("double") / F.lit(float(n_total)))
                 * F.lit(_Q)).cast("long")
     scored = (tok.join(F.broadcast(counts), "tok")
@@ -115,6 +119,12 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                          F.explode(bi_arr).alias("p"))
                  .select("doc_id", "p.w1", "p.w2"))
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    if broadcast_model:
+        # observed-pair-sized (the same bound the broadcast itself
+        # assumes) — checkpointing it means the context fold and the
+        # model broadcast read these blocks instead of re-exploding the
+        # corpus pair stream twice
+        bc = bc.localCheckpoint(eager=False)
     ctx = bc.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = (docs.select(F.explode(toks).alias("tok"))
                  .agg(F.countDistinct("tok")).first()[0])  # scalar probe
@@ -214,9 +224,12 @@ def dsir_importance(docs: DataFrame, target: Column,
                       F.explode(_tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn(
         "bkt", F.pmod(hash_order(F.col("tok")), F.lit(n_buckets)))
-    counts = tok.groupBy("bkt").agg(
+    # n_buckets-row model table, checkpointed: the totals probe and the
+    # broadcast build share one corpus tokenize pass
+    counts = (tok.groupBy("bkt").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
         F.count("*").alias("cr"))
+        .localCheckpoint(eager=False))
     totals = counts.agg(F.sum("ct"), F.sum("cr")).first()
     n_t, n_r = int(totals[0] or 0), int(totals[1] or 0)
     # p_t/p_r = ((ct+k)/(cr+k)) · ((Nr+kB)/(Nt+kB)) — per-bucket double
