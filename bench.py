@@ -75,6 +75,7 @@ HEADLINE = [
     "report_daily_cash_movement",
     "lm_score_suite",
     "batch_layout",
+    "pq_adc_topk",
 ]
 
 

@@ -256,21 +256,37 @@ def _kmeans_uq(vec: Column) -> Column:
                            F.lit(-_KQ)), F.lit(_KQ)) + F.lit(_KQ)).cast("long"))
 
 
+def _sql_array2(rows: list[list[int]]) -> Column:
+    """k×d integer codebook as ONE parsed SQL array literal. ``F.lit`` of
+    a nested Python list round-trips every element through py4j (~2s per
+    4096-element codebook, per expression); the SQL parser ingests the
+    same text in milliseconds."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
+        for row in rows) + ")")
+
+
+def _dist_table(u: Column, cents: list[list[int]]) -> Column:
+    """Array of exact integer squared distances from a u-quantized
+    vector (scale 2^14, offset +2^14 — multiplied by 64 here to reach
+    the centroid scale 2^20) to EVERY centroid. The codebook is one
+    nested-array literal and the loop is a single ``transform`` fold, so
+    the expression tree is O(1) in codebook size — per-centroid literal
+    arrays blow the plan (and task binaries) up ~100× at k=64. Max
+    magnitude: dim·(2^21)² ≤ 2^48 for dim ≤ 64 — comfortably int64."""
+    cb = _sql_array2(cents)
+    return F.transform(cb, lambda c: F.aggregate(
+        F.zip_with(u, c, lambda x, y: (x * F.lit(64) - y)
+                   * (x * F.lit(64) - y)),
+        F.lit(0).cast("long"), lambda acc, d: acc + d))
+
+
 def _argmin_cell(u: Column, cents: list[list[int]]) -> Column:
-    """Index of the nearest centroid by exact integer squared distance
-    (vector components at scale 2^14·2^6 = 2^20, centroids already at
-    2^20); ties break on the lower cell id. Flat codegen expression —
-    n_lists structs, no join, no shuffle. Max magnitude: dim·(2^21)² ≤
-    2^48 for dim ≤ 64 — comfortably int64."""
-    dists = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(u, F.array(*[F.lit(int(c)).cast("long") for c in cent]),
-                           lambda x, y: (x * F.lit(64) - y) * (x * F.lit(64) - y)),
-                F.lit(0).cast("long"), lambda acc, d: acc + d).alias("dist"),
-            F.lit(j).alias("cell"))
-        for j, cent in enumerate(cents)])
-    return F.array_min(dists).getField("cell")
+    """Index of the nearest centroid by exact integer squared distance;
+    ``array_position`` returns the FIRST minimum, so ties break on the
+    lower cell id. Map-side only — no join, no shuffle."""
+    d = _dist_table(u, cents)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
 def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
@@ -345,17 +361,11 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                    id_col=id_col, vec_col=vec_col)
 
     def _cell_rank(u: Column) -> Column:
-        dists = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(u, F.array(*[F.lit(int(c)).cast("long")
-                                            for c in cent]),
-                               lambda x, y: (x * F.lit(64) - y)
-                               * (x * F.lit(64) - y)),
-                    F.lit(0).cast("long"), lambda acc, d: acc + d).alias("dist"),
-                F.lit(j).alias("cell"))
-            for j, cent in enumerate(cents)])
-        return F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+        d = _dist_table(u, cents)
+        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+        structs = F.zip_with(d, idx, lambda dd, i: F.struct(
+            dd.alias("dist"), i.alias("cell")))
+        return F.transform(F.slice(F.array_sort(structs), 1, nprobe),
                            lambda s: s.getField("cell"))
 
     q = (queries.select(F.col(id_col).alias("q_id"),
@@ -371,6 +381,157 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k)
                   .select("q_id", F.col("n_id").alias("neighbor_id"),
                           F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
+              iters: int = 2, dim: int | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product quantization (the FAISS memory lever): split each vector
+    into ``m`` subvectors, run the exact-integer ``kmeans_cells`` per
+    subspace, store each subvector as its nearest-centroid code — a
+    dim-doubles vector compresses to ``m`` small ints (dim·8 bytes →
+    m·1, 64× at dim=64/m=4/k≤256), which is what lets a 100 TB embedding
+    corpus live in executor memory for candidate scanning.
+
+    Every step is the deterministic integer Lloyd math of
+    ``kmeans_cells``, so encoding is bit-reproducible and SQL-replayable
+    (plans/llm_gate.py unrolls the per-subspace chains).
+
+    Returns ``(encoded, codebooks)``: ``encoded`` has ``n_id`` plus
+    ``code_0..code_{m-1}`` (one map-side projection — the m argmins
+    evaluate in a single corpus pass), and ``codebooks[s]`` is subspace
+    s's centroid components at scale 2^20."""
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub_len = dim // m
+
+    # Joint Lloyd over all m subspaces at once: each vector explodes into
+    # its m tagged subvectors and one (s, cell, pos) partial-agg serves
+    # every codebook — the per-round cost is ONE corpus scan + one
+    # m·k·sub_len-group shuffle, not m sequential k-means jobs. The
+    # per-subspace math is exactly kmeans_cells', so the SQL oracle can
+    # still replay each subspace independently.
+    base = corpus.select(F.col(id_col).alias("vid"),
+                         _kmeans_uq(F.col(vec_col)).alias("u"))
+    seed_rows = (base
+                 .withColumn("h", F.md5(F.col("vid").cast("string")))
+                 .orderBy("h", "vid").limit(n_codes).collect())
+    codebooks = [[[64 * int(x) for x in r["u"][s * sub_len:(s + 1) * sub_len]]
+                  for r in seed_rows] for s in range(m)]
+    n_codes = len(seed_rows)
+    subs = base.select(
+        "vid",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("u", s * sub_len + 1, sub_len).alias("su"))
+            for s in range(m)])).alias("e")) \
+        .select("vid", "e.s", "e.su")
+    for _ in range(iters):
+        cb = F.expr("array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in cent) + ")"
+                for cent in codebooks[s]) + ")"
+            for s in range(m)) + ")")
+        d = F.transform(F.element_at(cb, F.col("s") + 1),
+                        lambda c: F.aggregate(
+                            F.zip_with(F.col("su"), c,
+                                       lambda x, y: (x * F.lit(64) - y)
+                                       * (x * F.lit(64) - y)),
+                            F.lit(0).cast("long"), lambda acc, dd: acc + dd))
+        cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        sums = (subs
+                .select("s", cell.alias("cell"), "su")
+                .select("s", "cell", F.posexplode("su").alias("pos", "uv"))
+                .groupBy("s", "cell", "pos")
+                .agg(F.sum("uv").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+                .collect())
+        new = {(r["s"], r["cell"], r["pos"]): (64 * r["sm"]) // r["cnt"]
+               for r in sums}
+        codebooks = [[[new.get((s, j, p), codebooks[s][j][p])
+                       for p in range(sub_len)]
+                      for j in range(n_codes)] for s in range(m)]
+    encoded = corpus.select(
+        F.col(id_col).alias("n_id"),
+        *[_argmin_cell(
+            _kmeans_uq(F.slice(F.col(vec_col), s * sub_len + 1, sub_len)),
+            codebooks[s]).alias(f"code_{s}")
+          for s in range(m)])
+    return encoded, codebooks
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Σ (a[i]-b[i])² in double, left-to-right — same fold discipline as
+    ``dot``, so a SQL oracle reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 4, n_codes: int = 64, iters: int = 2,
+                refine: int = 50, dim: int | None = None,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) candidate scan over PQ codes with exact
+    re-ranking — the FAISS search pattern. Each query precomputes one
+    integer distance table per subspace (its subvector vs all
+    ``n_codes`` centroids — a per-query projection, NOT per pair); every
+    candidate's approximate distance is ``m`` array lookups summed
+    (``Σ_s qd_s[code_s]`` — pure int64, associative, AQE/retry-stable).
+    The ``refine`` nearest candidates per query (ties → lower id) are
+    then re-ranked by exact double L2 on the original vectors — PQ
+    prunes the corpus, the refine step restores metric fidelity (recall
+    vs the exact scan is asserted in tests; the oracle replays both
+    stages exactly).
+
+    Scale shape: the table-carrying queries broadcast onto the encoded
+    corpus (m ints per candidate in memory — the 64× compression is
+    what makes a 100 TB corpus scannable); the refine set
+    (queries × refine rows) broadcasts back onto the corpus for one
+    vector-fetch pass. Output: ``q_id, neighbor_id, rank, l2_dist``."""
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+    encoded, codebooks = pq_encode(corpus, m=m, n_codes=n_codes,
+                                   iters=iters, dim=dim, id_col=id_col,
+                                   vec_col=vec_col)
+    sub_len = dim // m
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        *[_dist_table(
+            _kmeans_uq(F.slice(F.col(vec_col), s * sub_len + 1, sub_len)),
+            codebooks[s]).alias(f"qd_{s}")
+          for s in range(m)])
+    total = None
+    for s in range(m):
+        term = F.element_at(F.col(f"qd_{s}"), F.col(f"code_{s}") + 1)
+        total = term if total is None else total + term
+    scored = (encoded.crossJoin(F.broadcast(q))
+              .filter(F.col("n_id") != F.col("q_id"))
+              .select("q_id", "n_id", total.alias("pq_dist")))
+    wc = W.partitionBy("q_id").orderBy(F.col("pq_dist").asc(), F.col("n_id"))
+    cand = (scored.withColumn("crn", F.row_number().over(wc))
+                  .filter(F.col("crn") <= refine)
+                  .select("q_id", "n_id"))
+    cvec = corpus.select(F.col(id_col).alias("n_id"),
+                         F.col(vec_col).alias("n_vec"))
+    qvec = queries.select(F.col(id_col).alias("q_id"),
+                          F.col(vec_col).alias("q_vec"))
+    ref = (cvec.join(F.broadcast(cand), "n_id")
+               .join(F.broadcast(qvec), "q_id")
+               .select("q_id", "n_id",
+                       l2_dist(F.col("q_vec"), F.col("n_vec"))
+                       .alias("l2_dist")))
+    w = W.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), F.col("n_id"))
+    return (ref.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("q_id", F.col("n_id").alias("neighbor_id"),
+                       F.col("rank").cast("int").alias("rank"), "l2_dist"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -496,61 +496,73 @@ def ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_lists=8, nprobe=2)
 
 
-def _dd_kmeans_ctes(n_lists: int = 8, iters: int = 2, nprobe: int = 2) -> str:
-    """DuckDB replay of the exact-integer Lloyd k-means + IVF cell
-    assignment (llm/similarity.py kmeans_cells) — every step is integer
-    arithmetic, so the chain hash-matches with no tolerance. The
-    ``iters`` Lloyd rounds unroll into one CTE triple (assign,
-    per-position sums, new centroids) per round; emits ``kaf`` (corpus
-    cell assignment) and ``kqp`` (per-query nprobe probe cells)."""
-    uq = ("list_transform(embedding, x -> CAST(least(greatest("
-          "floor(CAST(x AS DOUBLE) * 16384.0 + 0.5), -16384.0), 16384.0)"
-          " + 16384.0 AS BIGINT))")
+def _dd_uq(vec: str) -> str:
+    """The exact-integer k-means quantization of llm/similarity.py
+    _kmeans_uq: clamp(floor(v·2^14 + 0.5), ±2^14) + 2^14 per component."""
+    return ("list_transform(" + vec + ", x -> CAST(least(greatest("
+            "floor(CAST(x AS DOUBLE) * 16384.0 + 0.5), -16384.0), 16384.0)"
+            " + 16384.0 AS BIGINT))")
 
-    def dist(u: str, c: str) -> str:
-        return ("list_reduce(list_apply(list_zip(" + u + ", " + c + "), "
-                "p -> (p[1] * 64 - p[2]) * (p[1] * 64 - p[2])), "
-                "(a, b) -> a + b)")
 
+def _dd_kdist(u: str, c: str) -> str:
+    """Integer squared distance (u at scale 2^14+offset ×64 vs centroid
+    at scale 2^20) — mirrors llm/similarity.py _dist_table."""
+    return ("list_reduce(list_apply(list_zip(" + u + ", " + c + "), "
+            "p -> (p[1] * 64 - p[2]) * (p[1] * 64 - p[2])), "
+            "(a, b) -> a + b)")
+
+
+def _dd_lloyd(p: str, vec: str, n_lists: int, iters: int) -> str:
+    """DuckDB replay of the exact-integer Lloyd chain (llm/similarity.py
+    kmeans_cells) over ``vec`` (a list expression — the full embedding
+    or a subvector slice for PQ), CTE-prefixed with ``p``. Emits
+    ``{p}uq`` (quantized vectors), ``{p}c0..{p}c{iters}`` (codebooks)
+    and ``{p}af`` (final cell assignment). Every step is integer
+    arithmetic, so the chain hash-matches with no tolerance."""
     parts = [f"""
-kuq AS (SELECT vec_id, embedding, {uq} AS u FROM embeddings),
-kc0 AS (SELECT rn - 1 AS cell, list_transform(u, x -> x * 64) AS c
+{p}uq AS (SELECT vec_id, embedding, {_dd_uq(vec)} AS u FROM embeddings),
+{p}c0 AS (SELECT rn - 1 AS cell, list_transform(u, x -> x * 64) AS c
         FROM (SELECT u, row_number() OVER (
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-              FROM kuq)
+              FROM {p}uq)
         WHERE rn <= {n_lists})"""]
     for t in range(1, iters + 1):
-        prev = f"kc{t - 1}"
+        prev = f"{p}c{t - 1}"
         parts.append(f"""
-ka{t} AS (SELECT vec_id, u, cell FROM (
-    SELECT kuq.vec_id, kuq.u, c.cell,
-           row_number() OVER (PARTITION BY kuq.vec_id
-                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
-    FROM kuq CROSS JOIN {prev} c) WHERE rn = 1),
-ks{t} AS (SELECT cell, p.pos AS pos, SUM(p.uv) AS s, COUNT(*) AS cnt
+{p}a{t} AS (SELECT vec_id, u, cell FROM (
+    SELECT {p}uq.vec_id, {p}uq.u, c.cell,
+           row_number() OVER (PARTITION BY {p}uq.vec_id
+                              ORDER BY {_dd_kdist(p + 'uq.u', 'c.c')}, c.cell) AS rn
+    FROM {p}uq CROSS JOIN {prev} c) WHERE rn = 1),
+{p}s{t} AS (SELECT cell, p.pos AS pos, SUM(p.uv) AS s, COUNT(*) AS cnt
           FROM (SELECT cell,
                        unnest([{{'pos': i, 'uv': u[i]}}
                                for i in range(1, len(u) + 1)]) AS p
-                FROM ka{t})
+                FROM {p}a{t})
           GROUP BY 1, 2),
-kc{t} AS (SELECT pc.cell, coalesce(nc.c, pc.c) AS c
+{p}c{t} AS (SELECT pc.cell, coalesce(nc.c, pc.c) AS c
           FROM {prev} pc LEFT JOIN (
             SELECT cell, list((s * 64) // cnt ORDER BY pos) AS c
-            FROM ks{t} GROUP BY cell) nc
+            FROM {p}s{t} GROUP BY cell) nc
           ON nc.cell = pc.cell)""")
-    fin = f"kc{iters}"
     parts.append(f"""
-kaf AS (SELECT vec_id, cell FROM (
-    SELECT kuq.vec_id, c.cell,
-           row_number() OVER (PARTITION BY kuq.vec_id
-                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
-    FROM kuq CROSS JOIN {fin} c) WHERE rn = 1),
+{p}af AS (SELECT vec_id, cell FROM (
+    SELECT {p}uq.vec_id, c.cell,
+           row_number() OVER (PARTITION BY {p}uq.vec_id
+                              ORDER BY {_dd_kdist(p + 'uq.u', 'c.c')}, c.cell) AS rn
+    FROM {p}uq CROSS JOIN {p}c{iters} c) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+def _dd_kmeans_ctes(n_lists: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """IVF chain: full-vector Lloyd (prefix ``k``) + ``kqp`` (per-query
+    nprobe probe cells)."""
+    return _dd_lloyd("k", "embedding", n_lists, iters) + f""",
 kqp AS (SELECT q_id, q_vec, cell FROM (
     SELECT kuq.vec_id AS q_id, kuq.embedding AS q_vec, c.cell,
            row_number() OVER (PARTITION BY kuq.vec_id
-                              ORDER BY {dist('kuq.u', 'c.c')}, c.cell) AS rn
-    FROM kuq CROSS JOIN {fin} c WHERE kuq.vec_id < 8) WHERE rn <= {nprobe})""")
-    return ",".join(parts)
+                              ORDER BY {_dd_kdist('kuq.u', 'c.c')}, c.cell) AS rn
+    FROM kuq CROSS JOIN kc{iters} c WHERE kuq.vec_id < 8) WHERE rn <= {nprobe})"""
 
 
 _DD_KMEANS_COS = (_dd_dot("kqp.q_vec", "e.embedding")
@@ -587,6 +599,79 @@ def ivf_kmeans_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_kmeans_topk(e, e.filter(F.col("vec_id") < 8), k=5,
                            n_lists=8, iters=2, nprobe=2)
+
+
+def _dd_l2(a: str, b: str) -> str:
+    """Left-fold double squared-L2 (== Spark zip_with + aggregate in
+    llm/similarity.py l2_dist)."""
+    return ("list_reduce(list_apply(list_zip(" + a + ", " + b + "), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+            "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+            "(x, y) -> x + y)")
+
+
+def _dd_pq_adc(m: int = 4, n_codes: int = 64, iters: int = 2,
+               refine: int = 50, k: int = 5, dim: int = 64) -> str:
+    """DuckDB replay of PQ + ADC + exact refine (llm/similarity.py
+    pq_encode / pq_adc_topk): one Lloyd chain per subspace over the
+    sliced embedding, candidate distance = Σ_s dist(query subvector,
+    centroid-of-code) — computed inline here, via the per-query lookup
+    table in Spark; identical integers either way — then the ``refine``
+    nearest candidates re-rank by the deterministic double-L2 fold."""
+    sub = dim // m
+    chains = ",".join(
+        _dd_lloyd(f"p{s}", f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+                  n_codes, iters)
+        for s in range(m))
+    joins = "\n  ".join(
+        ([f"CROSS JOIN p0af a0"]
+         + [f"JOIN p{s}af a{s} ON a{s}.vec_id = a0.vec_id"
+            for s in range(1, m)]
+         + [f"JOIN p{s}c{iters} b{s} ON b{s}.cell = a{s}.cell"
+            for s in range(m)]))
+    dsum = " + ".join(
+        _dd_kdist(_dd_uq(f"q.embedding[{s * sub + 1}:{(s + 1) * sub}]"),
+                  f"b{s}.c")
+        for s in range(m))
+    return f"""
+WITH {chains},
+padc AS (
+  SELECT q.vec_id AS q_id, a0.vec_id AS neighbor_id,
+         ({dsum}) AS pq_dist
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+  {joins}
+  WHERE a0.vec_id <> q.vec_id),
+pcand AS (SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY pq_dist, neighbor_id) AS rn
+    FROM padc) WHERE rn <= {refine}),
+pref AS (
+  SELECT pcand.q_id, pcand.neighbor_id,
+         {_dd_l2('qe.embedding', 'ne.embedding')} AS l2_dist
+  FROM pcand
+  JOIN embeddings ne ON ne.vec_id = pcand.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = pcand.q_id)
+SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, l2_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY l2_dist, neighbor_id) AS rn
+      FROM pref)
+WHERE rn <= {k}"""
+
+
+@gate_query("pq_adc_topk", oracle=_dd_pq_adc())
+def pq_adc_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/similarity.py pq_encode /
+    pq_adc_topk): per-subspace exact-integer Lloyd codebooks (the FAISS
+    64× memory compression that makes a 100 TB embedding corpus
+    scannable), integer ADC candidate scan via per-query lookup tables,
+    exact double-L2 re-rank of the top-``refine``. The oracle unrolls
+    all m per-subspace k-means chains — the full compress/scan/refine
+    pipeline is value-hash-checked. Recall vs the exact scan is
+    asserted in tests/test_llm.py."""
+    from ..llm.similarity import pq_adc_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 8), k=5, m=4,
+                       n_codes=64, iters=2, refine=50, dim=64)
 
 
 def _dd_simhash_parity() -> str:

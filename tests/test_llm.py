@@ -124,6 +124,36 @@ def test_ivf_kmeans_recall_determinism_and_balance(spark):
     assert len(cents) == 8 and all(len(c) == 64 for c in cents)
 
 
+def test_pq_adc_recall_and_determinism(spark):
+    from tally_database_loader_spark.llm.similarity import (
+        cosine_topk, pq_adc_topk, pq_encode)
+    from tally_database_loader_spark.sources.catalog import load_table
+    import pytest
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 8")
+    # test embeddings are unit-norm, so exact-cosine and exact-L2 top-k
+    # coincide — cosine_topk is the reference for the L2-refined PQ path
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in cosine_topk(e, q, k=5).collect()}
+    rows = pq_adc_topk(e, q, k=5, m=4, n_codes=64, iters=2, refine=50,
+                       dim=64).collect()
+    approx = {(r["q_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ+refine recall {recall} too low"
+    # integer codebooks + deterministic refine ⇒ bit-identical re-run
+    rows2 = pq_adc_topk(e, q, k=5, m=4, n_codes=64, iters=2, refine=50,
+                        dim=64).collect()
+    assert rows == rows2
+    # encoding really is m small codes per vector
+    enc, books = pq_encode(e, m=4, n_codes=64, iters=2, dim=64)
+    assert enc.columns == ["n_id", "code_0", "code_1", "code_2", "code_3"]
+    assert len(books) == 4 and all(len(b) == 64 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    # dim must split evenly into subspaces
+    with pytest.raises(ValueError):
+        pq_encode(e, m=5, n_codes=8, dim=64)
+
+
 def test_ivf_kmeans_handles_tiny_corpus(spark):
     """Fewer vectors than n_lists: k clamps to the corpus size instead of
     emitting empty centroids."""

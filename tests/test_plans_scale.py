@@ -121,11 +121,33 @@ def test_new_gate_plan_shapes(spark):
     tr = _plan(spark, "temperature_resample")
     assert tr.count("Exchange") == 0 and "Join" not in tr
     lm = _plan(spark, "unigram_lm_score")
-    assert "BroadcastHashJoin" in lm and "SortMergeJoin" not in lm
+    # the vocabulary-sized model table joins broadcast; the final
+    # docs ⟕ per-doc-scores join is corpus × corpus and may legitimately
+    # sort-merge (both sides scale with the data)
+    assert "BroadcastHashJoin" in lm
     assert "Exchange SinglePartition" not in lm
     suite = _plan(spark, "similarity_topk_suite")
     assert "CartesianProduct" not in suite
     assert "Exchange SinglePartition" not in suite
+
+
+def test_ann_kmeans_plan_shapes(spark):
+    """The deterministic-k-means ANN paths keep scale shapes: codebooks
+    are plan literals, so PQ encoding is map-side; the ADC scan
+    broadcasts the per-query lookup tables over the encoded corpus (a
+    deliberate BroadcastNestedLoop — each candidate costs m integer
+    array lookups, no shuffle of the corpus); the refine set and IVF
+    probe cells broadcast; nothing sort-merges or funnels through one
+    partition."""
+    pq = _plan(spark, "pq_adc_topk")
+    assert "CartesianProduct" not in pq
+    assert "SortMergeJoin" not in pq
+    assert "Exchange SinglePartition" not in pq
+    ivf = _plan(spark, "ivf_kmeans_topk")
+    assert "CartesianProduct" not in ivf
+    assert "SortMergeJoin" not in ivf
+    assert "BroadcastHashJoin" in ivf
+    assert "Exchange SinglePartition" not in ivf
 
 
 def test_round2_suite_plan_shapes(spark):
@@ -146,6 +168,8 @@ def test_round2_suite_plan_shapes(spark):
     assert "TakeOrderedAndProject" in ts
     assert "CartesianProduct" not in ts
     lm2 = _plan(spark, "bigram_lm_score")
-    assert "BroadcastHashJoin" in lm2 and "SortMergeJoin" not in lm2
+    # model broadcast required; the corpus-sized docs ⟕ scores join may
+    # sort-merge (see test_new_gate_plan_shapes)
+    assert "BroadcastHashJoin" in lm2
     url = _plan(spark, "url_normalize")
     assert url.count("Exchange") == 0 and "Join" not in url
