@@ -383,6 +383,36 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col("rank").cast("int").alias("rank"), "cos"))
 
 
+def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 50,
+                            n_clusters: int = 8, iters: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced corpus selection (the DataComp/SemDeDup curation
+    move): learn ``n_clusters`` embedding clusters with the
+    deterministic ``kmeans_cells``, then keep at most ``per_cluster``
+    documents per cluster — capping over-represented semantic regions
+    (boilerplate, near-identical templates) the way ``domain_cap`` caps
+    over-represented sources, but by *learned* structure instead of a
+    metadata column.
+
+    Selection within a cluster is keyed-md5 hash order (ties → id) —
+    deterministic under retries/repartition where ``rand()`` is not, and
+    uniform within each cluster. Shape: the assignment is map-side
+    (codebook literals); the only shuffle is the per-cluster ranking
+    window on uniform cell keys. Output: ``vec_id, cell, rk`` for the
+    kept rows."""
+    assigned, _ = kmeans_cells(corpus, n_lists=n_clusters, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.col("n_id").cast("string")), F.col("n_id"))
+    return (assigned
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= per_cluster)
+            .select(F.col("n_id").alias(id_col),
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
 def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
               iters: int = 2, dim: int | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding",

@@ -601,6 +601,27 @@ def ivf_kmeans_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_lists=8, iters=2, nprobe=2)
 
 
+@gate_query("cluster_balanced_sample", oracle=f"""
+WITH {_dd_lloyd('k', 'embedding', 8, 2)}
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
+FROM (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rk
+      FROM kaf)
+WHERE rk <= 40
+""")
+def cluster_balanced_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection (llm/similarity.py
+    cluster_balanced_sample): cap each learned embedding cluster at 40
+    docs — domain_cap by semantic structure instead of a metadata
+    column. The oracle replays the full deterministic k-means chain plus
+    the keyed-hash per-cluster ranking."""
+    from ..llm.similarity import cluster_balanced_sample
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(e, per_cluster=40, n_clusters=8, iters=2)
+
+
 def _dd_l2(a: str, b: str) -> str:
     """Left-fold double squared-L2 (== Spark zip_with + aggregate in
     llm/similarity.py l2_dist)."""

@@ -154,6 +154,25 @@ def test_pq_adc_recall_and_determinism(spark):
         pq_encode(e, m=5, n_codes=8, dim=64)
 
 
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from collections import Counter
+    from tally_database_loader_spark.llm.similarity import (
+        cluster_balanced_sample)
+    from tally_database_loader_spark.sources.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = cluster_balanced_sample(e, per_cluster=40, n_clusters=8,
+                                   iters=2).collect()
+    per = Counter(r["cell"] for r in rows)
+    assert set(per) == set(range(8))          # every cluster represented
+    assert all(v <= 40 for v in per.values())  # cap binds
+    ids = {r["vec_id"] for r in rows}
+    corpus_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert ids <= corpus_ids and len(ids) == len(rows)
+    rows2 = cluster_balanced_sample(e, per_cluster=40, n_clusters=8,
+                                    iters=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
 def test_ivf_kmeans_handles_tiny_corpus(spark):
     """Fewer vectors than n_lists: k clamps to the corpus size instead of
     emitting empty centroids."""
