@@ -269,7 +269,12 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     """
     if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
         raise ValueError("keep fraction must be in (0, 1]")
-    base = docs.select(F.col(group_col).alias("grp"),
+    # NULL group keys are one more group, matched via a sentinel that
+    # cannot collide with a real string key (the group_split convention)
+    # — `grp == NULL` would silently drop every NULL-keyed row, and a
+    # Python sort over mixed None/str keys raises.
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    base = docs.select(F.col(group_col).alias("grp_out"), key.alias("grp"),
                        F.col(id_col).alias("doc_id"))
     rows = base.groupBy("grp").agg(F.count("*").alias("n")).collect()
     n_total = sum(r["n"] for r in rows)
@@ -284,7 +289,7 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
         thr = F.when(F.col("grp") == g, F.lit(thresholds[g])).otherwise(thr)
     return (base.filter(F.pmod(hash_order(F.col("doc_id")), F.lit(_H))
                         < thr)
-                .select("grp", "doc_id"))
+                .select(F.col("grp_out").alias("grp"), "doc_id"))
 
 
 def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
@@ -326,14 +331,24 @@ def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
     pairs = (docs.select(F.explode(pair_arr).alias("p"))
                  .select("p.w1", "p.w2"))
     uni = (docs.select(F.explode(toks).alias("tok"))
-               .groupBy("tok").agg(F.count("*").alias("c")))
-    total_pairs = pairs.count()  # scalar probe
-    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs")) \
-              .filter(F.col("n_pairs") >= min_count)
+               .groupBy("tok").agg(F.count("*").alias("c"))
+               .localCheckpoint(eager=False))
+    # observed-pair-sized count table, checkpointed UNFILTERED: the
+    # total_pairs probe folds from it (Σ == pair count), so the pair
+    # stream explodes once, not once per consumer (the lm.py checkpoint
+    # discipline); min_count filters the checkpointed rows afterwards
+    pc_all = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+                   .localCheckpoint(eager=False))
+    total_pairs = int(pc_all.agg(F.sum("n_pairs")).first()[0] or 0)
+    pc = pc_all.filter(F.col("n_pairs") >= min_count)
     c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
-    pmi = F.log((F.col("n_pairs") * F.lit(total_pairs)).cast("double")
-                / (F.col("c1") * F.col("c2")).cast("double"))
+    # each factor cast to double BEFORE the multiply: n_pairs·total and
+    # c1·c2 overflow int64 once single-token counts pass ~3e9 (doubles
+    # round above 2^53 instead of wrapping negative; the ratio form stays
+    # finite) — the dsir_importance overflow discipline
+    pmi = F.log((F.col("n_pairs").cast("double") * F.lit(float(total_pairs)))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double")))
     return (pc.join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
               .select("w1", "w2", F.col("n_pairs").cast("long").alias("n_pairs"),
                       pmi.alias("pmi")))

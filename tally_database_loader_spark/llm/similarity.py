@@ -572,11 +572,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     into ``n_lists`` cells; each query searches only its ``nprobe``
     nearest cells.
 
-    The coarse quantizer is Spark MLlib KMeans (fixed seed → deterministic
-    centroids) fit on a **seeded bounded sample** of at most ``fit_sample``
-    vectors (one slim count + one sampled scan — the iterative MLlib job
-    never touches the full corpus, which is what keeps the fit O(sample)
-    at 100 TB, exactly as FAISS trains IVF on a slice). Assignment and
+    The coarse quantizer is Spark MLlib KMeans (fixed seed) fit on a
+    **keyed-hash bounded sample** of at most ``fit_sample`` vectors: the
+    ``fit_sample`` smallest ``md5(id)`` rows — a pure function of the
+    data, so the training set (hence the centroids) is identical across
+    retries, repartitioning and AQE re-plans, where ``sample().limit()``
+    would keep whichever rows the first-finishing partitions supplied.
+    The iterative MLlib job never touches the full corpus, which is what
+    keeps the fit O(sample) at 100 TB, exactly as FAISS trains IVF on a
+    slice. Assignment and
     search are DataFrame joins: the centroid table is broadcast (n_lists ×
     dim doubles) and the cell join replaces the cross product. No SQL
     oracle can replay the k-means fit, so the driver applies its rows-only
@@ -589,10 +593,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           array_to_vector(F.col(vec_col).cast("array<double>"))
                           .alias("features"))
     feats = dense.select("features")
-    n_vecs = feats.count()
-    if n_vecs > fit_sample:
-        feats = feats.sample(fraction=min(1.0, 1.05 * fit_sample / n_vecs),
-                             seed=seed).limit(fit_sample)
+    if dense.count() > fit_sample:
+        feats = (dense
+                 .withColumn("h", F.md5(F.col("n_id").cast("string")))
+                 .orderBy("h", "n_id").limit(fit_sample)
+                 .select("features"))
     km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
     assigned = km.transform(dense).select(
         "n_id", "n_vec", F.col("prediction").alias("cell"))

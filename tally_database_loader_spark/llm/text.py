@@ -339,8 +339,10 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"(?is)<head[^>]*>.*?</head>", "")
     t = F.regexp_replace(t, r"(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>", "\n")
     t = F.regexp_replace(t, r"<[^>]+>", "")
-    for pat, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # &amp; decodes LAST: double-escaped text ("&amp;lt;") must surface as
+    # the literal entity ("&lt;"), not be re-decoded into a fake "<"
+    for pat, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         t = F.regexp_replace(t, pat, rep)
     t = F.regexp_replace(t, r"[ \t]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
@@ -365,11 +367,16 @@ def normalize_url(url: Column) -> Column:
     so a SQL oracle replays the chain byte-for-byte. Zero Python, zero
     shuffle.
     """
+    def _strip_utm(q: Column) -> Column:
+        # utm_* params: non-first, then first-with-successor, then
+        # first-alone. Applied to the QUERY piece only — a literal
+        # "&utm_" inside a path must survive (the [^&#]* span would
+        # otherwise eat the rest of the path and the real query).
+        q = F.regexp_replace(q, r"(?i)&utm_[^&#]*", "")
+        q = F.regexp_replace(q, r"(?i)\?utm_[^&#]*&", "?")
+        return F.regexp_replace(q, r"(?i)\?utm_[^&#]*$", "")
+
     u = F.regexp_replace(url, r"#.*", "")                # fragment
-    # utm_* params: non-first, then first-with-successor, then first-alone
-    u = F.regexp_replace(u, r"(?i)&utm_[^&#]*", "")
-    u = F.regexp_replace(u, r"(?i)\?utm_[^&#]*&", "?")
-    u = F.regexp_replace(u, r"(?i)\?utm_[^&#]*$", "")
     head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1))
     tail = F.regexp_replace(u, r"^[^/]*//[^/?#]*", "")
     scheme = F.regexp_extract(head, r"^[a-z]+://", 0)
@@ -377,8 +384,10 @@ def normalize_url(url: Column) -> Column:
                             r"^www\.", "")
     path = F.regexp_replace(F.regexp_extract(tail, r"^[^?]*", 0),
                             r"/+$", "")
-    query = F.regexp_replace(tail, r"^[^?]*", "")
-    return F.when(head == "", F.regexp_replace(u, r"/+$", "")) \
+    query = _strip_utm(F.regexp_replace(tail, r"^[^?]*", ""))
+    fb = F.concat(F.regexp_extract(u, r"^[^?]*", 0),
+                  _strip_utm(F.regexp_replace(u, r"^[^?]*", "")))
+    return F.when(head == "", F.regexp_replace(fb, r"/+$", "")) \
             .otherwise(F.concat(scheme, rest, path, query))
 
 

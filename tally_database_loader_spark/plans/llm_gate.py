@@ -1747,8 +1747,8 @@ ex AS (
              '(?is)<head[^>]*>.*?</head>', '', 'g'),
              '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>', E'\\n', 'g'),
              '<[^>]+>', '', 'g'),
-             '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-             '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+             '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
            E'[ \\t]+', ' ', 'g'),
            E' ?\\n ?', E'\\n', 'g')) AS txt
   FROM page
@@ -2075,27 +2075,35 @@ _DD_URLIFY = ("'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/' || "
               "doc_id || '/?utm_source=feed&id=' || (doc_id % 7) || "
               "'&utm_medium=rss#sec-' || doc_id")
 
-_DD_URL_NORM = """
+def _dd_strip_utm(q: str) -> str:
+    """utm_* strip applied to a QUERY piece only (mirrors llm/text.py
+    normalize_url._strip_utm — a literal '&utm_' in a path survives)."""
+    return ("regexp_replace(regexp_replace(regexp_replace(" + q +
+            ", '(?i)&utm_[^&#]*', '', 'g')"
+            ", '(?i)\\?utm_[^&#]*&', '?', 'g')"
+            ", '(?i)\\?utm_[^&#]*$', '', 'g')")
+
+
+_DD_URL_NORM = f"""
 SELECT doc_id,
-       CASE WHEN head = '' THEN regexp_replace(u, '/+$', '', 'g')
+       CASE WHEN head = '' THEN
+              regexp_replace(
+                regexp_extract(u, '^[^?]*')
+                || {_dd_strip_utm("regexp_replace(u, '^[^?]*', '')")},
+                '/+$', '', 'g')
             ELSE regexp_extract(head, '^[a-z]+://')
                  || regexp_replace(regexp_replace(head, '^[a-z]+://', ''),
                                    '^www\\.', '')
                  || regexp_replace(regexp_extract(tail, '^[^?]*'),
                                    '/+$', '', 'g')
-                 || regexp_replace(tail, '^[^?]*', '')
+                 || {_dd_strip_utm("regexp_replace(tail, '^[^?]*', '')")}
        END AS norm
 FROM (
   SELECT doc_id, u,
          lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1)) AS head,
          regexp_replace(u, '^[^/]*//[^/?#]*', '') AS tail
   FROM (
-    SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(raw, '#.*', '', 'g'),
-             '(?i)&utm_[^&#]*', '', 'g'),
-             '(?i)\\?utm_[^&#]*&', '?', 'g'),
-             '(?i)\\?utm_[^&#]*$', '', 'g') AS u
+    SELECT doc_id, regexp_replace(raw, '#.*', '', 'g') AS u
     FROM raws
   )
 )"""
@@ -2122,8 +2130,8 @@ hex0 AS (
              '(?is)<head[^>]*>.*?</head>', '', 'g'),
              '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>', E'\\n', 'g'),
              '<[^>]+>', '', 'g'),
-             '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-             '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+             '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
            E'[ \\t]+', ' ', 'g'),
            E' ?\\n ?', E'\\n', 'g')) AS txt
   FROM hpage

@@ -56,12 +56,25 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     full-width codegen stages downstream — same reasoning at 100 TB, where
     it instead argues for keeping ``maxPartitionBytes`` small on
     compute-dense columns."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # plan-side repartition, unconditionally: probing df.rdd for the current
-    # partition count forces a Python->RDD conversion per call; for the
-    # known-narrow sources this helper serves, the small shuffle is cheaper
-    # than the probe, and AQE coalesces it away when the input is already wide
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # plan-side width estimate (optimizer stats — no df.rdd conversion,
+    # no job): an input whose scan already splits into >= target
+    # partitions passes through untouched, because an explicit
+    # repartition(N) is NOT coalesced away by AQE (AQE only rebalances
+    # unspecified/REBALANCE shuffles) and would re-shuffle the whole
+    # corpus at scale. Stats unavailable -> treat as narrow (the
+    # known-narrow text sources this helper serves).
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                     "134217728")).lower().rstrip("b")
+        est_parts = size // max(1, int(mpb_raw))
+        if est_parts >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 
 

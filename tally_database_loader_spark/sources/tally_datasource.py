@@ -102,10 +102,39 @@ def _parse_rows(text: str, spec: TableSpec) -> Iterator[tuple]:
         yield tuple(row)
 
 
+def _tdl_quoted(v) -> str | None:
+    """Render a literal for a quoted TDL context ($$IsEqual / contains).
+    None when no safe rendering exists — an embedded double quote would
+    break out of the formula, and date/binary encodings are server-
+    version-dependent; those filters stay client-side instead of risking
+    a malformed formula that over-filters rows the re-check can never
+    restore."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, str) and '"' not in v:
+        return v
+    return None
+
+
+def _tdl_number(v) -> str | None:
+    """Render a literal for an unquoted comparison — numerics only (a
+    bare date/string token would be evaluated as arithmetic by TDL)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    return None
+
+
 def _tdl_formula(spec: TableSpec, f: Filter) -> str | None:
     """Compile one Catalyst filter into a TDL SYSTEM formula — the same
     constructs the reference's YAML filters use. Returns None when the
-    filter shape has no TDL encoding (Spark re-applies it)."""
+    filter shape OR its literal has no safe TDL encoding (Spark then
+    applies it post-scan); a pushed formula must be equal-or-weaker than
+    the predicate, never stronger, because rows the server drops are
+    gone for good."""
     try:
         (col,) = f.attribute  # nested paths unsupported
     except (ValueError, AttributeError):
@@ -115,22 +144,27 @@ def _tdl_formula(spec: TableSpec, f: Filter) -> str | None:
         return None
     src = fld.expr.lstrip("$")
     if isinstance(f, EqualTo):
-        return f'$$IsEqual:${src}:"{f.value}"'
+        v = _tdl_quoted(f.value)
+        return None if v is None else f'$$IsEqual:${src}:"{v}"'
     if isinstance(f, In):
-        alts = " OR ".join(f'$$IsEqual:${src}:"{v}"' for v in f.value)
+        vals = [_tdl_quoted(v) for v in f.value]
+        if any(v is None for v in vals):
+            return None
+        alts = " OR ".join(f'$$IsEqual:${src}:"{v}"' for v in vals)
         return f"({alts})"
-    if isinstance(f, GreaterThan):
-        return f"${src} > {f.value}"
-    if isinstance(f, GreaterThanOrEqual):
-        return f"${src} >= {f.value}"
-    if isinstance(f, LessThan):
-        return f"${src} < {f.value}"
-    if isinstance(f, LessThanOrEqual):
-        return f"${src} <= {f.value}"
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                      LessThan, LessThanOrEqual)):
+        v = _tdl_number(f.value)
+        if v is None:
+            return None
+        op = {GreaterThan: ">", GreaterThanOrEqual: ">=",
+              LessThan: "<", LessThanOrEqual: "<="}[type(f)]
+        return f"${src} {op} {v}"
     if isinstance(f, IsNotNull):
         return f"NOT $$IsEmpty:${src}"
     if isinstance(f, StringContains):
-        return f'$$StringContainsCaseless:${src}:"{f.value}"'
+        v = _tdl_quoted(f.value)
+        return None if v is None else f'$$StringContainsCaseless:${src}:"{v}"'
     return None
 
 
@@ -274,8 +308,14 @@ from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
 
 from .registry import FieldSpec  # noqa: E402
 
+# Both counters in one probe report, as the reference does
+# (src/tally.mts:410 probes $AltMstId AND $AltVchId together): masters
+# and vouchers advance on separate AlterId sequences, so gating a trn_*
+# stream on the master counter would silently drop vouchers until an
+# unrelated master edit happened to push AltMstId past them.
 _PROBE_SPEC = TableSpec("alterid_probe", "Company",
-                        [FieldSpec("alterid", "$AltMstId", "number")])
+                        [FieldSpec("alterid_master", "$AltMstId", "number"),
+                         FieldSpec("alterid_voucher", "$AltVchId", "number")])
 
 
 class TallyStreamReader(SimpleDataSourceStreamReader):
@@ -304,12 +344,15 @@ class TallyStreamReader(SimpleDataSourceStreamReader):
         return {"alterid": int(self.options.get("start_alterid", 0))}
 
     def _probe(self) -> int:
+        """Max AlterId of the counter this table advances on: voucher
+        (trn_*) tables watch $AltVchId, master tables $AltMstId."""
         from .tally_http import post_tally_xml
         from .tally_xml import generate_tdl_xml
         text = post_tally_xml(self.options["url"],
                               generate_tdl_xml(_PROBE_SPEC))
+        col = 1 if self.spec.name.startswith("trn_") else 0
         for row in _parse_rows(text, _PROBE_SPEC):
-            return int(row[0] or 0)
+            return int(row[col] or 0)
         return 0
 
     def _fetch(self, lo: int, hi: int | None) -> list[tuple]:

@@ -73,15 +73,24 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         keeper, dups = state.get if state.exists else (None, 0)
+        # a large group arrives as MULTIPLE Arrow chunks
+        # (arrow.maxRecordsPerBatch) whose boundaries are
+        # partitioning-dependent — fold the min across ALL of them
+        # before electing, or the keeper would be chunk-1's min and
+        # differ across retries
+        n_new, batch_min = 0, None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            batch_min = int(pdf[id_col].min())
+            m = int(pdf[id_col].min())
+            batch_min = m if batch_min is None else min(batch_min, m)
+            n_new += len(pdf)
+        if n_new:
             if keeper is None:
                 keeper = batch_min
-                dups += len(pdf) - 1
+                dups += n_new - 1
             else:
-                dups += len(pdf)
+                dups += n_new
         state.update((keeper, dups))
         yield pd.DataFrame({"fingerprint": [key[0]], "doc_id": [keeper],
                             "dup_count": [dups]})

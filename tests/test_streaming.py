@@ -204,6 +204,37 @@ def test_streaming_dedup_first_wins_across_batches(spark, tmp_path):
     assert got == {"fa": (1, 2), "fc": (4, 0)}
 
 
+def test_streaming_dedup_keeper_spans_arrow_chunks(spark, tmp_path):
+    """A large group arrives as multiple Arrow chunks; the keeper must be
+    the min across ALL of them, not chunk 1's min (chunk boundaries are
+    partitioning-dependent, so anything else is retry-unstable)."""
+    from tally_database_loader_spark.streaming.stateful import streaming_dedup
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        # one fingerprint, 6 rows, min id (1) deliberately NOT first —
+        # with 2-row chunks the keeper election must cross chunks
+        rows = [("fx", i) for i in (7, 5, 9, 1, 8, 6)]
+        spark.createDataFrame(rows, "fingerprint string, doc_id bigint") \
+             .coalesce(1).write.mode("append").parquet(src)
+        out: list = []
+        stream = (spark.readStream
+                  .schema("fingerprint string, doc_id bigint").parquet(src))
+        q = (streaming_dedup(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _id: out.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["fingerprint"]: (r["doc_id"], r["dup_count"]) for r in out}
+        assert got == {"fx": (1, 5)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_band_signatures_match_batch_minhash(spark):
     """The streaming path's map-side band signatures (array_min over
     transformed shingle hashes — no explode/groupBy) must equal the batch

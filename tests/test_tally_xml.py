@@ -250,6 +250,34 @@ def test_tally_datasource_pushdown_and_slicing(spark, tmp_path):
     assert by_guid["g-002"][1] == "Sharma <Traders>"  # entity unescape
 
 
+def test_tdl_formula_literal_safety():
+    """Only safely-renderable literals compile into TDL formulae; dates,
+    quote-bearing strings and booleans stay client-side (a malformed
+    pushed formula could over-filter rows the re-check can never
+    restore)."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+    from tally_database_loader_spark.sources.registry import default_tables
+    from tally_database_loader_spark.sources.tally_datasource import \
+        _tdl_formula
+
+    spec = default_tables()["mst_vouchertype"]
+    # plain string / numeric literals render
+    assert _tdl_formula(spec, EqualTo(("name",), "Journal")) \
+        == '$$IsEqual:$Name:"Journal"'
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0)) \
+        == "$AffectsStock > 0"
+    # a date would render as unquoted arithmetic (1995-1-1) — rejected
+    assert _tdl_formula(
+        spec, GreaterThan(("name",), datetime.date(1995, 1, 1))) is None
+    # an embedded double quote would break out of the formula — rejected
+    assert _tdl_formula(spec, EqualTo(("name",), 'a"b')) is None
+    assert _tdl_formula(spec, In(("name",), ("ok", 'a"b'))) is None
+    # booleans have no TDL literal form — rejected
+    assert _tdl_formula(spec, EqualTo(("affects_stock",), True)) is None
+
+
 def test_tally_stream_source_alterid_offsets(spark, tmp_path):
     """readStream.format('tally'): AlterId is the offset — unchanged probe
     => empty batch (H2 gate); advanced probe => only rows past the last
