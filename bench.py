@@ -76,6 +76,7 @@ HEADLINE = [
     "lm_score_suite",
     "batch_layout",
     "pq_adc_topk",
+    "curation_pipeline",
 ]
 
 

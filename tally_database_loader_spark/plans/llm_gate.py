@@ -1457,6 +1457,69 @@ _DD_GOPHER_RULES = """
 """
 
 
+@gate_query("curation_pipeline", oracle=f"""
+WITH gm AS ({_DD_GOPHER_METRICS}),
+gpass AS (
+  SELECT d.doc_id, d.source, d.text, CAST(d.n_chars AS BIGINT) AS n
+  FROM documents d JOIN gm ON gm.doc_id = d.doc_id
+  WHERE gm.n_words >= 20 AND gm.n_words <= 100000
+    AND gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0
+    AND gm.symbol_ratio <= 0.1 AND gm.alpha_frac >= 0.8
+),
+cdedup AS (
+  SELECT g.doc_id, g.source, g.n
+  FROM gpass g JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                     FROM gpass GROUP BY 1) k
+  ON k.doc_id = g.doc_id
+),
+cpk AS (
+  SELECT source AS shard, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS strt
+  FROM cdedup WHERE n > 0
+)
+SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(least(n, (seq_idx + 1) * 512 - strt)
+                - greatest(0, seq_idx * 512 - strt)) AS BIGINT) AS tok_sum
+FROM cpk, unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS u(seq_idx)
+GROUP BY 1, 2
+""")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE plan: Gopher rule
+    filter → exact dedup (min-id keeper per content fingerprint, elected
+    by a min-struct aggregate — no self-join) → sequence packing at
+    L=512 → per-(shard, sequence) totals. Demonstrates the stages
+    compose as a single lazy DataFrame program (filter and keeper
+    election are map-side + one fingerprint shuffle; packing adds the
+    per-shard prefix-sum window) — and the oracle replays every stage,
+    so a deviation anywhere in the chain breaks the hash."""
+    from ..llm.packing import pack_sequences
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # the rules that discriminate on this corpus (the stopword rule
+    # rejects every synthetic bench doc — keeping it would make the gate
+    # a trivially-empty hash match); composed from the same per-rule
+    # booleans gopher_rules checks individually
+    g = tx.gopher_columns(F.col("text"), min_words=20)
+    gp = (g["r_word_count"] & g["r_mean_word_len"]
+          & g["r_symbol_ratio"] & g["r_alpha_words"])
+    kept = (d.filter(gp)
+             .select("doc_id", "source", "n_chars",
+                     F.md5("text").alias("fp")))
+    dedup = (kept.groupBy("fp")
+                 .agg(F.min(F.struct("doc_id", "source", "n_chars"))
+                       .alias("m"))
+                 .select("m.*"))
+    packed = pack_sequences(dedup, "source", "doc_id", "n_chars",
+                            seq_len=512)
+    return (packed.groupBy("shard",
+                           F.col("seq_idx").cast("long").alias("seq_idx"))
+                  .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+                       F.sum(F.col("tok_to") - F.col("tok_from"))
+                        .cast("long").alias("tok_sum")))
+
+
 # ---------------------------------------------------------------------------
 # merged driver-window gates: several single-pass families in one slot
 # ---------------------------------------------------------------------------
