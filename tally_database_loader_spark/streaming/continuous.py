@@ -138,6 +138,53 @@ def sessionize(events: DataFrame, *, gap: str = "30 minutes",
                        "n_events"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         key_col: str = "user_id",
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         lower: str = "0 seconds",
+                         upper: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream equi+interval join: pair each left event with the
+    right-stream events of the same key whose timestamp falls in
+    ``[left_ts - lower ... left_ts + upper]`` — the
+    correlate-two-live-feeds operator (clicks⋈impressions,
+    vouchers⋈payments) that the reference's poll-one-source model cannot
+    express at all.
+
+    Both sides carry watermarks and the join predicate carries BOTH time
+    bounds, which is what lets Structured Streaming expire buffered rows:
+    state per side is bounded by watermark + interval width, not stream
+    length. The same plan runs on batch inputs (the watermark is a
+    streaming-only no-op), so batch backfill and live tailing share one
+    definition — equivalence is asserted stream-vs-batch in
+    tests/test_streaming.py.
+
+    Output: key, both timestamps and both payload structs."""
+    lsrc, rsrc = left, right
+    if lsrc.isStreaming:
+        lsrc = lsrc.withWatermark(left_ts, watermark)
+    if rsrc.isStreaming:
+        rsrc = rsrc.withWatermark(right_ts, watermark)
+    l_ = lsrc.select(F.col(key_col).alias("k"),
+                     F.col(left_ts).alias("l_ts"),
+                     F.struct(*[c for c in lsrc.columns
+                                if c not in (key_col, left_ts)])
+                     .alias("l_payload"))
+    r_ = rsrc.select(F.col(key_col).alias("rk"),
+                     F.col(right_ts).alias("r_ts"),
+                     F.struct(*[c for c in rsrc.columns
+                                if c not in (key_col, right_ts)])
+                     .alias("r_payload"))
+    # the time bounds live IN the join condition (not a post-join filter)
+    # so the streaming planner derives the state-eviction horizon
+    cond = ((F.col("k") == F.col("rk"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lower}"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}")))
+    return (l_.join(r_, cond, "inner")
+              .select(F.col("k").alias(key_col), "l_ts", "r_ts",
+                      "l_payload", "r_payload"))
+
+
 def windowed_event_counts(events: DataFrame, *, window: str = "1 hour",
                           watermark: str = "1 hour",
                           ts_col: str = "ts") -> DataFrame:

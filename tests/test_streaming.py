@@ -103,6 +103,41 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 6
 
 
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream equi+interval join: streaming result == batch result
+    on identical inputs, and only pairs inside the time bounds appear."""
+    from tally_database_loader_spark.streaming.continuous import \
+        stream_interval_join
+    base = datetime.datetime(2024, 1, 1, 9, 0)
+    lrows = [(u, base + datetime.timedelta(minutes=m), f"L{u}-{m}")
+             for u in (1, 2) for m in (0, 20)]
+    rrows = [(u, base + datetime.timedelta(minutes=m), f"R{u}-{m}")
+             for u in (1, 2) for m in (1, 9, 25, 31)]
+    schema_l = "user_id bigint, ts timestamp, tag string"
+    lbatch = spark.createDataFrame(lrows, schema_l)
+    rbatch = spark.createDataFrame(rrows, schema_l)
+    want = sorted(tuple(map(str, r)) for r in
+                  stream_interval_join(lbatch, rbatch, upper="10 minutes")
+                  .collect())
+    # per user: L@0 -> {R@1, R@9}; L@20 -> {R@25} (R@31 is past +10min,
+    # R@9/R@1 are before lower=0) => 3 pairs x 2 users
+    assert len(want) == 6
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    lbatch.write.parquet(ldir)
+    rbatch.write.parquet(rdir)
+    ls = spark.readStream.schema(schema_l).parquet(ldir)
+    rs = spark.readStream.schema(schema_l).parquet(rdir)
+    q = (stream_interval_join(ls, rs, upper="10 minutes")
+         .writeStream.format("memory").queryName("sij")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(map(str, r))
+                 for r in spark.sql("select * from sij").collect())
+    assert got == want
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     from tally_database_loader_spark.streaming.continuous import sessionize
     rows = []
