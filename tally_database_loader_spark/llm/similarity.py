@@ -266,6 +266,16 @@ def _sql_array2(rows: list[list[int]]) -> Column:
         for row in rows) + ")")
 
 
+def _hash_head(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """First ``n`` rows by keyed-md5 order (ties → id) — the shared
+    deterministic-sample idiom (kmeans/PQ seeding, IVF fit bound): a
+    pure function of the data, so the selected set is identical across
+    retries, repartitioning and AQE re-plans, yet hash-uniform like a
+    random sample."""
+    return (df.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+              .orderBy("__h", id_col).limit(n).drop("__h"))
+
+
 def _dist_table(u: Column, cents: list[list[int]]) -> Column:
     """Array of exact integer squared distances from a u-quantized
     vector (scale 2^14, offset +2^14 — multiplied by 64 here to reach
@@ -318,9 +328,7 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
     column, and the final scale-2^20 integer centroid components."""
     base = corpus.select(F.col(id_col).alias("vid"),
                          _kmeans_uq(F.col(vec_col)).alias("u"))
-    seed_rows = (base
-                 .withColumn("h", F.md5(F.col("vid").cast("string")))
-                 .orderBy("h", "vid").limit(n_lists).collect())
+    seed_rows = _hash_head(base, "vid", n_lists).collect()
     cents = [[64 * int(x) for x in r["u"]] for r in seed_rows]
     n_lists = len(cents)
     dim = len(cents[0]) if cents else 0
@@ -447,9 +455,7 @@ def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
     # still replay each subspace independently.
     base = corpus.select(F.col(id_col).alias("vid"),
                          _kmeans_uq(F.col(vec_col)).alias("u"))
-    seed_rows = (base
-                 .withColumn("h", F.md5(F.col("vid").cast("string")))
-                 .orderBy("h", "vid").limit(n_codes).collect())
+    seed_rows = _hash_head(base, "vid", n_codes).collect()
     codebooks = [[[64 * int(x) for x in r["u"][s * sub_len:(s + 1) * sub_len]]
                   for r in seed_rows] for s in range(m)]
     n_codes = len(seed_rows)
@@ -594,10 +600,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           .alias("features"))
     feats = dense.select("features")
     if dense.count() > fit_sample:
-        feats = (dense
-                 .withColumn("h", F.md5(F.col("n_id").cast("string")))
-                 .orderBy("h", "n_id").limit(fit_sample)
-                 .select("features"))
+        feats = _hash_head(dense, "n_id", fit_sample).select("features")
     km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
     assigned = km.transform(dense).select(
         "n_id", "n_vec", F.col("prediction").alias("cell"))

@@ -68,14 +68,30 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats()
                    .sizeInBytes())
-        mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                     "134217728")).lower().rstrip("b")
-        est_parts = size // max(1, int(mpb_raw))
-        if est_parts >= target:
-            return df
+        # unknown stats surface as Long.MaxValue, NOT an exception —
+        # RDD-backed/Python-datasource inputs must fall through to the
+        # widening repartition, not masquerade as infinitely wide
+        if size < (1 << 62):
+            mpb = _parse_bytes(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"))
+            if size // max(1, mpb) >= target:
+                return df
     except Exception:
         pass
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+def _parse_bytes(raw) -> int:
+    """Spark size-conf syntax: plain bytes, or k/m/g/t with optional
+    trailing 'b' ('128m', '256mb', '1g')."""
+    s = str(raw).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(s) * mult
 
 
 def register_views(spark: SparkSession, sf_dir: str,

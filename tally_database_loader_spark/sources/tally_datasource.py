@@ -102,29 +102,39 @@ def _parse_rows(text: str, spec: TableSpec) -> Iterator[tuple]:
         yield tuple(row)
 
 
-def _tdl_quoted(v) -> str | None:
-    """Render a literal for a quoted TDL context ($$IsEqual / contains).
-    None when no safe rendering exists — an embedded double quote would
-    break out of the formula, and date/binary encodings are server-
-    version-dependent; those filters stay client-side instead of risking
-    a malformed formula that over-filters rows the re-check can never
-    restore."""
+def _tdl_number(v) -> str | None:
+    """Render a literal for an unquoted comparison — finite numerics in
+    plain notation only. A bare date/string token would be evaluated as
+    arithmetic by TDL, and str(float) can emit scientific notation
+    ('1e-05') or 'inf'/'nan', none of which TDL parses as numbers."""
     if isinstance(v, bool) or v is None:
         return None
-    if isinstance(v, (int, float, decimal.Decimal)):
-        return str(v)
-    if isinstance(v, str) and '"' not in v:
-        return v
+    if isinstance(v, (int, decimal.Decimal)):
+        s = str(v)
+        return None if any(c in s for c in "eEnN") else s
+    if isinstance(v, float):
+        import math
+        if not math.isfinite(v):
+            return None
+        s = repr(v)
+        return None if "e" in s or "E" in s else s
     return None
 
 
-def _tdl_number(v) -> str | None:
-    """Render a literal for an unquoted comparison — numerics only (a
-    bare date/string token would be evaluated as arithmetic by TDL)."""
+def _tdl_quoted(v) -> str | None:
+    """Render a literal for a quoted TDL context ($$IsEqual / contains).
+    None when no safe rendering exists — an embedded double quote would
+    break out of the formula, XML metacharacters (&, <, >) would be
+    embedded unescaped into the <SYSTEM> element and corrupt the whole
+    request, and date/binary encodings are server-version-dependent;
+    those filters stay client-side instead of risking a malformed
+    formula that over-filters rows the re-check can never restore."""
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, (int, float, decimal.Decimal)):
-        return str(v)
+        return _tdl_number(v)
+    if isinstance(v, str) and not any(c in v for c in '"<>&'):
+        return v
     return None
 
 
@@ -141,6 +151,11 @@ def _tdl_formula(spec: TableSpec, f: Filter) -> str | None:
         return None
     fld = next((x for x in spec.fields if x.name == col), None)
     if fld is None:
+        return None
+    # only simple '$Identifier' fields push down — a computed expr (the
+    # if/then parent normalization, $$-function fields) pasted into
+    # '$$IsEqual:$<expr>:"v"' is nonsense TDL that over-filters
+    if not re.fullmatch(r"\$[A-Za-z0-9_.]+", fld.expr):
         return None
     src = fld.expr.lstrip("$")
     if isinstance(f, EqualTo):
@@ -344,13 +359,18 @@ class TallyStreamReader(SimpleDataSourceStreamReader):
         return {"alterid": int(self.options.get("start_alterid", 0))}
 
     def _probe(self) -> int:
-        """Max AlterId of the counter this table advances on: voucher
-        (trn_*) tables watch $AltVchId, master tables $AltMstId."""
+        """Max AlterId of the counter this table advances on — chosen by
+        the COLLECTION ROOT, not the table-name prefix: rows of
+        Voucher-rooted collections carry voucher-sequence AlterIds,
+        everything else (Ledger/StockItem/... roots — including
+        trn_closingstock_ledger, which is Ledger-rooted despite its
+        trn_ name) advances on the master counter."""
         from .tally_http import post_tally_xml
         from .tally_xml import generate_tdl_xml
         text = post_tally_xml(self.options["url"],
                               generate_tdl_xml(_PROBE_SPEC))
-        col = 1 if self.spec.name.startswith("trn_") else 0
+        root = self.spec.collection.split(".", 1)[0]
+        col = 1 if root == "Voucher" else 0
         for row in _parse_rows(text, _PROBE_SPEC):
             return int(row[col] or 0)
         return 0

@@ -274,8 +274,20 @@ def test_tdl_formula_literal_safety():
     # an embedded double quote would break out of the formula — rejected
     assert _tdl_formula(spec, EqualTo(("name",), 'a"b')) is None
     assert _tdl_formula(spec, In(("name",), ("ok", 'a"b'))) is None
+    # XML metacharacters would corrupt the <SYSTEM> element — rejected
+    assert _tdl_formula(spec, EqualTo(("name",), "A&B Ltd")) is None
+    assert _tdl_formula(spec, EqualTo(("name",), "Sharma <Traders>")) is None
     # booleans have no TDL literal form — rejected
     assert _tdl_formula(spec, EqualTo(("affects_stock",), True)) is None
+    # computed-expression fields (mst_vouchertype.parent is an if/then
+    # normalization) cannot be pasted into a formula — rejected
+    assert _tdl_formula(spec, EqualTo(("parent",), "Contra")) is None
+    # scientific notation / non-finite floats are not TDL numerics
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 1e-05)) is None
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",),
+                                          float("inf"))) is None
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0.25)) \
+        == "$AffectsStock > 0.25"
 
 
 def test_tally_stream_source_alterid_offsets(spark, tmp_path):
