@@ -1,0 +1,104 @@
+"""Relational cardinality sketches — HyperLogLog built from DataFrame
+primitives, deterministically.
+
+At 100 TB, corpus telemetry (distinct tokens / URLs / fingerprints per
+slice) cannot afford exact ``count(DISTINCT x)`` — the shuffle is sized
+by the number of distinct values. ``approx_count_distinct`` exists, but
+its register hashing is engine-private: no SQL oracle can replay it and
+two engines never agree. This module builds the SAME sketch relationally
+— md5-derived 60-bit hashes, register index = low ``b`` bits, rho =
+leading-zero count of the remaining width via an integer comparison
+fold, registers = one ``groupBy(bucket).max(rho)`` whose shuffle is 2^b
+rows regardless of input size — so the whole estimator is exact integer
+arithmetic until the final one-row float step and a DuckDB oracle
+reproduces the estimate BIT-FOR-BIT (plans/llm_gate.py).
+
+Registers merge by ``max`` — the sketch is distributive, so partial
+aggregation, AQE re-planning, retries, and cross-partition merges cannot
+perturb a single register.
+
+Reference context: the reference engine has no approximate aggregates
+(its COUNT(DISTINCT) reports run on row counts a single Tally company
+produces); this is part of the 100 TB charter surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60  # conv(substr(md5(x),1,15),16,10) — 15 hex digits
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007) for m ≥ 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash60(c: Column) -> Column:
+    """60-bit integer hash: the md5-prefix fold every hash-parity oracle
+    in this repo replays digit-for-digit."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
+            .cast("long")
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """The 2^b HLL registers of ``df[col]`` as ``(bucket, rho)`` rows —
+    only OCCUPIED buckets appear (empties are register value 0).
+
+    rho = 1 + leading zeros of the top ``60-b`` hash bits, computed as an
+    integer comparison fold (``W + 1 - Σ(w ≥ 2^k)``) — no float log2
+    whose boundary rounding could disagree across engines. One map-side
+    pass + one 2^b-group aggregation."""
+    if not 4 <= b <= 20:
+        raise ValueError("b must be in [4, 20]")
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = _hash60(F.col(col))
+    # h >> b == h div 2^b for the non-negative 60-bit hash — a double
+    # division would round wrong above 2^53
+    w = F.shiftright(h, b)
+    bit_len = reduce(add, [(w >= F.lit(1 << k)).cast("int")
+                           for k in range(w_bits)])
+    rho = F.lit(w_bits + 1) - bit_len
+    return (df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+              .groupBy("bucket").agg(F.max("rho").alias("rho")))
+
+
+def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """One-row HLL cardinality estimate: ``m, v_zero, s, estimate``.
+
+    The register fold is kept integer: ``s = Σ_j 2^(51 - M_j)`` over all
+    m registers (empties contribute 2^51) — terms are int64 powers of
+    two, the sum is associative and exact (≤ 2^(51+b) < 2^63 for
+    b ≤ 11), so the indicator Σ2^-M arrives at the driver bit-exactly
+    regardless of partition order. The only float math is the final
+    one-row estimate: ``α·m²·2^51/s``, with the standard small-range
+    linear-counting correction (``m·ln(m/v_zero)`` when E ≤ 2.5m) —
+    deterministic double ops a SQL engine reproduces exactly.
+    Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
+    if b > 11:
+        raise ValueError("integer register fold requires b <= 11")
+    m = 1 << b
+    spark: SparkSession = df.sparkSession
+    regs = hll_registers(df, col, b)
+    spine = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    full = (spine.join(F.broadcast(regs), "bucket", "left")
+                 .select(F.coalesce(F.col("rho"), F.lit(0)).alias("rho")))
+    folded = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - rho)")).alias("s"),
+        F.sum((F.col("rho") == 0).cast("int")).alias("v_zero"))
+    alpha = hll_alpha(m)
+    e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+             * F.lit(float(1 << 51)) / F.col("s").cast("double"))
+    small = (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
+    est = F.when(small, F.lit(float(m))
+                 * F.log(F.lit(float(m)) / F.col("v_zero").cast("double"))) \
+           .otherwise(e_raw)
+    return folded.select(F.lit(m).cast("int").alias("m"),
+                         F.col("v_zero").cast("int").alias("v_zero"),
+                         F.col("s").cast("long").alias("s"),
+                         est.alias("estimate"))

@@ -1457,6 +1457,63 @@ _DD_GOPHER_RULES = """
 """
 
 
+def _dd_hll(b: int = 10) -> str:
+    """DuckDB replay of the relational HyperLogLog (llm/sketch.py):
+    same md5-fold hash, same integer comparison-fold rho, same integer
+    register sum — the float estimate multiplies only by powers of two
+    before the one division, so the estimate is bit-identical."""
+    from ..llm.sketch import hll_alpha
+    m = 1 << b
+    w_bits = 60 - b
+    bl = " + ".join(f"(CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END)"
+                    for k in range(w_bits))
+    # every float literal CAST to DOUBLE — DuckDB types bare decimal
+    # literals as DECIMAL and overflows multiplying them
+    alpha = f"CAST({hll_alpha(m)!r} AS DOUBLE)"
+    p51 = f"CAST({float(1 << 51)!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    e_raw = f"{alpha} * {md} * {md} * {p51} / CAST(s AS DOUBLE)"
+    return f"""
+htok AS (SELECT unnest({_DD_TOKENS}) AS tok FROM documents),
+hh AS (SELECT {_dd_hex15("substr(md5(tok), 1, 15)")} AS h FROM htok),
+hwr AS (SELECT h % {m} AS bucket, {w_bits + 1} - ({bl}) AS rho
+        FROM (SELECT h, h // {m} AS w FROM hh)),
+hreg AS (SELECT bucket, MAX(rho) AS rho FROM hwr GROUP BY 1),
+hfull AS (SELECT coalesce(r.rho, 0) AS rho
+          FROM range({m}) t(b) LEFT JOIN hreg r ON r.bucket = t.b),
+hs AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s,
+              CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT)
+                AS v_zero
+       FROM hfull),
+hx AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+       FROM htok)
+SELECT CAST({m} AS INT) AS m, v_zero, s,
+       CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
+            THEN {md} * ln({md} / CAST(v_zero AS DOUBLE))
+            ELSE {e_raw} END AS estimate,
+       exact_distinct
+FROM hs, hx"""
+
+
+@gate_query("hll_token_distinct", oracle=f"WITH {_dd_hll()}")
+def hll_token_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational HyperLogLog over the corpus token stream
+    (llm/sketch.py hll_distinct, b=10 → 1024 registers, ~3.2% error),
+    with the exact distinct count alongside — the 100 TB corpus-
+    telemetry operator where exact COUNT(DISTINCT) shuffles by distinct
+    value count but the sketch shuffles 2^b rows. Unlike
+    ``approx_count_distinct`` (engine-private hashing), every register
+    is oracle-replayable, so even the ESTIMATE hash-matches."""
+    from ..llm.lm import _tokens
+    from ..llm.sketch import hll_distinct
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    est = hll_distinct(tok, "tok", b=10)
+    exact = tok.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 @gate_query("curation_pipeline", oracle=f"""
 WITH gm AS ({_DD_GOPHER_METRICS}),
 gpass AS (

@@ -154,6 +154,29 @@ def test_pq_adc_recall_and_determinism(spark):
         pq_encode(e, m=5, n_codes=8, dim=64)
 
 
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from tally_database_loader_spark.llm.sketch import hll_distinct
+    import pyspark.sql.functions as F
+    # high cardinality: raw-HLL branch, error within ~4x the 1.04/sqrt(m)
+    # std error (3.25% at b=10)
+    big = spark.range(50_000).select(F.concat(F.lit("tok-"), F.col("id"))
+                                     .alias("v"))
+    r = hll_distinct(big, "v", b=10).first()
+    assert abs(r["estimate"] - 50_000) / 50_000 < 0.13
+    assert r["v_zero"] == 0  # every register occupied => raw branch
+    # low cardinality: linear-counting branch, near-exact
+    small = spark.range(40).select(F.concat(F.lit("t"), F.col("id"))
+                                   .alias("v"))
+    s = hll_distinct(small, "v", b=10).first()
+    assert s["v_zero"] > 0
+    assert abs(s["estimate"] - 40) / 40 < 0.10
+    # duplicates don't move the registers: estimate is a set property
+    dup = big.union(big)
+    r2 = hll_distinct(dup, "v", b=10).first()
+    assert (r2["s"], r2["v_zero"], r2["estimate"]) == \
+        (r["s"], r["v_zero"], r["estimate"])
+
+
 def test_cluster_balanced_sample_caps_and_determinism(spark):
     from collections import Counter
     from tally_database_loader_spark.llm.similarity import (
