@@ -27,8 +27,9 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "domain_cap", "group_split", "split_bounds",
-           "length_bucketed_batches", "batch_padding_stats", "hash_order"]
+__all__ = ["pack_sequences", "domain_cap", "weighted_sample", "group_split",
+           "split_bounds", "length_bucketed_batches", "batch_padding_stats",
+           "hash_order"]
 
 _H20 = 1 << 20  # hash bucket space for split thresholds
 
@@ -195,6 +196,44 @@ def batch_padding_stats(batches: DataFrame) -> DataFrame:
             .withColumn("pad_waste",
                         (F.col("n_docs") * F.col("tok_max")
                          - F.col("tok_sum")).cast("long")))
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme with keyed-hash randomness: keep the
+    ``k`` rows with the largest ``ln(u)/w`` where ``u`` is a dyadic
+    uniform in (0, 1] derived from ``md5(id)``. Inclusion follows the
+    w-weighted without-replacement distribution, but the drawn set is a
+    PURE FUNCTION of the data (retry/speculation/AQE-stable, auditable)
+    where ``rand()`` is not — this is how a quality- or DSIR-score-
+    weighted subsample stays reproducible at 100 TB.
+
+    Exactness: ``u`` is exact (``(hash mod 2^20 + 1)/2^20`` — a dyadic
+    rational), and the priority is quantized to fixed-point BIGINT
+    (``floor(ln(u)/w · 1e9)``) BEFORE ranking — ``ln`` can differ by 1
+    ulp between the JVM and libm, so ranking raw doubles would let
+    engines disagree at the boundary; the quantized integers agree (the
+    same discipline as the LM log-prob oracles). Rows with NULL or
+    non-positive weight are excluded (their sampling probability is 0).
+
+    Scale shape: ``orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition heaps of k, driver merge — no
+    global sort at any corpus size. Ties (duplicate ids) break on id.
+
+    Output: ``doc_id, weight (double), priority_q (bigint)``."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = ((F.pmod(hash_order(F.col(id_col)), F.lit(_H20)) + 1)
+         .cast("double") / F.lit(float(_H20)))
+    w = F.col(weight_col).cast("double")
+    pri_q = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
+    return (docs.filter(F.col(weight_col).isNotNull()
+                        & (F.col(weight_col) > 0))
+                .select(F.col(id_col).alias("doc_id"), w.alias("weight"),
+                        pri_q.alias("priority_q"))
+                .orderBy(F.col("priority_q").desc(), F.col("doc_id"))
+                .limit(k))
 
 
 def domain_cap(docs: DataFrame, group_col: str, id_col: str,

@@ -36,8 +36,14 @@ _WINDOW = [
     # scalar masks + custom large-scale operators
     "mask_formatting", "salted_agg", "asof_latest_view",
     "interval_attribution", "hypertable_rollup", "gap_fill_locf",
-    # real reference reports over the derived 22-table model
-    "report_trial_balance", "report_profit_loss", "report_stock_summary",
+    # real reference reports over the derived 22-table model (the third
+    # report slot yields to curation_pipeline below — stock_summary stays
+    # registered + pytest-replayed, and the report family keeps two
+    # in-window representatives)
+    "report_trial_balance", "report_profit_loss",
+    # end-to-end composition: Gopher filter ∪ exact dedup ∪ packing in
+    # one hash — re-verifies three families in a single slot
+    "curation_pipeline",
     # text analysis (6 families in one pass, incl. Gopher rule filters)
     # + dedup modalities
     "text_profile", "dedup_exact", "minhash_lsh_dedup", "simhash_parity",

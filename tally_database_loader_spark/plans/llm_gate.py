@@ -1457,6 +1457,29 @@ _DD_GOPHER_RULES = """
 """
 
 
+@gate_query("weighted_sample", oracle=f"""
+SELECT doc_id, weight, priority_q FROM (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         CAST(floor(ln(CAST({_dd_hex15(
+             "substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
+                 % 1048576 + 1 AS DOUBLE) / CAST(1048576.0 AS DOUBLE))
+         / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS priority_q
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+ORDER BY priority_q DESC, doc_id
+LIMIT 100
+""")
+def weighted_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (llm/packing.py weighted_sample, Efraimidis–Spirakis with keyed-hash
+    randomness; weight = document length): top-100 by the fixed-point
+    quantized ln(u)/w priority — the reproducible quality/importance-
+    weighted subsample. The selected set AND the quantized priorities
+    hash-match the oracle."""
+    from ..llm.packing import weighted_sample
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", k=100)
+
+
 def _dd_hll(b: int = 10) -> str:
     """DuckDB replay of the relational HyperLogLog (llm/sketch.py):
     same md5-fold hash, same integer comparison-fold rho, same integer

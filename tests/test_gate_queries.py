@@ -33,13 +33,15 @@ def test_driver_window_covers_all_families():
     window = list(plans.QUERIES)[:50]
     must_have = [
         "trial_balance", "renumber_join_update", "report_trial_balance",
-        "report_profit_loss", "report_stock_summary", "text_profile",
+        "report_profit_loss", "text_profile",
         "simhash_parity", "multimodal_decode", "image_resize",
         "similarity_topk_suite", "incremental_dedup", "pack_sequences",
         "benchmark_contamination", "domain_cap",
         # round-2 suites (several families per slot)
         "lm_score_suite", "token_stats_suite", "normalize_suite",
         "selection_suite",
+        # end-to-end composition (filter ∪ dedup ∪ packing in one hash)
+        "curation_pipeline",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

@@ -51,6 +51,29 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
         pack_sequences(d, "source", "doc_id", "n_chars", seq_len=0)
 
 
+def test_weighted_sample_biased_deterministic_and_guarded(spark):
+    from tally_database_loader_spark.llm.packing import weighted_sample
+    import pytest
+    # 100 heavy rows (w=100) among 1000; a 100-draw A-ES sample should be
+    # dominated by them (heavy mass = 100*100 / (100*100 + 900) ≈ 92%)
+    rows = [(i, 100 if i < 100 else 1) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(docs, "w", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 70, f"weighting not biasing the draw: {heavy}/100 heavy"
+    # deterministic: identical set + priorities on re-run
+    again = weighted_sample(docs, "w", k=100).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # zero/NULL weights are excluded, never sampled
+    mixed = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, None), (4, 5)], "doc_id long, w long")
+    ids = {r["doc_id"] for r in weighted_sample(mixed, "w", k=10).collect()}
+    assert ids == {1, 4}
+    with pytest.raises(ValueError):
+        weighted_sample(docs, "w", k=0)
+
+
 def test_domain_cap_bounds_and_determinism(spark):
     d = load_table(spark, SF_CORRECTNESS, "documents")
     capped = domain_cap(d, "source", "doc_id", k=10)
