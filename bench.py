@@ -77,6 +77,10 @@ HEADLINE = [
     "batch_layout",
     "pq_adc_topk",
     "curation_pipeline",
+    "ivf_kmeans_topk",
+    "cluster_balanced_sample",
+    "hll_token_distinct",
+    "weighted_sample",
 ]
 
 
