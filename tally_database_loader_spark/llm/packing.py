@@ -221,13 +221,21 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     TakeOrderedAndProject — per-partition heaps of k, driver merge — no
     global sort at any corpus size. Ties (duplicate ids) break on id.
 
+    Weight range: the fixed 1e9 scale resolves weights in roughly
+    [1e-8, 1e8] — below that the clamp floor (pinned INSIDE int64 so
+    Spark's saturating cast and a SQL engine's range check cannot
+    diverge) ties ultra-tiny-weight rows together, above it priorities
+    lose resolution. Rescale weights into that band first (ranking is
+    invariant to a common scale factor).
+
     Output: ``doc_id, weight (double), priority_q (bigint)``."""
     if k <= 0:
         raise ValueError("k must be positive")
     u = ((F.pmod(hash_order(F.col(id_col)), F.lit(_H20)) + 1)
          .cast("double") / F.lit(float(_H20)))
     w = F.col(weight_col).cast("double")
-    pri_q = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
+    pri_q = F.floor(F.greatest(F.log(u) / w * F.lit(1e9),
+                               F.lit(-9.0e18))).cast("long")
     return (docs.filter(F.col(weight_col).isNotNull()
                         & (F.col(weight_col) > 0))
                 .select(F.col(id_col).alias("doc_id"), w.alias("weight"),

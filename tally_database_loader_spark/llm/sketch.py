@@ -27,8 +27,10 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .packing import hash_order
 
 _HASH_BITS = 60  # conv(substr(md5(x),1,15),16,10) — 15 hex digits
 
@@ -36,13 +38,6 @@ _HASH_BITS = 60  # conv(substr(md5(x),1,15),16,10) — 15 hex digits
 def hll_alpha(m: int) -> float:
     """Bias-correction constant (Flajolet et al. 2007) for m ≥ 128."""
     return 0.7213 / (1.0 + 1.079 / m)
-
-
-def _hash60(c: Column) -> Column:
-    """60-bit integer hash: the md5-prefix fold every hash-parity oracle
-    in this repo replays digit-for-digit."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10) \
-            .cast("long")
 
 
 def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
@@ -53,11 +48,15 @@ def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     integer comparison fold (``W + 1 - Σ(w ≥ 2^k)``) — no float log2
     whose boundary rounding could disagree across engines. One map-side
     pass + one 2^b-group aggregation."""
-    if not 4 <= b <= 20:
-        raise ValueError("b must be in [4, 20]")
+    # b is pinned to {10, 11}: below 10, max rho = 61-b exceeds 51 and
+    # the register-sum shift would go negative (Java masks shifts & 63,
+    # wrapping to garbage), and the m >= 128 alpha constant stops
+    # applying; above 11 the integer register sum can overflow int64.
+    if not 10 <= b <= 11:
+        raise ValueError("b must be 10 or 11")
     m = 1 << b
     w_bits = _HASH_BITS - b
-    h = _hash60(F.col(col))
+    h = hash_order(F.col(col))
     # h >> b == h div 2^b for the non-negative 60-bit hash — a double
     # division would round wrong above 2^53
     w = F.shiftright(h, b)
@@ -69,7 +68,11 @@ def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
 
 
 def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
-    """One-row HLL cardinality estimate: ``m, v_zero, s, estimate``.
+    """One-row HLL cardinality estimate: ``m, v_zero, s, estimate``
+    (estimate is a BIGINT — cardinalities are integral, and flooring
+    removes the last float from the hashable output: JVM and libm ``ln``
+    can differ by 1 ulp in the linear-counting branch, which would
+    otherwise leak into cross-engine comparisons).
 
     The register fold is kept integer: ``s = Σ_j 2^(51 - M_j)`` over all
     m registers (empties contribute 2^51) — terms are int64 powers of
@@ -80,8 +83,6 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     linear-counting correction (``m·ln(m/v_zero)`` when E ≤ 2.5m) —
     deterministic double ops a SQL engine reproduces exactly.
     Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
-    if b > 11:
-        raise ValueError("integer register fold requires b <= 11")
     m = 1 << b
     spark: SparkSession = df.sparkSession
     regs = hll_registers(df, col, b)
@@ -101,4 +102,4 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     return folded.select(F.lit(m).cast("int").alias("m"),
                          F.col("v_zero").cast("int").alias("v_zero"),
                          F.col("s").cast("long").alias("s"),
-                         est.alias("estimate"))
+                         F.floor(est).cast("long").alias("estimate"))

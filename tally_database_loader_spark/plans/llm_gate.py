@@ -1460,10 +1460,10 @@ _DD_GOPHER_RULES = """
 @gate_query("weighted_sample", oracle=f"""
 SELECT doc_id, weight, priority_q FROM (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-         CAST(floor(ln(CAST({_dd_hex15(
+         CAST(floor(greatest(ln(CAST({_dd_hex15(
              "substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
                  % 1048576 + 1 AS DOUBLE) / CAST(1048576.0 AS DOUBLE))
-         / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS priority_q
+         / CAST(n_chars AS DOUBLE) * 1e9, -9e18)) AS BIGINT) AS priority_q
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 ORDER BY priority_q DESC, doc_id
 LIMIT 100
@@ -1511,9 +1511,10 @@ hs AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s,
 hx AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
        FROM htok)
 SELECT CAST({m} AS INT) AS m, v_zero, s,
-       CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
-            THEN {md} * ln({md} / CAST(v_zero AS DOUBLE))
-            ELSE {e_raw} END AS estimate,
+       CAST(floor(CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                        AND v_zero > 0
+                       THEN {md} * ln({md} / CAST(v_zero AS DOUBLE))
+                       ELSE {e_raw} END) AS BIGINT) AS estimate,
        exact_distinct
 FROM hs, hx"""
 
