@@ -150,6 +150,23 @@ def test_ann_kmeans_plan_shapes(spark):
     assert "Exchange SinglePartition" not in ivf
 
 
+def test_sketch_and_sampling_plan_shapes(spark):
+    """HLL's only data shuffle is the 2^b-group register aggregation
+    (partial-agg'd map-side); weighted sampling plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort); the
+    curation pipeline never sort-merges or funnels one partition."""
+    hll = _plan(spark, "hll_token_distinct")
+    assert "TakeOrderedAndProject" not in hll  # no sort anywhere
+    assert hll.count("HashAggregate") >= 2     # partial + final registers
+    ws = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in ws
+    assert "Exchange SinglePartition" not in ws.replace(
+        "TakeOrderedAndProject", "")  # the take is the only funnel
+    cp = _plan(spark, "curation_pipeline")
+    assert "CartesianProduct" not in cp
+    assert "Exchange SinglePartition" not in cp
+
+
 def test_round2_suite_plan_shapes(spark):
     """The round-2 merged suites and layout gates keep scale-correct
     shapes: selection is map-side (its only join is the broadcast of the
