@@ -81,6 +81,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "hll_token_distinct",
     "weighted_sample",
+    "cms_token_counts",
 ]
 
 

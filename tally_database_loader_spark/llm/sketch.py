@@ -103,3 +103,47 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
                          F.col("v_zero").cast("int").alias("v_zero"),
                          F.col("s").cast("long").alias("s"),
                          F.floor(est).cast("long").alias("estimate"))
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 4096) -> DataFrame:
+    """Count-min sketch of ``df[col]`` as a ``(r, bkt, c)`` table — the
+    bounded-shuffle frequency summary: exact per-value counts shuffle by
+    the number of distinct values, the sketch shuffles at most ``d·w``
+    rows at any corpus size. Each value increments one bucket per row
+    (salted md5 hashes — engine-replayable like every hash in this
+    repo); counts are plain integer sums, so the sketch is associative
+    (partial agg / AQE / retry-proof) and mergeable across corpus slices
+    by adding tables. Estimates overcount (collisions) but never
+    undercount."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 rows and w >= 2 buckets")
+    arr = F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.pmod(hash_order(F.concat(F.lit(f"cms{i}:"),
+                                            F.col(col).cast("string"))),
+                        F.lit(w)).alias("bkt"))
+        for i in range(d)])
+    return (df.select(F.explode(arr).alias("e"))
+              .select("e.r", "e.bkt")
+              .groupBy("r", "bkt").agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
+                 d: int = 4, w: int = 4096) -> DataFrame:
+    """Count-min frequency estimates for ``items[col]`` against a
+    ``cms_build`` sketch (built with the SAME d and w): estimate =
+    min over the d bucket counters (0 for never-seen values). The
+    d·w-row sketch broadcasts; per-item work is d lookups."""
+    arr = F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.pmod(hash_order(F.concat(F.lit(f"cms{i}:"),
+                                            F.col(col).cast("string"))),
+                        F.lit(w)).alias("bkt"))
+        for i in range(d)])
+    # generator and getField in separate selects (Spark 4 analyzer quirk)
+    e = (items.select(F.col(col), F.explode(arr).alias("e"))
+              .select(col, "e.r", "e.bkt"))
+    return (e.join(F.broadcast(sketch), ["r", "bkt"], "left")
+             .groupBy(col)
+             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                   .cast("long").alias("cms_count")))

@@ -1480,6 +1480,53 @@ def weighted_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", k=100)
 
 
+def _dd_cms(d: int = 4, w: int = 4096, topk: int = 20) -> str:
+    """DuckDB replay of the relational count-min sketch (llm/sketch.py
+    cms_build/cms_estimate): same salted md5 bucket hashes, integer
+    counters, min-over-rows estimate."""
+    def bkt(i: int, tok: str) -> str:
+        return _dd_hex15(f"substr(md5('cms{i}:' || {tok}), 1, 15)") \
+            + f" % {w}"
+    structs = ", ".join(f"{{'r': {i}, 'bkt': {bkt(i, 'tok')}}}"
+                        for i in range(d))
+    return f"""
+ctok AS (SELECT unnest({_DD_TOKENS}) AS tok FROM documents),
+cs AS (SELECT e.r AS r, e.bkt AS bkt, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT unnest([{structs}]) AS e FROM ctok)
+       GROUP BY 1, 2),
+ccand AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+          FROM ctok GROUP BY 1 ORDER BY exact DESC, tok LIMIT {topk}),
+cest AS (
+  SELECT ccand.tok, ccand.exact,
+         CAST(MIN(coalesce(cs.c, 0)) AS BIGINT) AS cms_count
+  FROM (SELECT tok, exact, unnest([{structs}]) AS e FROM ccand) ccand
+  LEFT JOIN cs ON cs.r = ccand.e.r AND cs.bkt = ccand.e.bkt
+  GROUP BY 1, 2)
+SELECT tok, exact, cms_count FROM cest"""
+
+
+@gate_query("cms_token_counts", oracle=f"WITH {_dd_cms()}")
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates beside the exact counts for
+    the corpus's top-20 tokens (llm/sketch.py cms_build/cms_estimate,
+    d=4 × w=4096) — the bounded-shuffle frequency summary: the sketch
+    shuffles ≤ d·w rows at any corpus size where exact counting shuffles
+    by vocabulary. Integer end-to-end, so the driver hash-checks the
+    estimates themselves; ``est ≥ exact`` always (asserted in tests)."""
+    from ..llm.lm import _tokens
+    from ..llm.sketch import cms_build, cms_estimate
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    sketch = cms_build(tok, "tok", d=4, w=4096)
+    cand = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+               .orderBy(F.col("exact").desc(), F.col("tok")).limit(20))
+    est = cms_estimate(sketch, cand.select("tok"), "tok", d=4, w=4096)
+    return (cand.join(est, "tok")
+                .select("tok", F.col("exact").cast("long").alias("exact"),
+                        "cms_count"))
+
+
 def _dd_hll(b: int = 10) -> str:
     """DuckDB replay of the relational HyperLogLog (llm/sketch.py):
     same md5-fold hash, same integer comparison-fold rho, same integer

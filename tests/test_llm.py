@@ -177,6 +177,30 @@ def test_hll_distinct_accuracy_and_determinism(spark):
         (r["s"], r["v_zero"], r["estimate"])
 
 
+def test_cms_never_undercounts_and_merges(spark):
+    import pyspark.sql.functions as F
+    from tally_database_loader_spark.llm.sketch import cms_build, cms_estimate
+    # skewed stream: value v_i appears i+1 times, i = 0..199
+    rows = [(f"v{i}",) for i in range(200) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", d=4, w=256)  # small w => real collisions
+    items = df.select("v").distinct()
+    est = {r["v"]: r["cms_count"]
+           for r in cms_estimate(sk, items, "v", d=4, w=256).collect()}
+    exact = {r["v"]: r["c"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(est[v] >= c for v, c in exact.items())  # never undercount
+    assert sum(est[v] == c for v, c in exact.items()) >= 100  # mostly tight
+    # the sketch table is bounded by d*w regardless of input size
+    assert sk.count() <= 4 * 256
+    # mergeable: sketch(a ∪ a) == per-bucket sum of two sketches
+    twice = cms_build(df.union(df), "v", d=4, w=256)
+    summed = (sk.union(sk).groupBy("r", "bkt")
+                .agg(F.sum("c").alias("c")))
+    assert sorted(map(tuple, twice.collect())) \
+        == sorted(map(tuple, summed.collect()))
+
+
 def test_cluster_balanced_sample_caps_and_determinism(spark):
     from collections import Counter
     from tally_database_loader_spark.llm.similarity import (
