@@ -105,6 +105,21 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
                          F.floor(est).cast("long").alias("estimate"))
 
 
+def _cms_buckets(col: str, d: int, w: int):
+    """The d salted (r, bkt) bucket coordinates of one value — ONE
+    definition shared by build and estimate (they must stay bit-exact in
+    lockstep or every estimate becomes a plausible wrong number). NULL
+    values hash under the group_split sentinel so they are counted AND
+    findable (a NULL bucket would join to nothing and break the
+    never-undercount invariant)."""
+    key = F.coalesce(F.col(col).cast("string"), F.lit("\x00<null>"))
+    return F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.pmod(hash_order(F.concat(F.lit(f"cms{i}:"), key)),
+                        F.lit(w)).alias("bkt"))
+        for i in range(d)])
+
+
 def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 4096) -> DataFrame:
     """Count-min sketch of ``df[col]`` as a ``(r, bkt, c)`` table — the
     bounded-shuffle frequency summary: exact per-value counts shuffle by
@@ -117,13 +132,7 @@ def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 4096) -> DataFrame:
     undercount."""
     if d < 1 or w < 2:
         raise ValueError("need d >= 1 rows and w >= 2 buckets")
-    arr = F.array(*[
-        F.struct(F.lit(i).alias("r"),
-                 F.pmod(hash_order(F.concat(F.lit(f"cms{i}:"),
-                                            F.col(col).cast("string"))),
-                        F.lit(w)).alias("bkt"))
-        for i in range(d)])
-    return (df.select(F.explode(arr).alias("e"))
+    return (df.select(F.explode(_cms_buckets(col, d, w)).alias("e"))
               .select("e.r", "e.bkt")
               .groupBy("r", "bkt").agg(F.count(F.lit(1)).alias("c")))
 
@@ -134,14 +143,8 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
     ``cms_build`` sketch (built with the SAME d and w): estimate =
     min over the d bucket counters (0 for never-seen values). The
     d·w-row sketch broadcasts; per-item work is d lookups."""
-    arr = F.array(*[
-        F.struct(F.lit(i).alias("r"),
-                 F.pmod(hash_order(F.concat(F.lit(f"cms{i}:"),
-                                            F.col(col).cast("string"))),
-                        F.lit(w)).alias("bkt"))
-        for i in range(d)])
     # generator and getField in separate selects (Spark 4 analyzer quirk)
-    e = (items.select(F.col(col), F.explode(arr).alias("e"))
+    e = (items.select(F.col(col), F.explode(_cms_buckets(col, d, w)).alias("e"))
               .select(col, "e.r", "e.bkt"))
     return (e.join(F.broadcast(sketch), ["r", "bkt"], "left")
              .groupBy(col)

@@ -193,6 +193,14 @@ def test_cms_never_undercounts_and_merges(spark):
     assert sum(est[v] == c for v, c in exact.items()) >= 100  # mostly tight
     # the sketch table is bounded by d*w regardless of input size
     assert sk.count() <= 4 * 256
+    # NULL values sentinel-hash: counted AND findable (a NULL bucket
+    # would join to nothing and undercount to 0)
+    wn = spark.createDataFrame([("a",), (None,), (None,)], "v string")
+    sk2 = cms_build(wn, "v", d=4, w=256)
+    e2 = {r["v"]: r["cms_count"]
+          for r in cms_estimate(sk2, wn.distinct(), "v",
+                                d=4, w=256).collect()}
+    assert e2[None] >= 2 and e2["a"] >= 1
     # mergeable: sketch(a ∪ a) == per-bucket sum of two sketches
     twice = cms_build(df.union(df), "v", d=4, w=256)
     summed = (sk.union(sk).groupBy("r", "bkt")
