@@ -270,6 +270,28 @@ def test_streaming_dedup_keeper_spans_arrow_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_hll_registers_stream_equals_batch(spark, tmp_path):
+    """The HLL register table is a distributive max-aggregate, so the
+    SAME hll_registers plan runs as a streaming query (complete mode) —
+    continuous distinct-count telemetry with 2^b rows of state — and its
+    registers equal the batch sketch over the same data."""
+    from tally_database_loader_spark.llm.sketch import hll_registers
+    src = str(tmp_path / "vals")
+    rows = [(f"v{i % 300}",) for i in range(1500)]
+    batch = spark.createDataFrame(rows, "v string")
+    batch.write.parquet(src)
+    want = sorted(map(tuple, hll_registers(batch, "v", b=10).collect()))
+    stream = spark.readStream.schema("v string").parquet(src)
+    q = (hll_registers(stream, "v", b=10)
+         .writeStream.format("memory").queryName("hllreg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.sql("select * from hllreg").collect())
+    assert got == want
+
+
 def test_band_signatures_match_batch_minhash(spark):
     """The streaming path's map-side band signatures (array_min over
     transformed shingle hashes — no explode/groupBy) must equal the batch
