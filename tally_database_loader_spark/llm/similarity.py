@@ -324,6 +324,10 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
       probe-then-parameterize pattern as the BM25 corpus scalars), so
       lineage does NOT grow with iterations and no checkpoint is needed.
 
+    ``id_col`` must be non-null: the keyed-hash ordering of NULL ids is
+    engine-specific (Spark sorts NULLS FIRST, DuckDB LAST), which would
+    desynchronize the seed selection from the oracle.
+
     Returns ``(assignments, centroids)``: the corpus with a ``cell``
     column, and the final scale-2^20 integer centroid components."""
     base = corpus.select(F.col(id_col).alias("vid"),
