@@ -333,14 +333,21 @@ def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
     uni = (docs.select(F.explode(toks).alias("tok"))
                .groupBy("tok").agg(F.count("*").alias("c"))
                .localCheckpoint(eager=False))
-    # observed-pair-sized count table, checkpointed UNFILTERED: the
-    # total_pairs probe folds from it (Σ == pair count), so the pair
-    # stream explodes once, not once per consumer (the lm.py checkpoint
-    # discipline); min_count filters the checkpointed rows afterwards
-    pc_all = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
-                   .localCheckpoint(eager=False))
-    total_pairs = int(pc_all.agg(F.sum("n_pairs")).first()[0] or 0)
-    pc = pc_all.filter(F.col("n_pairs") >= min_count)
+    # total_pairs in closed form — a doc of n tokens contributes
+    # Σ_{o=1..window} max(n-o, 0) pairs, so the scalar probe is one cheap
+    # pass over doc lengths and the pre-min_count pair table (the largest
+    # intermediate in the job) is never materialized: checkpointing it
+    # would pin a non-fault-tolerant copy of the biggest table in the
+    # plan just to serve a count. The filtered table has one consumer, so
+    # no checkpoint is needed at all.
+    per_doc = None
+    for o in range(1, window + 1):
+        t = F.greatest(n - F.lit(o), F.lit(0)).cast("long")
+        per_doc = t if per_doc is None else per_doc + t
+    total_pairs = int(
+        docs.agg(F.sum(per_doc)).first()[0] or 0)
+    pc = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+               .filter(F.col("n_pairs") >= min_count))
     c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     # each factor cast to double BEFORE the multiply: n_pairs·total and

@@ -333,6 +333,10 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
     base = corpus.select(F.col(id_col).alias("vid"),
                          _kmeans_uq(F.col(vec_col)).alias("u"))
     seed_rows = _hash_head(base, "vid", n_lists).collect()
+    if not seed_rows:
+        # without this, cents=[] builds the malformed literal `array()`
+        # downstream and fails analysis with an opaque parser error
+        raise ValueError("kmeans_cells: empty corpus (no seed vectors)")
     cents = [[64 * int(x) for x in r["u"]] for r in seed_rows]
     n_lists = len(cents)
     dim = len(cents[0]) if cents else 0
@@ -460,6 +464,8 @@ def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
     base = corpus.select(F.col(id_col).alias("vid"),
                          _kmeans_uq(F.col(vec_col)).alias("u"))
     seed_rows = _hash_head(base, "vid", n_codes).collect()
+    if not seed_rows:
+        raise ValueError("pq_encode: empty corpus (no seed vectors)")
     codebooks = [[[64 * int(x) for x in r["u"][s * sub_len:(s + 1) * sub_len]]
                   for r in seed_rows] for s in range(m)]
     n_codes = len(seed_rows)
@@ -515,7 +521,7 @@ def l2_dist(a: Column, b: Column) -> Column:
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 4, n_codes: int = 64, iters: int = 2,
                 refine: int = 50, dim: int | None = None,
-                id_col: str = "vec_id",
+                n_salt: int = 8, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Asymmetric-distance (ADC) candidate scan over PQ codes with exact
     re-ranking — the FAISS search pattern. Each query precomputes one
@@ -531,9 +537,12 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Scale shape: the table-carrying queries broadcast onto the encoded
     corpus (m ints per candidate in memory — the 64× compression is
-    what makes a 100 TB corpus scannable); the refine set
-    (queries × refine rows) broadcasts back onto the corpus for one
-    vector-fetch pass. Output: ``q_id, neighbor_id, rank, l2_dist``."""
+    what makes a 100 TB corpus scannable); the candidate cut is a salted
+    two-phase top-``refine`` (per-(q_id, salt) local heaps, then a
+    refine×n_salt-row re-rank per query — no corpus-sized
+    single-partition sort); the refine set (queries × refine rows)
+    broadcasts back onto the corpus for one vector-fetch pass.
+    Output: ``q_id, neighbor_id, rank, l2_dist``."""
     if dim is None:
         first = corpus.select(vec_col).first()
         dim = len(first[0]) if first else 0
@@ -554,10 +563,27 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (encoded.crossJoin(F.broadcast(q))
               .filter(F.col("n_id") != F.col("q_id"))
               .select("q_id", "n_id", total.alias("pq_dist")))
+    # Two-phase top-`refine`: a single partitionBy(q_id) window would
+    # sort the ENTIRE corpus inside one partition per query — terabytes
+    # through single tasks at 10^11 docs. Phase 1 keeps refine rows per
+    # (q_id, salt) — partitions are corpus/n_salt-sized and spread over
+    # the cluster; phase 2 re-ranks the surviving refine×n_salt rows per
+    # query. The global top-refine set (total order: pq_dist, n_id) is
+    # contained in the union of per-salt top-refine sets, so the result —
+    # and therefore the SQL oracle, which replays the single-window form —
+    # is IDENTICAL; only the physical shape changes. The salt never leaves
+    # the plan, so it needs no cross-engine hash, just determinism.
+    salt = F.pmod(F.xxhash64(F.col("n_id")), F.lit(n_salt))
+    wl = W.partitionBy("q_id", "salt").orderBy(F.col("pq_dist").asc(),
+                                               F.col("n_id"))
+    local = (scored.withColumn("salt", salt)
+                   .withColumn("lrn", F.row_number().over(wl))
+                   .filter(F.col("lrn") <= refine)
+                   .select("q_id", "n_id", "pq_dist"))
     wc = W.partitionBy("q_id").orderBy(F.col("pq_dist").asc(), F.col("n_id"))
-    cand = (scored.withColumn("crn", F.row_number().over(wc))
-                  .filter(F.col("crn") <= refine)
-                  .select("q_id", "n_id"))
+    cand = (local.withColumn("crn", F.row_number().over(wc))
+                 .filter(F.col("crn") <= refine)
+                 .select("q_id", "n_id"))
     cvec = corpus.select(F.col(id_col).alias("n_id"),
                          F.col(vec_col).alias("n_vec"))
     qvec = queries.select(F.col(id_col).alias("q_id"),
@@ -602,9 +628,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.col(vec_col).alias("n_vec"),
                           array_to_vector(F.col(vec_col).cast("array<double>"))
                           .alias("features"))
-    feats = dense.select("features")
-    if dense.count() > fit_sample:
-        feats = _hash_head(dense, "n_id", fit_sample).select("features")
+    # unconditional: _hash_head IS the bound — when the corpus holds
+    # fewer than fit_sample rows it returns all of them, so the former
+    # `dense.count() > fit_sample` gate only added a full corpus scan
+    feats = _hash_head(dense, "n_id", fit_sample).select("features")
     km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
     assigned = km.transform(dense).select(
         "n_id", "n_vec", F.col("prediction").alias("cell"))

@@ -169,7 +169,12 @@ def stock_summary(cat: Catalog) -> DataFrame:
                .groupBy("item", "tracking_number")
                .agg(F.sum(F.when(is_note, F.abs(F.col("quantity"))).otherwise(F.lit(0))).alias("note"),
                     F.sum(F.when(~is_note, F.abs(F.col("quantity"))).otherwise(F.lit(0))).alias("invoice")))
-    eff = (inv.join(F.broadcast(reco), ["item", "tracking_number"], "left")
+    # NO broadcast hint on reco: it aggregates trn_inventory by
+    # (item, tracking_number), so its cardinality grows with transaction
+    # volume — forcing a broadcast OOMs at 100×. The join key equals
+    # reco's grouping key, so the shuffle is already aligned with the
+    # aggregation's and AQE will still broadcast when reco is small.
+    eff = (inv.join(reco, ["item", "tracking_number"], "left")
               .filter((F.col("is_order_voucher") == 0)
                       & ((F.col("tracking_number") == "")
                          | (~is_note & (F.col("note") == F.col("invoice")))

@@ -74,11 +74,28 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
         if size < (1 << 62):
             mpb = _parse_bytes(spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"))
-            if size // max(1, mpb) >= target:
+            if size // max(1, mpb) >= target and _splittable_scan(df):
                 return df
     except Exception:
         pass
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+def _splittable_scan(df: DataFrame) -> bool:
+    """True only when the plan's leaf files are byte-range-splittable
+    (parquet/orc), so sizeInBytes/maxPartitionBytes really approximates
+    the scan's partition count. Compressed text or row-json inputs split
+    per FILE — a few large .gz files scan far narrower than the byte
+    estimate claims, and skipping the widening repartition for them
+    would pin the pipeline to a handful of cores."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    return all(f.rsplit(".", 1)[-1].lower() in ("parquet", "orc")
+               for f in files)
 
 
 def _parse_bytes(raw) -> int:
