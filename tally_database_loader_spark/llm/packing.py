@@ -203,25 +203,31 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     """Deterministic weighted sampling without replacement — the
     Efraimidis–Spirakis A-ES scheme with keyed-hash randomness: keep the
     ``k`` rows with the largest ``ln(u)/w`` where ``u`` is a dyadic
-    uniform in (0, 1] derived from ``md5(id)``. Inclusion follows the
-    w-weighted without-replacement distribution, but the drawn set is a
-    PURE FUNCTION of the data (retry/speculation/AQE-stable, auditable)
-    where ``rand()`` is not — this is how a quality- or DSIR-score-
-    weighted subsample stays reproducible at 100 TB.
+    uniform in (0, 1] derived from ``md5('ws:' || id)``. Inclusion
+    follows the w-weighted without-replacement distribution, but the
+    drawn set is a PURE FUNCTION of the data (retry/speculation/
+    AQE-stable, auditable) where ``rand()`` is not — this is how a
+    quality- or DSIR-score-weighted subsample stays reproducible at
+    100 TB. The ``'ws:'`` salt decouples this operator's randomness
+    from the unsalted ``hash_order(id)`` that ``domain_cap`` /
+    ``group_split`` / ``hash_sample`` draw from — composing them (e.g.
+    sampling the survivors of a hash-capped corpus) would otherwise
+    confine ``u`` to a subrange and distort the inclusion distribution.
 
-    Exactness: ``u`` is exact (``(hash mod 2^20 + 1)/2^20`` — a dyadic
-    rational), and the priority is quantized to fixed-point BIGINT
-    (``floor(ln(u)/w · 1e9)``) BEFORE ranking — ``ln`` can differ by 1
-    ulp between the JVM and libm, so ranking raw doubles would let
-    engines disagree at the boundary; the quantized integers agree (the
-    same discipline as the LM log-prob oracles). Rows with NULL or
-    non-positive weight are excluded (their sampling probability is 0).
+    Exactness: ``u`` is exact (``v/2^20`` with ``v = hash mod 2^20 + 1``
+    — a dyadic rational), and ``ln(u)·2^30`` is the EXACT-INTEGER
+    ``ln_fixed(v) − 20·LN2_F`` (functions/fixmath.py) — no libm/JVM
+    transcendental anywhere, so no 1-ulp divergence can flip the
+    priority at a floor boundary; the only float steps are one
+    correctly-rounded IEEE division by ``w`` and the floor, identical
+    in every engine. Rows with NULL or non-positive weight are excluded
+    (their sampling probability is 0).
 
     Scale shape: ``orderBy(...).limit(k)`` plans as
     TakeOrderedAndProject — per-partition heaps of k, driver merge — no
     global sort at any corpus size. Ties (duplicate ids) break on id.
 
-    Weight range: the fixed 1e9 scale resolves weights in roughly
+    Weight range: the 2^30 priority scale resolves weights in roughly
     [1e-8, 1e8] — below that the clamp floor (pinned INSIDE int64 so
     Spark's saturating cast and a SQL engine's range check cannot
     diverge) ties ultra-tiny-weight rows together, above it priorities
@@ -229,12 +235,15 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     invariant to a common scale factor).
 
     Output: ``doc_id, weight (double), priority_q (bigint)``."""
+    from ..functions.fixmath import LN2_F, ln_fixed
     if k <= 0:
         raise ValueError("k must be positive")
-    u = ((F.pmod(hash_order(F.col(id_col)), F.lit(_H20)) + 1)
-         .cast("double") / F.lit(float(_H20)))
+    v = F.pmod(hash_order(F.concat(F.lit("ws:"),
+                                   F.col(id_col).cast("string"))),
+               F.lit(_H20)) + 1
+    lnu = ln_fixed(v) - F.lit(20 * LN2_F)  # ln(u)·2^30, exact int64 ≤ 0
     w = F.col(weight_col).cast("double")
-    pri_q = F.floor(F.greatest(F.log(u) / w * F.lit(1e9),
+    pri_q = F.floor(F.greatest(lnu.cast("double") / w,
                                F.lit(-9.0e18))).cast("long")
     return (docs.filter(F.col(weight_col).isNotNull()
                         & (F.col(weight_col) > 0))

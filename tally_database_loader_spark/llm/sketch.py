@@ -69,20 +69,21 @@ def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
 
 def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     """One-row HLL cardinality estimate: ``m, v_zero, s, estimate``
-    (estimate is a BIGINT — cardinalities are integral, and flooring
-    removes the last float from the hashable output: JVM and libm ``ln``
-    can differ by 1 ulp in the linear-counting branch, which would
-    otherwise leak into cross-engine comparisons).
+    (estimate is a BIGINT — cardinalities are integral).
 
     The register fold is kept integer: ``s = Σ_j 2^(51 - M_j)`` over all
     m registers (empties contribute 2^51) — terms are int64 powers of
     two, the sum is associative and exact (≤ 2^(51+b) < 2^63 for
     b ≤ 11), so the indicator Σ2^-M arrives at the driver bit-exactly
-    regardless of partition order. The only float math is the final
-    one-row estimate: ``α·m²·2^51/s``, with the standard small-range
-    linear-counting correction (``m·ln(m/v_zero)`` when E ≤ 2.5m) —
-    deterministic double ops a SQL engine reproduces exactly.
-    Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
+    regardless of partition order. The raw estimate ``α·m²·2^51/s`` is
+    one correctly-rounded IEEE division — deterministic in every
+    engine. The small-range linear-counting correction
+    (``m·ln(m/v_zero)`` when E ≤ 2.5m) is EXACT INTEGER:
+    ``(m·(ln_fixed(m) − ln_fixed(v_zero))) div 2^30`` via
+    functions/fixmath.py — no libm/JVM ``ln`` whose 1-ulp divergence
+    at the floor boundary could break a cross-engine value hash
+    (ADVICE r2). Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
+    from ..functions.fixmath import LN_SCALE, ln_fixed, ln_fixed_py
     m = 1 << b
     spark: SparkSession = df.sparkSession
     regs = hll_registers(df, col, b)
@@ -96,13 +97,18 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
              * F.lit(float(1 << 51)) / F.col("s").cast("double"))
     small = (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
-    est = F.when(small, F.lit(float(m))
-                 * F.log(F.lit(float(m)) / F.col("v_zero").cast("double"))) \
-           .otherwise(e_raw)
+    # linear counting in exact int64: ln(m/V) = (lnf(m) - lnf(V))/2^30
+    # with lnf(V) ≥ 0 and m·diff ≤ 2^11·2^34 — no overflow; greatest(V,1)
+    # keeps ln_fixed in-domain on the (unused) v_zero=0 branch
+    lnf_diff = (F.lit(ln_fixed_py(m))
+                - ln_fixed(F.greatest(F.col("v_zero"), F.lit(1))))
+    est_lc = F.call_function("div", F.lit(m).cast("long") * lnf_diff,
+                             F.lit(LN_SCALE).cast("long"))
+    est = F.when(small, est_lc).otherwise(F.floor(e_raw).cast("long"))
     return folded.select(F.lit(m).cast("int").alias("m"),
                          F.col("v_zero").cast("int").alias("v_zero"),
                          F.col("s").cast("long").alias("s"),
-                         F.floor(est).cast("long").alias("estimate"))
+                         est.cast("long").alias("estimate"))
 
 
 def _cms_buckets(col: str, d: int, w: int):

@@ -1457,22 +1457,31 @@ _DD_GOPHER_RULES = """
 """
 
 
-@gate_query("weighted_sample", oracle=f"""
-SELECT doc_id, weight, priority_q FROM (
-  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-         CAST(floor(greatest(ln(CAST({_dd_hex15(
-             "substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
-                 % 1048576 + 1 AS DOUBLE) / CAST(1048576.0 AS DOUBLE))
-         / CAST(n_chars AS DOUBLE) * 1e9, -9e18)) AS BIGINT) AS priority_q
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+def _dd_weighted_sample(k: int = 100) -> str:
+    """DuckDB replay of llm/packing.py weighted_sample: the 'ws:'-salted
+    md5 dyadic uniform and the EXACT-INTEGER fixed-point ln
+    (functions/fixmath.py dd_ln_fixed renders the identical int64
+    schedule), so no libm/JVM ln divergence can flip a priority."""
+    from ..functions.fixmath import LN2_F, dd_ln_fixed
+    inner = f"""SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+       {_dd_hex15("substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)")}
+           % 1048576 + 1 AS v
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"""
+    return f"""
+SELECT doc_id, weight,
+       CAST(floor(greatest(CAST(lnf - {20 * LN2_F} AS DOUBLE) / weight,
+                           -9e18)) AS BIGINT) AS priority_q
+FROM ({dd_ln_fixed(inner)})
 ORDER BY priority_q DESC, doc_id
-LIMIT 100
-""")
+LIMIT {k}"""
+
+
+@gate_query("weighted_sample", oracle=_dd_weighted_sample())
 def weighted_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (llm/packing.py weighted_sample, Efraimidis–Spirakis with keyed-hash
-    randomness; weight = document length): top-100 by the fixed-point
-    quantized ln(u)/w priority — the reproducible quality/importance-
+    randomness; weight = document length): top-100 by the exact-integer
+    fixed-point ln(u)/w priority — the reproducible quality/importance-
     weighted subsample. The selected set AND the quantized priorities
     hash-match the oracle."""
     from ..llm.packing import weighted_sample
@@ -1530,8 +1539,11 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_hll(b: int = 10) -> str:
     """DuckDB replay of the relational HyperLogLog (llm/sketch.py):
     same md5-fold hash, same integer comparison-fold rho, same integer
-    register sum — the float estimate multiplies only by powers of two
-    before the one division, so the estimate is bit-identical."""
+    register sum — the raw estimate multiplies only by powers of two
+    before the one division, and the linear-counting branch is the
+    exact-integer fixed-point ln (functions/fixmath.py), so the
+    estimate is bit-identical."""
+    from ..functions.fixmath import LN_SCALE, dd_ln_fixed, ln_fixed_py
     from ..llm.sketch import hll_alpha
     m = 1 << b
     w_bits = 60 - b
@@ -1555,15 +1567,18 @@ hs AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s,
               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT)
                 AS v_zero
        FROM hfull),
+hlnf AS ({dd_ln_fixed(
+    "SELECT s, v_zero, greatest(v_zero, 1) AS v FROM hs")}),
 hx AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
        FROM htok)
 SELECT CAST({m} AS INT) AS m, v_zero, s,
-       CAST(floor(CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE)
-                        AND v_zero > 0
-                       THEN {md} * ln({md} / CAST(v_zero AS DOUBLE))
-                       ELSE {e_raw} END) AS BIGINT) AS estimate,
+       CAST(CASE WHEN {e_raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                  AND v_zero > 0
+                 THEN ({m} * ({ln_fixed_py(m)} - lnf)) // {LN_SCALE}
+                 ELSE CAST(floor({e_raw}) AS BIGINT) END
+            AS BIGINT) AS estimate,
        exact_distinct
-FROM hs, hx"""
+FROM hlnf, hx"""
 
 
 @gate_query("hll_token_distinct", oracle=f"WITH {_dd_hll()}")

@@ -173,3 +173,39 @@ def test_bigram_logprob_total_mass_and_nulls(spark, texts):
         else:
             assert r.n_bigrams == len(toks) - 1
             assert r.lm2_score <= 0.0
+
+
+def test_ln_fixed_cross_engine_exhaustive(spark):
+    """The three renderings of the fixed-point ln (Spark Column, DuckDB
+    SQL, Python reference) produce the IDENTICAL int64 over the ENTIRE
+    [1, 2^20] domain (compared via exact count+sum+xor checksums — any
+    single differing value breaks at least the xor), and the value
+    tracks true ln within 2e-6."""
+    import math
+
+    import duckdb
+
+    from tally_database_loader_spark.functions.fixmath import (
+        LN_SCALE, dd_ln_fixed, ln_fixed, ln_fixed_py)
+
+    top = 1 << 20
+    py_vals = [ln_fixed_py(v) for v in range(1, top + 1)]
+    # accuracy vs libm (spot the ends + a stride — full domain is slow)
+    for v in list(range(1, 2050)) + list(range(1, top + 1, 997)) + [top]:
+        assert abs(py_vals[v - 1] / LN_SCALE - math.log(v)) < 2e-6
+    want = (len(py_vals), sum(py_vals),
+            __import__("functools").reduce(lambda a, b: a ^ b, py_vals))
+
+    s_row = (spark.range(1, top + 1)
+             .select(ln_fixed(F.col("id")).alias("lnf"))
+             .agg(F.count("*").alias("n"), F.sum("lnf").alias("s"),
+                  F.expr("bit_xor(lnf)").alias("x")).first())
+    assert (s_row["n"], s_row["s"], s_row["x"]) == want
+
+    con = duckdb.connect()
+    d = con.sql(
+        "SELECT COUNT(*) AS n, CAST(SUM(lnf) AS BIGINT) AS s, "
+        "CAST(bit_xor(lnf) AS BIGINT) AS x FROM ("
+        + dd_ln_fixed("SELECT range AS v FROM range(1, 1048577)")
+        + ")").fetchone()
+    assert tuple(d) == want
