@@ -339,7 +339,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.payload_metadata(d, "doc_id", mm.binary_payload(F.col("text")))
 
 
-@gate_query("multimodal_decode", oracle="""
+_DD_MM_DECODE = """
 WITH ex AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
@@ -358,7 +358,31 @@ SELECT doc_id,
                                    + bytes[7]*256 + bytes[8]) % 448 + 64
                  ELSE 64 END AS INT) AS height
 FROM ex
-""")
+"""
+
+_DD_MM_RESIZE = """
+SELECT doc_id,
+       CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+       CASE WHEN octet_length(encode(text)) = 0
+            THEN 'd2a70550489de356a2cd6bfc40711204'  -- md5 of 3072 NUL bytes
+            ELSE md5(substr(repeat(text,
+                     CAST(3072 // octet_length(encode(text)) AS INT) + 1),
+                     1, 3072))
+       END AS payload_md5
+FROM documents
+"""
+
+_DD_MM_FRAMES = """
+SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+       md5(substring(text, idx*64 + 1, 64)) AS frame_md5
+FROM documents,
+     LATERAL unnest(generate_series(0,
+        GREATEST(1, CAST(ceil(octet_length(encode(text))/64.0) AS INT)) - 1,
+        4)) AS t(idx)
+"""
+
+
+@gate_query("multimodal_decode", oracle=_DD_MM_DECODE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode over binary payloads via mapInPandas
     (llm/multimodal.py) — deterministic byte statistics standing in for a
@@ -372,17 +396,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.fake_decode_features(payload, "doc_id", "payload")
 
 
-@gate_query("image_resize", oracle="""
-SELECT doc_id,
-       CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
-       CASE WHEN octet_length(encode(text)) = 0
-            THEN 'd2a70550489de356a2cd6bfc40711204'  -- md5 of 3072 NUL bytes
-            ELSE md5(substr(repeat(text,
-                     CAST(3072 // octet_length(encode(text)) AS INT) + 1),
-                     1, 3072))
-       END AS payload_md5
-FROM documents
-""")
+@gate_query("image_resize", oracle=_DD_MM_RESIZE)
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched resize plumbing: binary in → fixed 64×48 'pixel
     buffer' out via mapInPandas (llm/multimodal.py fake_resize; the real
@@ -400,14 +414,7 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("payload").alias("payload_md5"))
 
 
-@gate_query("frame_sample", oracle="""
-SELECT doc_id, CAST(idx AS INT) AS frame_idx,
-       md5(substring(text, idx*64 + 1, 64)) AS frame_md5
-FROM documents,
-     LATERAL unnest(generate_series(0,
-        GREATEST(1, CAST(ceil(octet_length(encode(text))/64.0) AS INT)) - 1,
-        4)) AS t(idx)
-""")
+@gate_query("frame_sample", oracle=_DD_MM_FRAMES)
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: every 4th 64-byte 'frame' of the payload, one
     output row per kept frame (llm/multimodal.py sample_frames — the
@@ -419,6 +426,49 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = d.select("doc_id", mm.binary_payload(F.col("text")).alias("payload"))
     out = mm.sample_frames(payload, every_n=4, frame_bytes=64)
     return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+@gate_query("multimodal_suite", oracle=f"""
+SELECT 'decode' AS stage, doc_id,
+       n_bytes AS i1, max_byte AS i2, width AS i3, height AS i4,
+       mean_byte AS d1, CAST(NULL AS VARCHAR) AS tag_md5
+FROM ({_DD_MM_DECODE})
+UNION ALL
+SELECT 'resize', doc_id, width, height, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS DOUBLE), payload_md5
+FROM ({_DD_MM_RESIZE})
+UNION ALL
+SELECT 'frames', doc_id, frame_idx, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), CAST(NULL AS DOUBLE), frame_md5
+FROM ({_DD_MM_FRAMES})
+""")
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal plumbing families in ONE driver slot, unioned
+    with a stage tag: Arrow-batched fake decode features, the 64×48
+    resize buffer (md5-compared), and every-4th-frame sampling — each a
+    mapInPandas over the same binary payloads (llm/multimodal.py; the
+    real PIL/ffmpeg decoders are documented one-line swaps). The
+    standalone gates stay registered; this slot hash-checks the full
+    modality surface at once."""
+    ni = F.lit(None).cast("int")
+    dec = multimodal_decode(spark, sf_dir).select(
+        F.lit("decode").alias("stage"), "doc_id",
+        F.col("n_bytes").alias("i1"), F.col("max_byte").alias("i2"),
+        F.col("width").alias("i3"), F.col("height").alias("i4"),
+        F.col("mean_byte").alias("d1"),
+        F.lit(None).cast("string").alias("tag_md5"))
+    res = image_resize(spark, sf_dir).select(
+        F.lit("resize").alias("stage"), "doc_id",
+        F.col("width").alias("i1"), F.col("height").alias("i2"),
+        ni.alias("i3"), ni.alias("i4"),
+        F.lit(None).cast("double").alias("d1"),
+        F.col("payload_md5").alias("tag_md5"))
+    frm = frame_sample(spark, sf_dir).select(
+        F.lit("frames").alias("stage"), "doc_id",
+        F.col("frame_idx").alias("i1"), ni.alias("i2"), ni.alias("i3"),
+        ni.alias("i4"), F.lit(None).cast("double").alias("d1"),
+        F.col("frame_md5").alias("tag_md5"))
+    return dec.unionByName(res).unionByName(frm)
 
 
 @gate_query("simhash_dedup")  # xxhash64-based — rows-only driver check
@@ -601,7 +651,7 @@ def ivf_kmeans_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_lists=8, iters=2, nprobe=2)
 
 
-@gate_query("cluster_balanced_sample", oracle=f"""
+_DD_CLUSTER_BALANCED = f"""
 WITH {_dd_lloyd('k', 'embedding', 8, 2)}
 SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk
 FROM (SELECT vec_id, cell,
@@ -610,7 +660,10 @@ FROM (SELECT vec_id, cell,
                                          vec_id) AS rk
       FROM kaf)
 WHERE rk <= 40
-""")
+"""
+
+
+@gate_query("cluster_balanced_sample", oracle=_DD_CLUSTER_BALANCED)
 def cluster_balanced_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced selection (llm/similarity.py
     cluster_balanced_sample): cap each learned embedding cluster at 40
@@ -1600,6 +1653,47 @@ def hll_token_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+@gate_query("sketch_suite", oracle=f"""
+SELECT 'cms' AS family, tok AS key, exact AS metric_a, cms_count AS metric_b,
+       CAST(NULL AS BIGINT) AS metric_c
+FROM (WITH {_dd_cms()})
+UNION ALL
+SELECT 'hll', 'tokens', estimate, exact_distinct, s
+FROM (WITH {_dd_hll()})
+UNION ALL
+SELECT 'weighted_sample', CAST(doc_id AS VARCHAR), priority_q,
+       CAST(weight AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_dd_weighted_sample()})
+""")
+def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three bounded-state sampling/sketch families in ONE driver
+    slot, unioned with a family tag: count-min frequency estimates
+    beside exact counts (d=4 × w=4096 — shuffles ≤ d·w rows at any
+    corpus size), the relational HyperLogLog distinct estimate (b=10 →
+    2^10 registers, exact-integer fixed-point ln in the linear-counting
+    branch), and Efraimidis–Spirakis weighted sampling (keyed-hash
+    randomness, exact-integer ln priorities). Every metric — including
+    the HLL ESTIMATE itself — hash-matches the DuckDB replay. The
+    standalone gates stay registered."""
+    nl = F.lit(None).cast("long")
+    cms = cms_token_counts(spark, sf_dir).select(
+        F.lit("cms").alias("family"), F.col("tok").alias("key"),
+        F.col("exact").alias("metric_a"), F.col("cms_count").alias("metric_b"),
+        nl.alias("metric_c"))
+    hll = hll_token_distinct(spark, sf_dir).select(
+        F.lit("hll").alias("family"), F.lit("tokens").alias("key"),
+        F.col("estimate").alias("metric_a"),
+        F.col("exact_distinct").alias("metric_b"),
+        F.col("s").alias("metric_c"))
+    ws = weighted_sample_gate(spark, sf_dir).select(
+        F.lit("weighted_sample").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("priority_q").alias("metric_a"),
+        F.col("weight").cast("long").alias("metric_b"),
+        nl.alias("metric_c"))
+    return cms.unionByName(hll).unionByName(ws)
+
+
 @gate_query("curation_pipeline", oracle=f"""
 WITH gm AS ({_DD_GOPHER_METRICS}),
 gpass AS (
@@ -1834,17 +1928,28 @@ FROM (SELECT label, vec_id, score,
             WHERE sc.vn2 > 0 AND n.cn2 > 0))
 WHERE rn <= 5
 """,
+    """
+SELECT 'pq_adc' AS method, q_id, neighbor_id, rank, l2_dist AS score
+FROM (""" + _dd_pq_adc() + """)
+""",
+    """
+SELECT 'cluster_balanced' AS method, CAST(cell AS BIGINT) AS q_id,
+       vec_id AS neighbor_id, rk AS rank, CAST(NULL AS DOUBLE) AS score
+FROM (""" + _DD_CLUSTER_BALANCED + """)
+""",
 ]))
 def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five embedding-space scoring strategies over one corpus, unioned
-    with a method tag — exact brute-force cosine (baseline), SRP-LSH
-    bucketed ANN (the n²→n²/2^bits scale path), int8-quantized rescoring
-    (the memory-bound scale path), IVF over the exact-integer
-    deterministic k-means (the cell-probe scale path, Lloyd chain
-    replayed by the oracle), and per-label centroid outliers (the
-    SemDeDup-style embedding quality filter, exact-integer centroid
-    math) — llm/similarity.py. One driver slot hash-checks all five;
-    each also registers standalone."""
+    """Seven embedding-space strategies over one corpus, unioned with a
+    method tag — exact brute-force cosine (baseline), SRP-LSH bucketed
+    ANN (the n²→n²/2^bits scale path), int8-quantized rescoring (the
+    memory-bound scale path), IVF over the exact-integer deterministic
+    k-means (the cell-probe scale path, Lloyd chain replayed by the
+    oracle), per-label centroid outliers (the SemDeDup-style embedding
+    quality filter, exact-integer centroid math), PQ+ADC compress/scan/
+    refine (the FAISS 64×-compression shape, two-phase salted candidate
+    cut), and cluster-balanced selection (domain_cap by semantic
+    structure) — llm/similarity.py. One driver slot hash-checks all
+    seven; each also registers standalone."""
     from ..llm.similarity import (centroid_cosine, ivf_kmeans_topk,
                                   quantized_topk)
     e = load_table(spark, sf_dir, "embeddings")
@@ -1863,6 +1968,15 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_id").alias("neighbor_id"),
                     F.col("rank").cast("int").alias("rank"),
                     F.col("cos_centroid").alias("score")))
+    pq = pq_adc_topk_gate(spark, sf_dir).select(
+        F.lit("pq_adc").alias("method"), "q_id", "neighbor_id", "rank",
+        F.col("l2_dist").alias("score"))
+    cb = cluster_balanced_sample_gate(spark, sf_dir).select(
+        F.lit("cluster_balanced").alias("method"),
+        F.col("cell").cast("long").alias("q_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rk").alias("rank"),
+        F.lit(None).cast("double").alias("score"))
     return (tag(cosine_topk(e, q, k=5), "cosine", "cos")
             .unionByName(tag(lsh_topk(e, q, k=5, n_bits=4, dim=64),
                              "srp_lsh", "cos"))
@@ -1870,7 +1984,9 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tag(ivf_kmeans_topk(e, q, k=5, n_lists=8, iters=2,
                                              nprobe=2),
                              "ivf_kmeans", "cos"))
-            .unionByName(cent))
+            .unionByName(cent)
+            .unionByName(pq)
+            .unionByName(cb))
 
 
 # ---------------------------------------------------------------------------

@@ -32,9 +32,9 @@ def test_driver_window_covers_all_families():
     from tally_database_loader_spark import plans
     window = list(plans.QUERIES)[:50]
     must_have = [
-        "trial_balance", "renumber_join_update", "report_trial_balance",
+        "renumber_join_update", "report_trial_balance",
         "report_profit_loss", "text_profile",
-        "simhash_parity", "multimodal_decode", "image_resize",
+        "simhash_parity",
         "similarity_topk_suite", "incremental_dedup", "pack_sequences",
         "benchmark_contamination", "domain_cap",
         # round-2 suites (several families per slot)
@@ -42,6 +42,11 @@ def test_driver_window_covers_all_families():
         "selection_suite",
         # end-to-end composition (filter ∪ dedup ∪ packing in one hash)
         "curation_pipeline",
+        # round-3 curation: merged suites give every round-2 flagship a
+        # driver row, and the real-report twins carry the F1/F7/F12/F15
+        # families the displaced synthetic variants covered
+        "multimodal_suite", "sketch_suite", "report_stock_summary",
+        "report_sales_register", "report_group_trees",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"
