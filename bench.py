@@ -36,6 +36,14 @@ HEADLINE = [
     "hierarchy_closure",
     "segment_pivot",
     "event_hourly_windows",
+    # dedup_exact 0.29s (r1) → 1.21s (r2) was a harness effect, not a plan
+    # change: measured isolated at sf0.1 the FIRST execution costs ~1.8s
+    # (whole-stage-codegen compilation of the normalize/md5 projection) and
+    # every subsequent run 0.15-0.25s. Which round pays the compile depends
+    # on whether an earlier headline query already compiled the same
+    # generated class — r1's ordering did, r2's didn't. Single-shot timing
+    # is kept (methodology comparable across rounds); steady-state numbers:
+    # [1.822, 0.243, 0.231, 0.208] isolated, [0.220, 0.161, 0.145] warm.
     "dedup_exact",
     "minhash_lsh_dedup",
     "simhash_dedup",

@@ -45,13 +45,17 @@ class ParquetStore:
 
     ``write`` rewrites the whole table (full sync / truncate-and-load);
     ``write_scoped`` is the incremental commit: only buckets containing a
-    touched key are rewritten — every untouched bucket's files are
-    HARD-LINKED from the previous version, so a micro-batch costs
-    O(changed buckets), not a full-table rewrite, and untouched data is
-    byte-identical (same inodes) across versions. This is the same commit
-    shape as an Iceberg/Delta MERGE — new snapshot references old files
-    for unchanged partitions — emulated on plain parquet; on a real table
-    format the engine code is unchanged and the manifest does the linking.
+    touched key are physically rewritten — every untouched bucket is
+    CARRIED FORWARD by reference in the new version's ``_manifest.json``
+    (bucket → list of data files, which may live in any older version
+    directory). A micro-batch therefore costs O(changed buckets), not a
+    full-table rewrite, and the read path — the union of the manifest's
+    files — never copies or links a byte. This is exactly the
+    Iceberg/Delta snapshot shape (new manifest references old files for
+    unchanged partitions) emulated on plain parquet, and unlike the
+    hard-link emulation it works on object stores (S3/ABFS/GCS) where
+    links don't exist; on a real table format the engine code is
+    unchanged and the MERGE writes the manifest.
 
     ``n_buckets`` bounds the scoped-write granularity: at bench scale 16
     is plenty; at 100 TB you'd raise it (and/or add a date partition for
@@ -60,17 +64,25 @@ class ParquetStore:
     """
 
     _BUCKET = "__bucket"
+    _MANIFEST = "_manifest.json"
 
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
         self.n_buckets = n_buckets
 
     def _versions(self, table: str) -> list[int]:
+        """Live versions = those with a commit manifest. Directories that
+        merely hold carried-forward data files for newer versions (e.g.
+        after a vacuum) are not themselves readable snapshots."""
         d = os.path.join(self.root, table)
         if not os.path.isdir(d):
             return []
-        return sorted(int(v[1:]) for v in os.listdir(d)
-                      if v.startswith("v") and v[1:].isdigit())
+        out = []
+        for v in os.listdir(d):
+            if v.startswith("v") and v[1:].isdigit() \
+                    and os.path.isfile(os.path.join(d, v, self._MANIFEST)):
+                out.append(int(v[1:]))
+        return sorted(out)
 
     def _vdir(self, table: str, v: int) -> str:
         return os.path.join(self.root, table, f"v{v}")
@@ -86,11 +98,52 @@ class ParquetStore:
     def _key_of(df: DataFrame) -> str:
         return "guid" if "guid" in df.columns else df.columns[0]
 
+    # -- manifest mechanics -------------------------------------------------
+
+    def _manifest_path(self, table: str, v: int) -> str:
+        return os.path.join(self._vdir(table, v), self._MANIFEST)
+
+    def _read_manifest(self, table: str, v: int) -> dict[int, list[str]]:
+        """bucket → data-file paths relative to the table root."""
+        import json
+        with open(self._manifest_path(table, v)) as fh:
+            m = json.load(fh)
+        return {int(b): files for b, files in m["buckets"].items()}
+
+    def _write_manifest(self, table: str, v: int,
+                        buckets: dict[int, list[str]]) -> None:
+        import json
+        os.makedirs(self._vdir(table, v), exist_ok=True)
+        body = {"version": v,
+                "buckets": {str(b): sorted(f) for b, f in buckets.items() if f}}
+        tmp = self._manifest_path(table, v) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table, v))  # atomic commit point
+
+    def _scan_bucket_files(self, table: str, v: int) -> dict[int, list[str]]:
+        """List freshly written ``__bucket=K`` parquet files of a version
+        directory, as table-root-relative paths."""
+        vdir = self._vdir(table, v)
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(vdir):
+            return out
+        for entry in os.listdir(vdir):
+            if not entry.startswith(f"{self._BUCKET}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(vdir, entry)
+            out[b] = [os.path.join(f"v{v}", entry, fn)
+                      for fn in os.listdir(bdir) if fn.endswith(".parquet")]
+        return out
+
+    # -- snapshot I/O -------------------------------------------------------
+
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:
-        """Read the latest snapshot, or time-travel to ``version`` —
-        every scoped commit keeps older versions intact (hard links), so
-        any historical snapshot stays readable until vacuumed, the same
+        """Read the latest snapshot, or time-travel to ``version`` — the
+        read path is the union of the version manifest's data files, so
+        every historical snapshot stays readable until vacuumed, the same
         contract as Delta/Iceberg ``VERSION AS OF``."""
         vs = self._versions(table)
         if not vs:
@@ -100,37 +153,59 @@ class ParquetStore:
         elif version not in vs:
             raise FileNotFoundError(f"{table} has no version {version}; "
                                     f"available: {vs}")
-        df = spark.read.parquet(self._vdir(table, version))
+        troot = os.path.join(self.root, table)
+        files = [os.path.join(troot, rel)
+                 for rels in self._read_manifest(table, version).values()
+                 for rel in rels]
+        if not files:  # a committed-empty snapshot
+            return spark.read.parquet(self._vdir(table, version))
+        df = spark.read.parquet(*files)
         return df.drop(self._BUCKET) if self._BUCKET in df.columns else df
 
     def history(self, table: str) -> list[int]:
         return self._versions(table)
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest ``keep_last`` versions. Hard links make
-        this safe: a data file shared with a surviving version keeps its
-        inode alive; only unreferenced bytes are reclaimed."""
-        import shutil
+        """Drop all but the newest ``keep_last`` versions. Manifests make
+        this reference-counted: a data file listed by any surviving
+        manifest is kept even when it physically lives in a dropped
+        version's directory; everything unreferenced is reclaimed."""
         vs = self._versions(table)
-        dropped = vs[:-keep_last] if keep_last > 0 else vs
+        keep = vs[len(vs) - keep_last:] if keep_last > 0 else []
+        dropped = [v for v in vs if v not in keep]
+        troot = os.path.join(self.root, table)
+        referenced = {rel for v in keep
+                      for rels in self._read_manifest(table, v).values()
+                      for rel in rels}
         for v in dropped:
-            shutil.rmtree(self._vdir(table, v))
+            vdir = self._vdir(table, v)
+            os.remove(self._manifest_path(table, v))  # de-list the snapshot
+            for dirpath, _dirs, files in os.walk(vdir, topdown=False):
+                for fn in files:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, troot)
+                    if rel not in referenced:
+                        os.remove(full)
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         return dropped
 
     def write(self, df: DataFrame, table: str) -> None:
-        """Full-table commit (bucketed layout, so later scoped commits can
-        link its files)."""
+        """Full-table commit (bucketed layout + manifest listing every
+        written bucket, so later scoped commits can reference its files)."""
         nxt = (self._versions(table) or [0])[-1] + 1
         key = self._key_of(df)
         (df.withColumn(self._BUCKET, self._bucket_col(key))
            .write.mode("overwrite").partitionBy(self._BUCKET)
            .parquet(self._vdir(table, nxt)))
+        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt))
 
     def write_scoped(self, df: DataFrame, table: str,
                      touched_keys: DataFrame) -> int:
-        """Incremental commit: rewrite only buckets containing a key from
-        ``touched_keys`` (single-column DataFrame); hard-link every other
-        bucket's files from the previous version. Returns the number of
+        """Incremental commit: physically rewrite only buckets containing
+        a key from ``touched_keys`` (single-column DataFrame); every other
+        bucket is carried forward in the manifest by referencing the
+        previous version's files — no copy, no link. Returns the number of
         buckets rewritten. Falls back to a full write when the table has
         no previous version."""
         vs = self._versions(table)
@@ -144,24 +219,18 @@ class ParquetStore:
             .select(F.pmod(F.xxhash64(F.col(tkey).cast("string")),
                            F.lit(self.n_buckets)).cast("int").alias("b"))
             .distinct().collect())  # ≤ n_buckets ints — a scalar probe
-        prev, nxt = self._vdir(table, vs[-1]), self._vdir(table, vs[-1] + 1)
+        nxt = vs[-1] + 1
         if touched:
             (df.withColumn(self._BUCKET, self._bucket_col(key))
                .filter(F.col(self._BUCKET).isin(touched))
-               .write.mode("overwrite").partitionBy(self._BUCKET).parquet(nxt))
-        else:
-            os.makedirs(nxt, exist_ok=True)
-        touched_dirs = {f"{self._BUCKET}={b}" for b in touched}
-        for entry in os.listdir(prev):
-            src = os.path.join(prev, entry)
-            if not entry.startswith(f"{self._BUCKET}=") or entry in touched_dirs \
-                    or not os.path.isdir(src):
-                continue
-            dst = os.path.join(nxt, entry)
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                if fn.endswith(".parquet"):
-                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+               .write.mode("overwrite").partitionBy(self._BUCKET)
+               .parquet(self._vdir(table, nxt)))
+        buckets = dict(self._read_manifest(table, vs[-1]))
+        fresh = self._scan_bucket_files(table, nxt)
+        for b in touched:
+            # a touched bucket with no surviving rows commits as empty
+            buckets[b] = fresh.get(b, [])
+        self._write_manifest(table, nxt, buckets)
         return len(touched)
 
     def tables(self) -> list[str]:
@@ -254,7 +323,7 @@ class IncrementalSync:
                                 .filter(F.col("alterid") > sink_max)
             merged = kept.unionByName(fresh)
             # partition-scoped commit: only buckets holding a removed or
-            # fresh guid are rewritten; the rest hard-link forward
+            # fresh guid are rewritten; the rest carry forward by manifest reference
             touched = remove.unionByName(fresh.select("guid"))
             changed_keys[name] = touched
             self.store.write_scoped(merged, name, touched)

@@ -106,37 +106,43 @@ def test_noop_sync_is_skipped(spark, stores, tmp_path_factory):
     assert stats["skipped"]  # AlterIds unchanged ⇒ change gate short-circuits
 
 
-def test_untouched_buckets_hard_linked_across_sync(spark, stores):
+def test_untouched_buckets_carried_forward_across_sync(spark, stores):
     """The scoped commit must not rewrite untouched partitions: for every
-    table with >1 version, at least the untouched __bucket dirs of the
-    newest version must be hard links (same inode) of the previous
-    version's files — i.e. a micro-batch costs O(changed buckets), and
-    untouched data is byte-identical by construction."""
+    table with >1 version, the newest version's manifest must reference
+    at least one data file that physically lives in an OLDER version's
+    directory (carried forward by reference, the Iceberg/Delta snapshot
+    shape — no copy, no link, object-store-safe), and the newest version
+    directory must hold physical files only for the touched buckets."""
     import os
     inc_store, _, _, specs = stores
-    linked = 0
+    carried = rewritten = 0
     for table in inc_store.tables():
         vs = inc_store._versions(table)
         if len(vs) < 2:
             continue
-        prev = inc_store._vdir(table, vs[-2])
-        last = inc_store._vdir(table, vs[-1])
-        for entry in os.listdir(last):
-            if not entry.startswith("__bucket="):
-                continue
-            pdir = os.path.join(prev, entry)
-            if not os.path.isdir(pdir):
-                continue
-            for fn in os.listdir(os.path.join(last, entry)):
-                if not fn.endswith(".parquet"):
-                    continue
-                pfile = os.path.join(pdir, fn)
-                lfile = os.path.join(last, entry, fn)
-                if os.path.exists(pfile) and \
-                        os.stat(pfile).st_ino == os.stat(lfile).st_ino:
-                    linked += 1
-    assert linked > 0, "no hard-linked (untouched) bucket files found — " \
-                       "scoped commit is rewriting everything"
+        last = vs[-1]
+        manifest = inc_store._read_manifest(table, last)
+        physical = inc_store._scan_bucket_files(table, last)
+        for b, files in manifest.items():
+            for rel in files:
+                assert os.path.isfile(
+                    os.path.join(inc_store.root, table, rel)), \
+                    f"{table} v{last} manifest references a missing file: {rel}"
+                if rel.startswith(f"v{last}{os.sep}") \
+                        or rel.startswith(f"v{last}/"):
+                    rewritten += 1
+                else:
+                    carried += 1
+        # every physical file in the new version dir is manifest-listed —
+        # nothing was written for untouched buckets
+        listed = {rel for files in manifest.values() for rel in files}
+        for b, files in physical.items():
+            for rel in files:
+                assert rel in listed, \
+                    f"{table} v{last} wrote an unreferenced file: {rel}"
+    assert carried > 0, "no carried-forward (untouched) bucket files — " \
+                        "scoped commit is rewriting everything"
+    assert rewritten > 0, "no rewritten bucket files — nothing committed?"
 
 
 def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
@@ -158,8 +164,11 @@ def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
 
 def test_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot reads: any historical version stays readable after scoped
-    commits (hard links), and vacuum reclaims old versions while the
-    survivor remains intact."""
+    commits (manifests reference older versions' files), and vacuum is
+    reference-counted — it de-lists old snapshots and reclaims only
+    files no surviving manifest references, so the survivor remains
+    intact even though its untouched buckets physically live in the
+    dropped version's directory."""
     store = ParquetStore(str(tmp_path / "tt"), n_buckets=4)
     df = spark.range(50).select(
         F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
@@ -175,8 +184,21 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert v1["g-7"] == v2["g-7"] == 7
     dropped = store.vacuum("t")
     assert dropped == [1] and store.history("t") == [2]
-    # survivor unaffected (shared-inode files keep their bytes)
+    # survivor unaffected: its manifest's carried-forward files (living in
+    # the dropped v1 directory) were preserved by the reference count
     assert {r.guid: r.val for r in store.read(spark, "t").collect()} == v2
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         store.read(spark, "t", version=1)
+    # and v1's files NOT referenced by v2 (the rewritten bucket of g-3)
+    # were physically reclaimed
+    import os
+    v2_refs = {rel for rels in store._read_manifest("t", 2).values()
+               for rel in rels}
+    v1_dir = store._vdir("t", 1)
+    if os.path.isdir(v1_dir):
+        for dirpath, _dirs, files in os.walk(v1_dir):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn),
+                                      os.path.join(str(tmp_path / "tt"), "t"))
+                assert rel in v2_refs, f"unreclaimed unreferenced file: {rel}"

