@@ -90,6 +90,11 @@ HEADLINE = [
     "hll_token_distinct",
     "weighted_sample",
     "cms_token_counts",
+    # round-3 driver-window suites (the standalone components above stay
+    # for round-over-round comparability; the suites time the actual
+    # driver CORRECTNESS rows)
+    "sketch_suite",
+    "multimodal_suite",
 ]
 
 

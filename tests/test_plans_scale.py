@@ -143,6 +143,13 @@ def test_ann_kmeans_plan_shapes(spark):
     assert "CartesianProduct" not in pq
     assert "SortMergeJoin" not in pq
     assert "Exchange SinglePartition" not in pq
+    # two-phase candidate cut (VERDICT r2 #2): a window spec partitioned
+    # by (q_id, salt) must exist — phase 1 bounds every window partition
+    # at corpus/n_salt rows, and the q_id-only re-rank sees at most
+    # refine×n_salt rows per query, never the whole corpus
+    import re as _re
+    assert _re.search(r"windowspecdefinition\(q_id#\w+L?, salt#\w+", pq), \
+        "salted phase-1 window missing from the PQ plan"
     ivf = _plan(spark, "ivf_kmeans_topk")
     assert "CartesianProduct" not in ivf
     assert "SortMergeJoin" not in ivf
@@ -189,3 +196,29 @@ def test_round2_suite_plan_shapes(spark):
     assert "BroadcastHashJoin" in lm2
     url = _plan(spark, "url_normalize")
     assert url.count("Exchange") == 0 and "Join" not in url
+
+
+def test_round3_merged_suite_plan_shapes(spark):
+    """The round-3 driver-window suites are unions of already-audited
+    plans and must not introduce a funnel: no single-partition exchange
+    anywhere, no cartesian product, and the multimodal union stays a
+    pure map-side pass (its only exchanges are the deliberate fan_out
+    round-robins that widen the byte-small document scan)."""
+    # sketch_suite: SinglePartition exchanges DO appear — but only to fold
+    # the 2^b-row HLL register table (and its 1-row estimate crossJoin)
+    # into the final scalar, i.e. over sketch-bounded inputs that never
+    # grow with the corpus. The corpus-sized stages must stay partial-
+    # agg'd and the weighted-sample arm must plan per-partition heaps.
+    sk = _plan(spark, "sketch_suite")
+    assert "CartesianProduct" not in sk
+    assert "TakeOrderedAndProject" in sk      # weighted-sample arm
+    assert sk.count("HashAggregate") >= 4     # partial+final CMS + HLL
+    mm = _plan(spark, "multimodal_suite")
+    assert "Exchange SinglePartition" not in mm
+    assert "Join" not in mm and "CartesianProduct" not in mm
+    for ex in mm.split("Exchange")[1:]:
+        assert ex.lstrip().lower().startswith("roundrobin"), \
+            "multimodal union should shuffle only via fan_out round-robin"
+    sim = _plan(spark, "similarity_topk_suite")
+    assert "CartesianProduct" not in sim
+    assert "Exchange SinglePartition" not in sim
