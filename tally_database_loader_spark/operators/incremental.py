@@ -233,6 +233,27 @@ class ParquetStore:
         self._write_manifest(table, nxt, buckets)
         return len(touched)
 
+    def compact(self, spark: SparkSession, table: str,
+                sort_col: str | None = None) -> int:
+        """OPTIMIZE-style maintenance commit: rewrite the latest snapshot
+        with exactly one file per bucket (``repartition`` on the bucket
+        hash), optionally sorted by ``sort_col`` within each bucket for
+        min/max-stat pruning. Scoped commits keep per-bucket file counts
+        at O(writing tasks); after many syncs a periodic compact restores
+        1-file-per-bucket read amplification — the same job Delta's
+        OPTIMIZE runs. Returns the new version number."""
+        df = self.read(spark, table)
+        key = self._key_of(df)
+        nxt = self._versions(table)[-1] + 1
+        out = (df.withColumn(self._BUCKET, self._bucket_col(key))
+                 .repartition(self.n_buckets, F.col(self._BUCKET)))
+        if sort_col is not None:
+            out = out.sortWithinPartitions(sort_col)
+        (out.write.mode("overwrite").partitionBy(self._BUCKET)
+            .parquet(self._vdir(table, nxt)))
+        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt))
+        return nxt
+
     def tables(self) -> list[str]:
         if not os.path.isdir(self.root):
             return []

@@ -162,6 +162,34 @@ def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
     assert got["g-7"] == 999 and got["g-8"] == 16 and len(got) == 200
 
 
+def test_compact_restores_one_file_per_bucket(spark, tmp_path):
+    """OPTIMIZE analogue: after scoped commits, compact rewrites the
+    latest snapshot with exactly one file per bucket (sorted within the
+    bucket when asked), content unchanged, and the pre-compact snapshot
+    stays time-travelable."""
+    store = ParquetStore(str(tmp_path / "cp"), n_buckets=4)
+    df = spark.range(120).repartition(6).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+    store.write(df, "t")
+    store.write_scoped(
+        df.withColumn("val", F.when(F.col("guid") == "g-5", -5)
+                              .otherwise(F.col("val"))),
+        "t", spark.createDataFrame([("g-5",)], "guid string"))
+    before = {r.guid: r.val for r in store.read(spark, "t").collect()}
+    v = store.compact(spark, "t", sort_col="guid")
+    assert store.history("t")[-1] == v
+    manifest = store._read_manifest("t", v)
+    assert all(len(files) == 1 for files in manifest.values()), \
+        f"compact left multi-file buckets: {manifest}"
+    # every file is fresh (no carried-forward references) and content equal
+    assert all(rel.startswith(f"v{v}/") for files in manifest.values()
+               for rel in files)
+    assert {r.guid: r.val for r in store.read(spark, "t").collect()} == before
+    assert {r.guid: r.val
+            for r in store.read(spark, "t", version=v - 1).collect()} == before
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot reads: any historical version stays readable after scoped
     commits (manifests reference older versions' files), and vacuum is
