@@ -123,6 +123,14 @@ def main() -> None:
         if name not in gate.QUERIES:
             continue
         df = gate.QUERIES[name](spark, SF_DIR)
+        # steady-state timing: one untimed warm execution compiles the
+        # whole-stage-codegen classes, then the timed run measures the
+        # PLAN rather than first-execution JIT (the dedup_exact note
+        # above: ~1.6s compile vs ~0.2s steady-state — which query paid
+        # the compile depended on list ordering, making round-over-round
+        # deltas noise). limit(0) can't warm anything — the optimizer
+        # folds it to an empty relation — so the warm pass runs in full.
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
