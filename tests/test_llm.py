@@ -81,6 +81,36 @@ def test_minhash_fast_path_matches_parity_path(spark):
     assert inter >= 0.8, f"fast/parity overlap too low: {inter}"
 
 
+def test_vectorized_assignment_equals_relational(spark):
+    """The Arrow-vectorized numpy argmin (the k-means/PQ hot path — the
+    relational HOF form is CodegenFallback and runs interpreted) must
+    produce EXACTLY the relational form's integers: same centroids after
+    Lloyd rounds, same cell per vector, same PQ codebooks and codes.
+    Both are exact int64 arithmetic with a first-minimum tie rule, so
+    equality is bitwise, not approximate."""
+    import tally_database_loader_spark.llm.similarity as sim
+    from tally_database_loader_spark.sources.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    prev = sim.VECTORIZED_ASSIGN
+    try:
+        sim.VECTORIZED_ASSIGN = False
+        a1, c1 = sim.kmeans_cells(e, n_lists=8, iters=2)
+        r1 = sorted((r.n_id, r.cell)
+                    for r in a1.select("n_id", "cell").collect())
+        enc1, cb1 = sim.pq_encode(e, m=4, n_codes=16, iters=2, dim=64)
+        p1 = sorted(tuple(r) for r in enc1.collect())
+        sim.VECTORIZED_ASSIGN = True
+        a2, c2 = sim.kmeans_cells(e, n_lists=8, iters=2)
+        r2 = sorted((r.n_id, r.cell)
+                    for r in a2.select("n_id", "cell").collect())
+        enc2, cb2 = sim.pq_encode(e, m=4, n_codes=16, iters=2, dim=64)
+        p2 = sorted(tuple(r) for r in enc2.collect())
+    finally:
+        sim.VECTORIZED_ASSIGN = prev
+    assert c1 == c2 and r1 == r2
+    assert cb1 == cb2 and p1 == p2
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from tally_database_loader_spark.llm.similarity import cosine_topk, ivf_topk
     from tally_database_loader_spark.sources.catalog import load_table
