@@ -85,14 +85,21 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     (ADVICE r2). Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
     from ..functions.fixmath import LN_SCALE, ln_fixed, ln_fixed_py
     m = 1 << b
-    spark: SparkSession = df.sparkSession
     regs = hll_registers(df, col, b)
-    spine = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
-    full = (spine.join(F.broadcast(regs), "bucket", "left")
-                 .select(F.coalesce(F.col("rho"), F.lit(0)).alias("rho")))
-    folded = full.agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - rho)")).alias("s"),
-        F.sum((F.col("rho") == 0).cast("int")).alias("v_zero"))
+    # Empty registers contribute closed-form — rho 0, indicator 2^51 each
+    # — so folding only the OCCUPIED rows and adding (m - n_occ)·2^51
+    # arithmetically yields the identical s and v_zero without the
+    # m-row spine ⟕ broadcast join (which costs a second Spark job just
+    # to re-join 2^b rows; occupied registers always have rho ≥ 1, so
+    # v_zero is exactly the number of missing buckets).
+    folded = (regs.agg(
+        F.coalesce(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - rho)")),
+                   F.lit(0).cast("long")).alias("s_occ"),
+        F.count(F.lit(1)).alias("n_occ"))
+        .select((F.col("s_occ")
+                 + (F.lit(m) - F.col("n_occ"))
+                 * F.lit(1 << 51).cast("long")).alias("s"),
+                (F.lit(m) - F.col("n_occ")).cast("int").alias("v_zero")))
     alpha = hll_alpha(m)
     e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
              * F.lit(float(1 << 51)) / F.col("s").cast("double"))
