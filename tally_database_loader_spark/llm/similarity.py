@@ -29,7 +29,23 @@ from pyspark.sql import functions as F
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]*b[i] in double, left-to-right (float→double is exact, so the
-    only rounding is the adds — deterministic and oracle-reproducible)."""
+    only rounding is the adds — deterministic and oracle-reproducible).
+
+    Like the k-means argmin, this relational fold is the SEMANTIC
+    definition (what the SQL oracles replay) but evaluates as
+    CodegenFallback — interpreted, boxed, per element. The vectorized
+    twin reproduces the left-to-right fold BIT-FOR-BIT by accumulating
+    one dimension at a time across the whole Arrow batch
+    (``acc += P[:, i]`` — per ROW that is exactly init + x₀ + x₁ + …,
+    the same IEEE adds in the same order; numpy's own ``sum`` would
+    pairwise-sum and change the bits). Dispatch via ``VECTORIZED_FOLD``;
+    equality of both paths is asserted in tests."""
+    if VECTORIZED_FOLD:
+        return _fold_vec("dot")(a, b)
+    return _dot_rel(a, b)
+
+
+def _dot_rel(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -38,7 +54,81 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """dot/(‖a‖·‖b‖) with every operand derived by the same fold rules;
+    vectorized as ONE Arrow exchange (three sequential folds + sqrt +
+    divide in numpy, each op correctly-rounded IEEE like the JVM)."""
+    if VECTORIZED_FOLD:
+        return _fold_vec("cosine")(a, b)
+    return _cosine_rel(a, b)
+
+
+def _cosine_rel(a: Column, b: Column) -> Column:
+    return _dot_rel(a, b) / (F.sqrt(_dot_rel(a, a)) * F.sqrt(_dot_rel(b, b)))
+
+
+# Arrow-vectorized float folds on by default; the relational twins stay
+# the oracle-checked definitions and the fallback.
+VECTORIZED_FOLD = True
+
+
+def _seq_fold(prod: "pd.DataFrame | object") -> "object":
+    """Left-to-right accumulation across columns: per row this is
+    0.0 + p₀ + p₁ + … — the exact add order of the relational fold."""
+    acc = np.zeros(prod.shape[0], dtype=np.float64)
+    for i in range(prod.shape[1]):
+        acc = acc + prod[:, i]
+    return acc
+
+
+def _fold_vec(kind: str):
+    """Build the pandas_udf for a float fold family (``dot`` /
+    ``cosine`` / ``l2``). Null vectors degrade to a per-row Python-float
+    fold (Python float IS IEEE double, so results match); the fast path
+    stacks the batch and folds dimension-at-a-time."""
+
+    def _rowwise(x, y):
+        if x is None or y is None:
+            return None
+        if kind == "dot":
+            acc = 0.0
+            for xi, yi in zip(x, y):
+                acc += float(xi) * float(yi)
+            return acc
+        if kind == "l2":
+            acc = 0.0
+            for xi, yi in zip(x, y):
+                d = float(xi) - float(yi)
+                acc += d * d
+            return acc
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for xi, yi in zip(x, y):
+            xf, yf = float(xi), float(yi)
+            num += xf * yf
+            na += xf * xf
+            nb += yf * yf
+        import math
+        return num / (math.sqrt(na) * math.sqrt(nb))
+
+    @F.pandas_udf("double")
+    def fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        if xs.isna().any() or ys.isna().any():
+            return pd.Series([_rowwise(x, y) for x, y in zip(xs, ys)])
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+        if kind == "dot":
+            return pd.Series(_seq_fold(A * B))
+        if kind == "l2":
+            d = A - B
+            return pd.Series(_seq_fold(d * d))
+        num = _seq_fold(A * B)
+        den = np.sqrt(_seq_fold(A * A)) * np.sqrt(_seq_fold(B * B))
+        return pd.Series(num / den)
+
+    return fold
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -136,7 +226,16 @@ def _planes(n_bits: int, dim: int) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """B-bit bucket id: bit p = sign(vec · plane_p)."""
+    """B-bit bucket id: bit p = sign(vec · plane_p). Dispatches like
+    ``dot``: the relational per-plane folds are the oracle definition;
+    the vectorized twin runs the same left-to-right projections batched
+    (n_bits sequential folds over the Arrow batch)."""
+    if VECTORIZED_FOLD:
+        return _srp_bucket_vec(vec, planes)
+    return _srp_bucket_rel(vec, planes)
+
+
+def _srp_bucket_rel(vec: Column, planes: list[list[float]]) -> Column:
     bits = []
     for p, plane in enumerate(planes):
         proj = F.aggregate(
@@ -148,6 +247,37 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _srp_bucket_vec(vec: Column, planes: list[list[float]]) -> Column:
+    pl = np.asarray(planes, dtype=np.float64)      # n_bits × dim
+    weights = np.array([1 << p for p in range(len(planes))], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def bucket(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        if xs.isna().any():
+            out = []
+            for v in xs:
+                if v is None:
+                    out.append(None)
+                    continue
+                acc = 0
+                for p, plane in enumerate(planes):
+                    proj = 0.0
+                    for xi, w in zip(v, plane):
+                        proj += float(xi) * w
+                    if proj > 0:
+                        acc += 1 << p
+                out.append(acc)
+            return pd.Series(out)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+        projs = np.stack([_seq_fold(A * pl[p]) for p in range(pl.shape[0])],
+                         axis=1)                   # n × n_bits
+        return pd.Series(((projs > 0) @ weights).astype("int64"))
+
+    return bucket(vec)
 
 
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
@@ -596,8 +726,11 @@ def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
 
 
 def l2_dist(a: Column, b: Column) -> Column:
-    """Σ (a[i]-b[i])² in double, left-to-right — same fold discipline as
-    ``dot``, so a SQL oracle reproduces it bit-for-bit."""
+    """Σ (a[i]-b[i])² in double, left-to-right — same fold discipline
+    (and same vectorized-twin dispatch) as ``dot``, so a SQL oracle
+    reproduces it bit-for-bit."""
+    if VECTORIZED_FOLD:
+        return _fold_vec("l2")(a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),

@@ -111,6 +111,37 @@ def test_vectorized_assignment_equals_relational(spark):
     assert cb1 == cb2 and p1 == p2
 
 
+def test_vectorized_float_folds_equal_relational(spark):
+    """The Arrow-vectorized dot/cosine/l2/SRP twins must reproduce the
+    relational left-to-right folds BIT-for-bit (same IEEE adds in the
+    same order via dimension-at-a-time accumulation — numpy's pairwise
+    sum would not). Checked over full query results including the float
+    scores, not just the id sets."""
+    import tally_database_loader_spark.llm.similarity as sim
+    from tally_database_loader_spark.sources.catalog import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 8")
+
+    def snap():
+        return (
+            sorted(tuple(r) for r in sim.cosine_topk(e, q, k=5).collect()),
+            sorted(tuple(r) for r in
+                   sim.embedding_near_duplicates(e, threshold=0.2).collect()),
+            sorted(tuple(r) for r in
+                   sim.lsh_topk(e, q, k=5, n_bits=4, dim=64).collect()),
+        )
+
+    prev = sim.VECTORIZED_FOLD
+    try:
+        sim.VECTORIZED_FOLD = False
+        rel = snap()
+        sim.VECTORIZED_FOLD = True
+        vec = snap()
+    finally:
+        sim.VECTORIZED_FOLD = prev
+    assert rel == vec
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from tally_database_loader_spark.llm.similarity import cosine_topk, ivf_topk
     from tally_database_loader_spark.sources.catalog import load_table
