@@ -130,6 +130,46 @@ def test_abort_is_cooperative(tmp_path):
         srv.stop()
 
 
+def test_sync_endpoint_drives_real_engine(spark, tmp_path):
+    """End-to-end control plane: POST /sync runs a REAL full sync
+    (IncrementalSync over the stub Tally source into a ParquetStore),
+    the log feed carries the reference's import-log line shape per table
+    ('{table}: {rows} in {s} sec', src/tally.mts:360) and ends with ~,
+    and the loaded store is queryable afterwards — the reference's
+    /sync → child-process → database flow with the child process
+    replaced by driver-side distributed plans."""
+    import time as _time
+
+    from tally_database_loader_spark.operators.incremental import (
+        IncrementalSync, ParquetStore)
+    from tally_database_loader_spark.sources.registry import default_tables
+    from tests.tally_fixtures import tally_source
+
+    store = ParquetStore(str(tmp_path / "store"))
+    specs = default_tables()
+
+    def run_sync(config, emit, aborted):
+        eng = IncrementalSync(spark, store, specs)
+        t0 = _time.perf_counter()
+        counts = eng.full_sync(tally_source(spark))
+        dt = _time.perf_counter() - t0
+        for table in sorted(counts):
+            emit(f"{table}: {counts[table]} in {dt / len(counts):.3f} sec")
+
+    srv = SyncServer(str(tmp_path / "config.json"), run_sync).start()
+    try:
+        _, body = _post(srv.url + "/sync", "{}")
+        assert body == "Sync started"
+        lines = _drain(srv.url, until="~", timeout=180)
+    finally:
+        srv.stop()
+    table_lines = [l for l in lines if ": " in l and " in " in l]
+    assert len(table_lines) >= 10  # the 22-table default spec set loads
+    assert any(l.startswith("mst_ledger: ") for l in table_lines)
+    # and the store now serves queries
+    assert store.read(spark, "mst_ledger").count() > 0
+
+
 def test_probes_and_error_surfacing(server, tmp_path):
     _, body = _post(server.url + "/list-company",
                     json.dumps({"server": "localhost", "port": 9000}))
