@@ -164,7 +164,41 @@ def quantize_int8(vec: Column) -> Column:
     identical across engines (Spark HALF_UP vs DuckDB's round differ at
     ties). At scale this is the memory lever for ANN: 4× smaller vectors,
     and the dot product becomes *exact integer* arithmetic — associative,
-    so partial aggregation and AQE reordering cannot perturb it."""
+    so partial aggregation and AQE reordering cannot perturb it.
+
+    Dispatches like ``dot``: every step (abs-max, divide, floor) is an
+    elementwise correctly-rounded IEEE op, so the numpy twin is
+    bit-identical with no fold-order care needed."""
+    if VECTORIZED_FOLD:
+        return _quantize_int8_vec(vec)
+    return _quantize_int8_rel(vec)
+
+
+def _quantize_int8_vec(vec: Column) -> Column:
+    @F.pandas_udf("struct<scale: double, q: array<tinyint>>")
+    def quant(xs: pd.Series) -> pd.DataFrame:
+        scales: list = []
+        qs: list = []
+        for v in xs:
+            if v is None:
+                scales.append(None)
+                qs.append(None)
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            amax = np.abs(a).max() if a.size else 0.0
+            if amax == 0.0:
+                scales.append(0.0)
+                qs.append(np.zeros(a.size, dtype=np.int8))
+            else:
+                scale = amax / 127.0
+                scales.append(scale)
+                qs.append(np.floor(a / scale + 0.5).astype(np.int8))
+        return pd.DataFrame({"scale": scales, "q": qs})
+
+    return quant(vec)
+
+
+def _quantize_int8_rel(vec: Column) -> Column:
     xd = F.transform(vec, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(xd, F.abs))
     scale = amax / F.lit(127.0)
@@ -180,10 +214,31 @@ def quantize_int8(vec: Column) -> Column:
 def int_dot(a: Column, b: Column) -> Column:
     """Σ a[i]*b[i] over int64 — exact, order-independent. Inputs may be
     stored narrow (tinyint); each component is widened to long *before*
-    the multiply so tinyint×tinyint can never wrap."""
+    the multiply so tinyint×tinyint can never wrap. Integer addition is
+    associative, so the vectorized twin may sum in any order — no
+    fold-order ceremony needed."""
+    if VECTORIZED_FOLD:
+        return _int_dot_vec(a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _int_dot_vec(a: Column, b: Column) -> Column:
+    @F.pandas_udf("long")
+    def idot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        if xs.isna().any() or ys.isna().any():
+            return pd.Series([
+                None if x is None or y is None
+                else sum(int(xi) * int(yi) for xi, yi in zip(x, y))
+                for x, y in zip(xs, ys)])
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in xs])
+        B = np.stack([np.asarray(v, dtype=np.int64) for v in ys])
+        return pd.Series((A * B).sum(axis=1))
+
+    return idot(a, b)
 
 
 def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -135,11 +135,16 @@ def test_vectorized_float_folds_equal_relational(spark):
     try:
         sim.VECTORIZED_FOLD = False
         rel = snap()
+        i8r = sorted(tuple(r) for r in
+                     sim.quantized_topk(e, q, k=5).collect())
         sim.VECTORIZED_FOLD = True
         vec = snap()
+        i8v = sorted(tuple(r) for r in
+                     sim.quantized_topk(e, q, k=5).collect())
     finally:
         sim.VECTORIZED_FOLD = prev
     assert rel == vec
+    assert i8r == i8v  # quantize + integer dot twins bit-identical too
 
 
 def test_ivf_recall_vs_bruteforce(spark):
