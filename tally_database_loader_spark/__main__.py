@@ -1,0 +1,180 @@
+"""CLI sync runner — the reference's ``node dist/index.mjs`` entry point
+(reference src/index.mts:44-90) as ``python -m tally_database_loader_spark``.
+
+Same UX: ``config.json`` defaults layered under ``--section-key value``
+overrides (A5), one-shot import when ``tally.frequency <= 0``, a polling
+loop otherwise (H1; the engine-native continuous mode is the Structured
+Streaming source in ``streaming/continuous.py`` — this loop is the
+reference-parity on-demand scheduler), per-table import-log lines and a
+completion message (``src/tally.mts:360``, ``src/logger.mts``).
+
+Sources (``tally`` section):
+- ``dumpdir``: a directory of per-table TDL response files
+  ``{table}.xml`` (the XML-dump workflow; parsed distributed by
+  ``read_tdl_response``). Missing files are skipped.
+- otherwise ``server``/``port``: live Tally HTTP fetch per table spec
+  (requires a reachable Tally XML server, like the reference).
+
+Sinks (``database.technology``):
+- ``parquet`` (native): versioned hash-bucketed ``ParquetStore`` under
+  ``database.loadpath`` + the B10 config table.
+- ``csv`` / ``json``: one file per table under ``database.loadpath``
+  with the reference's CSV conventions (BOM, quoting, blank dates).
+- ``mssql`` / ``mysql`` / ``postgres``: JDBC batched inserts with the
+  reference's batching levers (B1-B4).
+
+Table definitions come from ``tally.definition`` when it points at an
+existing YAML file (A4), else the built-in 22-table reference model.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_sleep = time.sleep  # monkeypatch point for loop tests
+
+
+def _load_specs(cfg):
+    from .sources.registry import default_tables, load_yaml_spec
+    path = str(cfg.get("tally", "definition") or "")
+    if path and os.path.isfile(path):
+        with open(path, encoding="utf-8") as fh:
+            return load_yaml_spec(fh.read())
+    return default_tables()
+
+
+def _extract(spark: SparkSession, cfg, specs) -> dict[str, DataFrame]:
+    tally = cfg["tally"]
+    dumpdir = str(tally.get("dumpdir", "") or "")
+    frames: dict[str, DataFrame] = {}
+    if dumpdir:
+        from .sources.tally_xml import read_tdl_response
+        for name, spec in specs.items():
+            p = os.path.join(dumpdir, f"{name}.xml")
+            if os.path.isfile(p):
+                frames[name] = read_tdl_response(spark, p, spec)
+    else:
+        from .sources.tally_http import fetch_table
+        url = f"http://{tally['server']}:{tally['port']}"
+        for name, spec in specs.items():
+            frames[name] = fetch_table(
+                spark, spec, url=url, company=tally["company"] or None)
+    return frames
+
+
+def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
+          log) -> dict[str, int]:
+    from .sinks import writers
+    db = cfg["database"]
+    tech = db["technology"]
+    loadpath = str(db.get("loadpath", "") or "output")
+    counts: dict[str, int] = {}
+    if tech == "parquet":
+        from .operators.incremental import ParquetStore
+        store = ParquetStore(loadpath)
+        for name, df in frames.items():
+            t0 = time.perf_counter()
+            store.write(df, name)
+            counts[name] = store.read(spark, name).count()
+            log.log_table(name, counts[name], time.perf_counter() - t0)
+        return counts
+    if tech in ("csv", "json"):
+        os.makedirs(loadpath, exist_ok=True)
+        write = writers.write_csv if tech == "csv" else writers.write_json
+        for name, df in frames.items():
+            t0 = time.perf_counter()
+            write(df, os.path.join(loadpath, f"{name}.{tech}"),
+                  single_file=True)
+            counts[name] = df.count()
+            log.log_table(name, counts[name], time.perf_counter() - t0)
+        return counts
+    if tech in ("mssql", "mysql", "postgres"):
+        url = _jdbc_url(tech, db)
+        creds = {"user": str(db["username"]), "password": str(db["password"])}
+        for name, df in frames.items():
+            t0 = time.perf_counter()
+            writers.write_jdbc(df, url, f"{db['schema']}.{name}",
+                               technology=tech, properties=creds)
+            counts[name] = df.count()
+            log.log_table(name, counts[name], time.perf_counter() - t0)
+        return counts
+    raise SystemExit(f"unsupported database.technology: {tech}")
+
+
+def _jdbc_url(tech: str, db) -> str:
+    host, port = db["server"], db["port"]
+    if tech == "mssql":
+        return (f"jdbc:sqlserver://{host}:{port};"
+                f"databaseName={db['schema']}")
+    scheme = {"mysql": "mysql", "postgres": "postgresql"}[tech]
+    return f"jdbc:{scheme}://{host}:{port}/{db['schema']}"
+
+
+def run_import(spark: SparkSession, cfg, log) -> dict[str, int]:
+    """One sync: extract every configured table, load into the sink
+    (truncate-and-load, B9 — the reference's full-sync default)."""
+    specs = _load_specs(cfg)
+    frames = _extract(spark, cfg, specs)
+    return _load(spark, cfg, frames, log)
+
+
+def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
+         max_ticks: int | None = None) -> dict[str, int]:
+    """Entry point. ``--config PATH`` names the config file (default
+    ``./config.json`` when present, as the reference); every other
+    ``--section-key value`` pair overrides it. ``max_ticks`` bounds the
+    continuous loop for tests (None = run forever, like the reference's
+    ``setInterval``)."""
+    import datetime
+
+    from .config import load_config
+    from .streaming.progress import SyncLogger
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    cfg_path = "config.json"
+    if "--config" in args:
+        i = args.index("--config")
+        cfg_path = args[i + 1]
+        del args[i:i + 2]
+    cfg_text = None
+    if os.path.isfile(cfg_path):
+        with open(cfg_path, encoding="utf-8") as fh:
+            cfg_text = fh.read()
+    cfg = load_config(cfg_text, args)
+
+    own_spark = spark is None
+    if own_spark:
+        from .session import get_spark
+        spark = get_spark("tally-sync")
+    log = SyncLogger(str(cfg["database"].get("logpath", "") or "import-log.txt"))
+
+    def tick() -> dict[str, int]:
+        counts = run_import(spark, cfg, log)
+        log.log_message("Import completed successfully",
+                        now=datetime.datetime.now())
+        return counts
+
+    try:
+        freq_min = int(cfg.get("tally", "frequency") or 0)
+        if freq_min <= 0:
+            return tick()
+        ticks = 0
+        counts: dict[str, int] = {}
+        while max_ticks is None or ticks < max_ticks:
+            counts = tick()
+            ticks += 1
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+            _sleep(freq_min * 60)
+        return counts
+    finally:
+        if own_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
