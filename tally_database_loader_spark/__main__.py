@@ -122,13 +122,54 @@ def run_import(spark: SparkSession, cfg, log) -> dict[str, int]:
     return _load(spark, cfg, frames, log)
 
 
+def serve(cfg_path: str, *, spark: SparkSession,
+          host: str = "127.0.0.1", port: int = 8997):
+    """GUI mode (the reference's ``run-gui.bat`` → ``server.mjs``): a
+    ``SyncServer`` whose ``POST /sync`` body is layered over the config
+    file as section overrides and drives ``run_import`` on the shared
+    SparkSession — the child-process fork of the reference replaced by a
+    driver thread running distributed plans. Returns the started server
+    (caller blocks or stops it)."""
+    import datetime
+
+    from .config import load_config
+    from .streaming.progress import SyncLogger
+    from .streaming.server import SyncServer
+
+    def run_sync(config: dict, emit, aborted) -> None:
+        cfg_text = None
+        if os.path.isfile(cfg_path):
+            with open(cfg_path, encoding="utf-8") as fh:
+                cfg_text = fh.read()
+        overrides: list[str] = []
+        for section, kv in (config or {}).items():
+            for key, val in (kv or {}).items():
+                overrides += [f"--{section}-{key}", str(val)]
+        cfg = load_config(cfg_text, overrides)
+
+        class _FeedLogger(SyncLogger):
+            def log_table(self, table, rows, seconds):
+                super().log_table(table, rows, seconds)
+                emit(f"{table}: {rows} in {seconds:.3f} sec")
+
+        log = _FeedLogger(str(cfg["database"].get("logpath", "")
+                              or "import-log.txt"))
+        counts = run_import(spark, cfg, log)
+        msg = f"Import completed successfully ({sum(counts.values())} rows)"
+        log.log_message(msg, now=datetime.datetime.now())
+        emit(msg)
+
+    return SyncServer(cfg_path, run_sync, host=host, port=port).start()
+
+
 def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
          max_ticks: int | None = None) -> dict[str, int]:
     """Entry point. ``--config PATH`` names the config file (default
     ``./config.json`` when present, as the reference); every other
-    ``--section-key value`` pair overrides it. ``max_ticks`` bounds the
-    continuous loop for tests (None = run forever, like the reference's
-    ``setInterval``)."""
+    ``--section-key value`` pair overrides it. ``--gui`` starts the sync
+    control-plane server instead of syncing (reference run-gui.bat).
+    ``max_ticks`` bounds the continuous loop for tests (None = run
+    forever, like the reference's ``setInterval``)."""
     import datetime
 
     from .config import load_config
@@ -140,6 +181,21 @@ def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
         i = args.index("--config")
         cfg_path = args[i + 1]
         del args[i:i + 2]
+    if "--gui" in args:
+        own = spark is None
+        if own:
+            from .session import get_spark
+            spark = get_spark("tally-sync-gui")
+        srv = serve(cfg_path, spark=spark)
+        print(f"Sync server started on {srv.url}")
+        try:
+            while max_ticks is None:
+                time.sleep(3600)
+        finally:
+            srv.stop()
+            if own:
+                spark.stop()
+        return {}
     cfg_text = None
     if os.path.isfile(cfg_path):
         with open(cfg_path, encoding="utf-8") as fh:

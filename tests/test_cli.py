@@ -93,6 +93,46 @@ def test_cli_continuous_loop_bounded(spark, setup, monkeypatch):
     assert log.count("Import completed successfully") >= 2
 
 
+def test_gui_serve_posts_config_and_syncs(spark, setup, tmp_path):
+    """GUI mode parity (reference run-gui.bat → server.mjs → fork
+    index.mjs with the posted config): POST /sync overrides layer onto
+    the config file, the feed carries per-table import-log lines and a
+    completion message, and the chosen sink receives the load."""
+    import time as _time
+    import urllib.request
+
+    from tally_database_loader_spark.__main__ import serve
+
+    _, cfgpath = setup
+    srv = serve(str(cfgpath), spark=spark, port=0)
+    try:
+        body = json.dumps({"database": {
+            "technology": "parquet",
+            "loadpath": str(tmp_path / "guistore")}}).encode()
+        req = urllib.request.Request(srv.url + "/sync", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.read().decode() == "Sync started"
+        deadline = _time.time() + 120
+        lines: list[str] = []
+        cursor = 0
+        while _time.time() < deadline and "~" not in lines:
+            with urllib.request.urlopen(
+                    f"{srv.url}/log?since={cursor}", timeout=10) as resp:
+                feed = json.loads(resp.read().decode())
+            lines += feed["lines"]
+            cursor = feed["next"]
+            _time.sleep(0.05)
+        assert "~" in lines
+        assert any(l.startswith("mst_unit: 2 in ") for l in lines)
+        assert any(l.startswith("Import completed successfully") for l in lines)
+    finally:
+        srv.stop()
+    from tally_database_loader_spark.operators.incremental import ParquetStore
+    assert ParquetStore(str(tmp_path / "guistore")).read(
+        spark, "mst_unit").count() == 2
+
+
 def test_cli_rejects_unknown_sink(spark, setup):
     _, cfgpath = setup
     with pytest.raises(SystemExit):
