@@ -115,10 +115,38 @@ def _jdbc_url(tech: str, db) -> str:
 
 
 def run_import(spark: SparkSession, cfg, log) -> dict[str, int]:
-    """One sync: extract every configured table, load into the sink
-    (truncate-and-load, B9 — the reference's full-sync default)."""
+    """One sync: extract every configured table, load into the sink.
+
+    ``tally.sync: full`` = truncate-and-load (B9, the reference default).
+    ``tally.sync: incremental`` (parquet sink only) runs the E-protocol
+    over the extracted frames — anti-join deletes, version-mismatch
+    modifies, scoped upsert commits, cascades — and bootstraps with a
+    full load when the store has no synced tables yet, exactly the
+    reference's first-run behavior."""
     specs = _load_specs(cfg)
     frames = _extract(spark, cfg, specs)
+    db = cfg["database"]
+    if str(cfg.get("tally", "sync")) == "incremental" \
+            and db["technology"] == "parquet":
+        import time as _t
+
+        from .operators.incremental import IncrementalSync, ParquetStore
+        store = ParquetStore(str(db.get("loadpath", "") or "output"))
+        eng = IncrementalSync(spark, store, specs)
+        t0 = _t.perf_counter()
+        if not any(store.exists(t) for t in frames):
+            counts = {}
+            for name, df in frames.items():
+                store.write(df, name)
+                counts[name] = store.read(spark, name).count()
+        else:
+            eng.incremental_sync_frames(dict(frames))
+            counts = {t: store.read(spark, t).count() for t in frames
+                      if store.exists(t)}
+        dt = _t.perf_counter() - t0
+        for name in sorted(counts):
+            log.log_table(name, counts[name], dt / max(len(counts), 1))
+        return counts
     return _load(spark, cfg, frames, log)
 
 

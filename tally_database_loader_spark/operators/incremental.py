@@ -304,7 +304,6 @@ class IncrementalSync:
     def incremental_sync(self, source_by_root: dict[str, DataFrame]) -> dict:
         roots = set(source_by_root)
         primaries = self._primary_tables(roots)
-        stats = {"deleted": {}, "appended": {}, "skipped": False}
 
         # E1/E2: version probes; H2 change gate
         src_max = 0
@@ -312,12 +311,36 @@ class IncrementalSync:
             if "AlterId" in df.columns:
                 row = df.agg(F.coalesce(F.max("AlterId"), F.lit(0)).alias("m")).collect()[0]
                 src_max = max(src_max, int(row.m))
+        frames = extract_all(source_by_root, self.specs, include_alterid=True)
+        return self.incremental_sync_frames(frames, primaries=primaries,
+                                            src_max=src_max)
+
+    def incremental_sync_frames(self, frames: dict[str, DataFrame],
+                                primaries: list[str] | None = None,
+                                src_max: int | None = None) -> dict:
+        """The E-protocol over PRE-EXTRACTED flat per-table frames (each
+        with ``guid`` + ``alterid``) — the entry the CLI's XML-dump
+        source uses, where tables arrive already flat instead of as
+        nested root collections. ``incremental_sync`` delegates here
+        after extraction; semantics are identical."""
+        if primaries is None:
+            primaries = [n for n in frames
+                         if n in self.specs
+                         and self.specs[n].nature == "Primary"
+                         and "guid" in frames[n].columns]
+        stats = {"deleted": {}, "appended": {}, "skipped": False}
+        if src_max is None:
+            src_max = 0
+            for name in primaries:
+                if "alterid" in frames[name].columns:
+                    row = frames[name].agg(
+                        F.coalesce(F.max("alterid"), F.lit(0)).alias("m")
+                    ).collect()[0]
+                    src_max = max(src_max, int(row.m))
         sink_max = sink_max_alterid(self.spark, self.store, primaries)
         if src_max == sink_max:
             stats["skipped"] = True
             return stats
-
-        frames = extract_all(source_by_root, self.specs, include_alterid=True)
 
         removed_keys: dict[str, DataFrame] = {}
         changed_keys: dict[str, DataFrame] = {}

@@ -93,6 +93,69 @@ def test_cli_continuous_loop_bounded(spark, setup, monkeypatch):
     assert log.count("Import completed successfully") >= 2
 
 
+_DEF_INCR = """
+master:
+  - name: mst_unit
+    collection: Unit
+    fields:
+      - name: guid
+        field: $Guid
+        type: text
+      - name: name
+        field: $Name
+        type: text
+      - name: alterid
+        field: $AlterId
+        type: number
+transaction: []
+"""
+
+
+def _dump_incr(tmp_path, rows):
+    body = "\r\n".join(
+        f"  <F01>{g}</F01><F02>{n}</F02><F03>{a}</F03>" for g, n, a in rows)
+    d = tmp_path / "dump_incr"
+    d.mkdir(exist_ok=True)
+    (d / "mst_unit.xml").write_text(
+        f"<ENVELOPE>\r\n{body}\r\n</ENVELOPE>", encoding="utf-8")
+    return str(d)
+
+
+def test_cli_incremental_sync_from_dump(spark, tmp_path):
+    """tally.sync: incremental over an XML dump drives the E-protocol:
+    first run bootstraps full, a mutated dump applies deletes/modifies/
+    inserts via scoped commits, and an unchanged dump is a no-op tick
+    (the store version history shows no extra commit churn)."""
+    dumpdir = _dump_incr(tmp_path, [("u-1", "Nos", "1"), ("u-2", "Kg", "2")])
+    defpath = tmp_path / "spec.yaml"
+    defpath.write_text(_DEF_INCR, encoding="utf-8")
+    cfgpath = tmp_path / "config.json"
+    store_path = tmp_path / "incstore"
+    cfgpath.write_text(json.dumps({
+        "database": {"technology": "parquet", "loadpath": str(store_path),
+                     "logpath": str(tmp_path / "log.txt")},
+        "tally": {"definition": str(defpath), "dumpdir": dumpdir,
+                  "sync": "incremental"},
+    }), encoding="utf-8")
+
+    counts = main(["--config", str(cfgpath)], spark=spark)   # bootstrap
+    assert counts == {"mst_unit": 2}
+
+    # mutate: delete u-1, modify u-2, insert u-3
+    _dump_incr(tmp_path, [("u-2", "Kilogram", "3"), ("u-3", "Box", "4")])
+    counts = main(["--config", str(cfgpath)], spark=spark)
+    assert counts == {"mst_unit": 2}
+    from tally_database_loader_spark.operators.incremental import ParquetStore
+    store = ParquetStore(str(store_path))
+    got = {r.guid: r.name for r in store.read(spark, "mst_unit").collect()}
+    assert got == {"u-2": "Kilogram", "u-3": "Box"}
+
+    # unchanged dump → the AlterId gate short-circuits (no new version)
+    hist_before = store.history("mst_unit")
+    main(["--config", str(cfgpath)], spark=spark)
+    assert store.history("mst_unit") == hist_before
+
+
 def test_gui_serve_posts_config_and_syncs(spark, setup, tmp_path):
     """GUI mode parity (reference run-gui.bat → server.mjs → fork
     index.mjs with the posted config): POST /sync overrides layer onto
