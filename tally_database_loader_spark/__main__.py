@@ -204,6 +204,11 @@ def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
     from .streaming.progress import SyncLogger
 
     args = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in args or "-h" in args:
+        print(__doc__)
+        print("usage: python -m tally_database_loader_spark "
+              "[--config config.json] [--gui] [--section-key value ...]")
+        return {}
     cfg_path = "config.json"
     if "--config" in args:
         i = args.index("--config")
