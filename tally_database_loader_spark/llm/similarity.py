@@ -126,7 +126,11 @@ def _fold_vec(kind: str):
             return pd.Series(_seq_fold(d * d))
         num = _seq_fold(A * B)
         den = np.sqrt(_seq_fold(A * A)) * np.sqrt(_seq_fold(B * B))
-        return pd.Series(num / den)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # zero-norm vectors: IEEE inf/nan, the same bits the
+            # relational double division produces — just without the
+            # executor-log RuntimeWarning spam
+            return pd.Series(num / den)
 
     return fold
 
