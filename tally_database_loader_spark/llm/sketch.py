@@ -163,3 +163,49 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
              .groupBy(col)
              .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                    .cast("long").alias("cms_count")))
+
+
+def _bloom_positions(col: str, m: int, k: int):
+    """The k salted bit positions of one value — one definition shared by
+    build and probe (same lockstep discipline as ``_cms_buckets``); NULLs
+    hash under the sentinel so they are representable."""
+    key = F.coalesce(F.col(col).cast("string"), F.lit("\x00<null>"))
+    return F.array(*[
+        F.pmod(hash_order(F.concat(F.lit(f"bf{i}:"), key)), F.lit(m))
+        for i in range(k)])
+
+
+def bloom_build(df: DataFrame, col: str, m: int = 1 << 15,
+                k: int = 4) -> DataFrame:
+    """Bloom filter of ``df[col]`` as a table of SET bit positions —
+    the bounded-shuffle membership summary completing the sketch family
+    (CMS = frequency, HLL = cardinality, Bloom = membership): at any
+    corpus size the build shuffles ≤ ``m`` rows (distinct positions),
+    where an exact membership index shuffles by distinct-value count.
+    Mergeable by unioning position tables (bit-OR ≡ distinct of the
+    union), associative, retry-proof; the salted md5 positions are
+    engine-replayable, so membership VERDICTS hash-match a SQL oracle.
+
+    The engine use-case beyond telemetry: semi-join reduction — probe a
+    100 TB fact side against a small dimension's Bloom table before the
+    shuffle; false positives only cost extra rows, never correctness
+    (no false negatives, asserted in tests)."""
+    if m < 2 or k < 1:
+        raise ValueError("need m >= 2 bits and k >= 1 hashes")
+    return (df.select(F.explode(_bloom_positions(col, m, k)).alias("pos"))
+              .distinct())
+
+
+def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,
+                   m: int = 1 << 15, k: int = 4) -> DataFrame:
+    """Membership probe against a ``bloom_build`` table (same m, k):
+    ``in_bloom = 1`` iff all k positions are set. The ≤ m-row position
+    table broadcasts; per-item work is k lookups. Never a false
+    negative; false-positive odds ≈ (bits_set/m)^k."""
+    e = (items.select(F.col(col),
+                      F.explode(_bloom_positions(col, m, k)).alias("pos")))
+    hits = (e.join(F.broadcast(bloom.withColumn("__set", F.lit(1))),
+                   "pos", "left")
+             .groupBy(col)
+             .agg(F.min(F.coalesce(F.col("__set"), F.lit(0))).alias("hit")))
+    return hits.select(col, F.col("hit").cast("int").alias("in_bloom"))

@@ -1589,6 +1589,71 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "cms_count"))
 
 
+def _dd_bloom(m: int = 4096, k: int = 4, topk: int = 30) -> str:
+    """DuckDB replay of the relational Bloom filter (llm/sketch.py
+    bloom_build/bloom_contains): same salted md5 bit positions, distinct
+    set-bit table, all-k-hit membership verdicts."""
+    def pos(i: int, tok: str) -> str:
+        return _dd_hex15(f"substr(md5('bf{i}:' || {tok}), 1, 15)") + f" % {m}"
+    plist = ", ".join(pos(i, "tok") for i in range(k))
+    return f"""
+btok AS (SELECT unnest({_DD_TOKENS}) AS tok FROM documents
+         WHERE doc_id % 2 = 0),
+bfset AS (SELECT DISTINCT unnest([{plist}]) AS pos FROM btok),
+bfall AS (SELECT unnest({_DD_TOKENS}) AS tok FROM documents),
+bfcand AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM bfall GROUP BY 1
+                   ORDER BY c DESC, tok LIMIT {topk})
+  UNION ALL
+  SELECT '\x01absent-' || CAST(r AS VARCHAR) FROM range(10) t(r)),
+bfprobe AS (SELECT tok, unnest([{plist}]) AS pos FROM bfcand),
+bfhit AS (
+  SELECT p.tok,
+         CAST(MIN(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS in_bloom
+  FROM bfprobe p LEFT JOIN bfset s ON s.pos = p.pos
+  GROUP BY 1),
+bfex AS (SELECT DISTINCT tok FROM btok)
+SELECT h.tok, h.in_bloom,
+       CAST(CASE WHEN e.tok IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_in
+FROM bfhit h LEFT JOIN bfex e ON e.tok = h.tok"""
+
+
+@gate_query("bloom_membership", oracle=f"WITH {_dd_bloom()}")
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter (llm/sketch.py bloom_build/bloom_contains,
+    m=4096 bits × k=4 hashes) — the bounded-shuffle MEMBERSHIP summary
+    completing the sketch family (CMS = frequency, HLL = cardinality):
+    the build shuffles ≤ m distinct set-bit rows at any corpus size. The
+    filter is built over even-doc tokens only and probed with the
+    corpus-wide top-30 tokens plus 10 synthetic absent keys, so the gate
+    exercises true members, true negatives and the false-positive zone;
+    the exact membership bit rides alongside. Never a false negative
+    (in_bloom ≥ exact_in, asserted in tests); the engine use-case is
+    Bloom semi-join reduction before a 100 TB shuffle."""
+    from ..llm.lm import _tokens
+    from ..llm.sketch import bloom_build, bloom_contains
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    even = (d.filter(F.col("doc_id") % 2 == 0)
+             .select(F.explode(_tokens(F.col("text"))).alias("tok")))
+    bloom = bloom_build(even, "tok", m=4096, k=4)
+    alltok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    cand = (alltok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                  .orderBy(F.col("c").desc(), F.col("tok")).limit(30)
+                  .select("tok")
+                  .unionByName(
+                      spark.range(10).select(
+                          F.concat(F.lit("\x01absent-"),
+                                   F.col("id").cast("string")).alias("tok"))))
+    verdicts = bloom_contains(bloom, cand, "tok", m=4096, k=4)
+    exact = even.distinct().withColumn("__in", F.lit(1))
+    return (verdicts.join(exact, "tok", "left")
+                    .select("tok", "in_bloom",
+                            F.coalesce(F.col("__in"), F.lit(0))
+                             .cast("int").alias("exact_in")))
+
+
 def _dd_hll(b: int = 10) -> str:
     """DuckDB replay of the relational HyperLogLog (llm/sketch.py):
     same md5-fold hash, same integer comparison-fold rho, same integer
@@ -1664,17 +1729,22 @@ UNION ALL
 SELECT 'weighted_sample', CAST(doc_id AS VARCHAR), priority_q,
        CAST(weight AS BIGINT), CAST(NULL AS BIGINT)
 FROM ({_dd_weighted_sample()})
+UNION ALL
+SELECT 'bloom', tok, CAST(in_bloom AS BIGINT), CAST(exact_in AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM (WITH {_dd_bloom()})
 """)
 def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three bounded-state sampling/sketch families in ONE driver
+    """The four bounded-state sampling/sketch families in ONE driver
     slot, unioned with a family tag: count-min frequency estimates
     beside exact counts (d=4 × w=4096 — shuffles ≤ d·w rows at any
     corpus size), the relational HyperLogLog distinct estimate (b=10 →
     2^10 registers, exact-integer fixed-point ln in the linear-counting
-    branch), and Efraimidis–Spirakis weighted sampling (keyed-hash
-    randomness, exact-integer ln priorities). Every metric — including
-    the HLL ESTIMATE itself — hash-matches the DuckDB replay. The
-    standalone gates stay registered."""
+    branch), Efraimidis–Spirakis weighted sampling (keyed-hash
+    randomness, exact-integer ln priorities), and Bloom-filter
+    membership verdicts beside exact membership (m=4096 × k=4). Every
+    metric — including the HLL ESTIMATE itself — hash-matches the
+    DuckDB replay. The standalone gates stay registered."""
     nl = F.lit(None).cast("long")
     cms = cms_token_counts(spark, sf_dir).select(
         F.lit("cms").alias("family"), F.col("tok").alias("key"),
@@ -1691,7 +1761,12 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority_q").alias("metric_a"),
         F.col("weight").cast("long").alias("metric_b"),
         nl.alias("metric_c"))
-    return cms.unionByName(hll).unionByName(ws)
+    bf = bloom_membership(spark, sf_dir).select(
+        F.lit("bloom").alias("family"), F.col("tok").alias("key"),
+        F.col("in_bloom").cast("long").alias("metric_a"),
+        F.col("exact_in").cast("long").alias("metric_b"),
+        nl.alias("metric_c"))
+    return cms.unionByName(hll).unionByName(ws).unionByName(bf)
 
 
 @gate_query("curation_pipeline", oracle=f"""

@@ -243,6 +243,40 @@ def test_hll_distinct_accuracy_and_determinism(spark):
         (r["s"], r["v_zero"], r["estimate"])
 
 
+def test_bloom_no_false_negatives_merge_and_fp(spark):
+    """Bloom invariants: every inserted value probes positive (never a
+    false negative); union of two slices' position tables == the filter
+    of the union (bit-OR merge); absent keys mostly probe negative at
+    this fill factor; a rebuilt filter is identical (deterministic)."""
+    from tally_database_loader_spark.llm.sketch import (bloom_build,
+                                                        bloom_contains)
+    vals = [(f"v{i}",) for i in range(300)]
+    df = spark.createDataFrame(vals, "v string")
+    bloom = bloom_build(df, "v", m=4096, k=4)
+    inserted = bloom_contains(bloom, df.distinct(), "v", m=4096, k=4)
+    assert all(r.in_bloom == 1 for r in inserted.collect())
+    # merge: slice filters union to the whole filter
+    a = bloom_build(df.filter("v < 'v2'"), "v", m=4096, k=4)
+    b = bloom_build(df.filter("v >= 'v2'"), "v", m=4096, k=4)
+    merged = sorted(r.pos for r in a.unionByName(b).distinct().collect())
+    whole = sorted(r.pos for r in bloom.collect())
+    assert merged == whole
+    # determinism
+    again = sorted(r.pos for r in bloom_build(df, "v", m=4096, k=4).collect())
+    assert again == whole
+    # absent keys: mostly negative (fill ≈ 300·4/4096 → fp ≈ (0.25)^4)
+    absent = spark.createDataFrame([(f"absent{i}",) for i in range(200)],
+                                   "v string")
+    fp = sum(r.in_bloom for r in
+             bloom_contains(bloom, absent, "v", m=4096, k=4).collect())
+    assert fp <= 10, f"false-positive rate implausibly high: {fp}/200"
+    # degenerate parameters rejected
+    import pytest as _pytest
+    from tally_database_loader_spark.llm.sketch import bloom_build as bb
+    with _pytest.raises(ValueError):
+        bb(df, "v", m=1, k=0)
+
+
 def test_cms_never_undercounts_and_merges(spark):
     import pyspark.sql.functions as F
     from tally_database_loader_spark.llm.sketch import cms_build, cms_estimate
