@@ -277,6 +277,30 @@ def test_bloom_no_false_negatives_merge_and_fp(spark):
         bb(df, "v", m=1, k=0)
 
 
+def test_bloom_semi_reduce_superset_and_mapside(spark):
+    """bloom_semi_reduce keeps every true match (superset of the exact
+    semi-join), drops most non-matches, and stays map-side on the fact
+    table — its physical plan has no exchange/join on the fact path."""
+    from tally_database_loader_spark.llm.sketch import bloom_semi_reduce
+    fact = spark.range(5000).selectExpr("concat('k', id % 1000) AS key",
+                                        "id AS payload")
+    dim = spark.range(50).selectExpr("concat('k', id) AS key")
+    reduced = bloom_semi_reduce(fact, dim, "key", m=1 << 14, k=4)
+    exact = fact.join(dim, "key", "left_semi")
+    exact_rows = {(r.key, r.payload) for r in exact.collect()}
+    got = {(r.key, r.payload) for r in reduced.collect()}
+    assert exact_rows <= got                       # no false negatives
+    assert len(got) <= len(exact_rows) * 3         # most non-matches gone
+    # precise result = exact join over the survivors
+    refined = {(r.key, r.payload)
+               for r in reduced.join(dim, "key", "left_semi").collect()}
+    assert refined == exact_rows
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "SortMergeJoin" not in plan \
+        and "BroadcastHashJoin" not in plan, \
+        "fact path must stay map-side"
+
+
 def test_cms_never_undercounts_and_merges(spark):
     import pyspark.sql.functions as F
     from tally_database_loader_spark.llm.sketch import cms_build, cms_estimate
