@@ -95,6 +95,7 @@ HEADLINE = [
     # driver CORRECTNESS rows)
     "sketch_suite",
     "multimodal_suite",
+    "bloom_membership",
 ]
 
 
