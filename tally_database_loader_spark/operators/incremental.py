@@ -110,12 +110,23 @@ class ParquetStore:
             m = json.load(fh)
         return {int(b): files for b, files in m["buckets"].items()}
 
+    def _manifest_schema(self, table: str, v: int):
+        import json
+        with open(self._manifest_path(table, v)) as fh:
+            return json.load(fh).get("schema")
+
     def _write_manifest(self, table: str, v: int,
-                        buckets: dict[int, list[str]]) -> None:
+                        buckets: dict[int, list[str]],
+                        schema_json: str | None = None) -> None:
         import json
         os.makedirs(self._vdir(table, v), exist_ok=True)
         body = {"version": v,
                 "buckets": {str(b): sorted(f) for b, f in buckets.items() if f}}
+        if schema_json is not None:
+            # recorded so a committed-EMPTY snapshot (e.g. a sync that
+            # deleted every row) still reads back with its schema — files
+            # can't carry it when there are none
+            body["schema"] = json.loads(schema_json)
         tmp = self._manifest_path(table, v) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(body, fh, indent=1, sort_keys=True)
@@ -158,6 +169,10 @@ class ParquetStore:
                  for rels in self._read_manifest(table, version).values()
                  for rel in rels]
         if not files:  # a committed-empty snapshot
+            sj = self._manifest_schema(table, version)
+            if sj is not None:
+                from pyspark.sql import types as T
+                return spark.createDataFrame([], T.StructType.fromJson(sj))
             return spark.read.parquet(self._vdir(table, version))
         df = spark.read.parquet(*files)
         return df.drop(self._BUCKET) if self._BUCKET in df.columns else df
@@ -198,7 +213,8 @@ class ParquetStore:
         (df.withColumn(self._BUCKET, self._bucket_col(key))
            .write.mode("overwrite").partitionBy(self._BUCKET)
            .parquet(self._vdir(table, nxt)))
-        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt))
+        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt),
+                             schema_json=df.schema.json())
 
     def write_scoped(self, df: DataFrame, table: str,
                      touched_keys: DataFrame) -> int:
@@ -230,7 +246,8 @@ class ParquetStore:
         for b in touched:
             # a touched bucket with no surviving rows commits as empty
             buckets[b] = fresh.get(b, [])
-        self._write_manifest(table, nxt, buckets)
+        self._write_manifest(table, nxt, buckets,
+                             schema_json=df.schema.json())
         return len(touched)
 
     def compact(self, spark: SparkSession, table: str,
@@ -251,7 +268,8 @@ class ParquetStore:
             out = out.sortWithinPartitions(sort_col)
         (out.write.mode("overwrite").partitionBy(self._BUCKET)
             .parquet(self._vdir(table, nxt)))
-        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt))
+        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt),
+                             schema_json=df.schema.json())
         return nxt
 
     def tables(self) -> list[str]:

@@ -190,6 +190,25 @@ def test_compact_restores_one_file_per_bucket(spark, tmp_path):
             for r in store.read(spark, "t", version=v - 1).collect()} == before
 
 
+def test_delete_all_rows_reads_back_empty_with_schema(spark, tmp_path):
+    """MERGE semantics include delete-everything: a scoped commit whose
+    merged frame is empty yields a committed-empty snapshot that reads
+    back as zero rows WITH the table schema (recorded in the manifest —
+    no files exist to carry it), and the pre-delete version stays
+    time-travelable."""
+    store = ParquetStore(str(tmp_path / "da"), n_buckets=4)
+    df = spark.range(30).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+    store.write(df, "t")
+    empty = df.filter("1 = 0")
+    store.write_scoped(empty, "t", df.select("guid"))
+    got = store.read(spark, "t")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["guid", "val"]
+    assert store.read(spark, "t", version=1).count() == 30
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot reads: any historical version stays readable after scoped
     commits (manifests reference older versions' files), and vacuum is
