@@ -15,6 +15,14 @@ Two paths:
 All arithmetic is double-precision and sequential (zip_with → aggregate
 left fold), which a SQL oracle reproduces bit-for-bit — see
 plans/llm_gate.py.
+
+Execution note (round 3): Spark evaluates higher-order functions as
+CodegenFallback, so every fold/argmin here carries an Arrow-vectorized
+numpy twin producing the IDENTICAL bits (sequential dimension-at-a-time
+accumulation for floats; exact int64 matrix math for the k-means/PQ/int8
+paths), dispatched via ``VECTORIZED_FOLD`` / ``VECTORIZED_ASSIGN``. The
+relational forms remain the semantic reference the oracles replay and
+the fallback; bitwise equality of both paths is test-asserted.
 """
 
 from __future__ import annotations

@@ -1,5 +1,6 @@
-"""Relational cardinality sketches — HyperLogLog built from DataFrame
-primitives, deterministically.
+"""Relational bounded-state sketches, deterministically, from DataFrame
+primitives: HyperLogLog (cardinality), count-min (frequency), Bloom
+(membership + the map-side semi-join reducer ``bloom_semi_reduce``).
 
 At 100 TB, corpus telemetry (distinct tokens / URLs / fingerprints per
 slice) cannot afford exact ``count(DISTINCT x)`` — the shuffle is sized
