@@ -64,7 +64,7 @@ _WINDOW = [
     # multimodal plumbing (decode ∪ resize ∪ frame-sample in one slot) +
     # similarity search (7 strategies in one slot, incl. PQ-ADC and
     # cluster-balanced selection) + bounded-state sketches (CMS ∪ HLL ∪
-    # weighted sampling in one slot)
+    # weighted sampling ∪ Bloom membership in one slot)
     "multimodal_suite", "similarity_topk_suite", "sketch_suite",
     # corpus curation / retrieval / packing / model-based scoring
     # (suites carry several families per slot: lm_score_suite = unigram ∪
