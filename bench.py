@@ -41,9 +41,11 @@ HEADLINE = [
     # (whole-stage-codegen compilation of the normalize/md5 projection) and
     # every subsequent run 0.15-0.25s. Which round pays the compile depends
     # on whether an earlier headline query already compiled the same
-    # generated class — r1's ordering did, r2's didn't. Single-shot timing
-    # is kept (methodology comparable across rounds); steady-state numbers:
-    # [1.822, 0.243, 0.231, 0.208] isolated, [0.220, 0.161, 0.145] warm.
+    # generated class — r1's ordering did, r2's didn't. That ordering
+    # lottery is why main() switched to steady-state timing (one untimed
+    # warm execution per query, see below) from round 3 on; measured
+    # numbers: [1.822, 0.243, 0.231, 0.208] isolated, [0.220, 0.161,
+    # 0.145] warm.
     "dedup_exact",
     "minhash_lsh_dedup",
     "simhash_dedup",

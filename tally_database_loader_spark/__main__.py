@@ -66,8 +66,17 @@ def _extract(spark: SparkSession, cfg, specs) -> dict[str, DataFrame]:
     return frames
 
 
+class SyncAborted(RuntimeError):
+    """Raised between tables when a cooperative abort was requested."""
+
+
+def _check_abort(aborted) -> None:
+    if aborted is not None and aborted():
+        raise SyncAborted("sync aborted")
+
+
 def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
-          log) -> dict[str, int]:
+          log, aborted=None) -> dict[str, int]:
     from .sinks import writers
     db = cfg["database"]
     tech = db["technology"]
@@ -77,6 +86,7 @@ def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
         from .operators.incremental import ParquetStore
         store = ParquetStore(loadpath)
         for name, df in frames.items():
+            _check_abort(aborted)
             t0 = time.perf_counter()
             store.write(df, name)
             counts[name] = store.read(spark, name).count()
@@ -86,6 +96,7 @@ def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
         os.makedirs(loadpath, exist_ok=True)
         write = writers.write_csv if tech == "csv" else writers.write_json
         for name, df in frames.items():
+            _check_abort(aborted)
             t0 = time.perf_counter()
             write(df, os.path.join(loadpath, f"{name}.{tech}"),
                   single_file=True)
@@ -96,6 +107,7 @@ def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
         url = _jdbc_url(tech, db)
         creds = {"user": str(db["username"]), "password": str(db["password"])}
         for name, df in frames.items():
+            _check_abort(aborted)
             t0 = time.perf_counter()
             writers.write_jdbc(df, url, f"{db['schema']}.{name}",
                                technology=tech, properties=creds)
@@ -114,15 +126,19 @@ def _jdbc_url(tech: str, db) -> str:
     return f"jdbc:{scheme}://{host}:{port}/{db['schema']}"
 
 
-def run_import(spark: SparkSession, cfg, log) -> dict[str, int]:
+def run_import(spark: SparkSession, cfg, log,
+               aborted=None) -> dict[str, int]:
     """One sync: extract every configured table, load into the sink.
 
     ``tally.sync: full`` = truncate-and-load (B9, the reference default).
     ``tally.sync: incremental`` (parquet sink only) runs the E-protocol
     over the extracted frames — anti-join deletes, version-mismatch
-    modifies, scoped upsert commits, cascades — and bootstraps with a
-    full load when the store has no synced tables yet, exactly the
-    reference's first-run behavior."""
+    modifies, scoped upsert commits, cascades. Any table missing from
+    the store (the very first run, or one newly added to the
+    definition) bootstraps with a full load first — the reference's
+    first-run behavior, applied per table so a definition edit can
+    never be silently skipped. ``aborted`` is the cooperative-stop
+    predicate (checked between tables)."""
     specs = _load_specs(cfg)
     frames = _extract(spark, cfg, specs)
     db = cfg["database"]
@@ -134,20 +150,26 @@ def run_import(spark: SparkSession, cfg, log) -> dict[str, int]:
         store = ParquetStore(str(db.get("loadpath", "") or "output"))
         eng = IncrementalSync(spark, store, specs)
         t0 = _t.perf_counter()
-        if not any(store.exists(t) for t in frames):
-            counts = {}
-            for name, df in frames.items():
+        # diff/merge over the already-synced tables FIRST — bootstrapping
+        # a new table would advance the sink AlterId watermark and mask
+        # the pending changes of the old ones — then full-load any table
+        # missing from the store (first run, or newly added to the
+        # definition; silently skipping it would lose the table forever)
+        existing = {t: df for t, df in frames.items() if store.exists(t)}
+        if existing:
+            _check_abort(aborted)
+            eng.incremental_sync_frames(existing)
+        for name, df in frames.items():
+            if not store.exists(name):
+                _check_abort(aborted)
                 store.write(df, name)
-                counts[name] = store.read(spark, name).count()
-        else:
-            eng.incremental_sync_frames(dict(frames))
-            counts = {t: store.read(spark, t).count() for t in frames
-                      if store.exists(t)}
+        counts = {t: store.read(spark, t).count() for t in frames
+                  if store.exists(t)}
         dt = _t.perf_counter() - t0
         for name in sorted(counts):
             log.log_table(name, counts[name], dt / max(len(counts), 1))
         return counts
-    return _load(spark, cfg, frames, log)
+    return _load(spark, cfg, frames, log, aborted=aborted)
 
 
 def serve(cfg_path: str, *, spark: SparkSession,
@@ -182,7 +204,13 @@ def serve(cfg_path: str, *, spark: SparkSession,
 
         log = _FeedLogger(str(cfg["database"].get("logpath", "")
                               or "import-log.txt"))
-        counts = run_import(spark, cfg, log)
+        try:
+            counts = run_import(spark, cfg, log, aborted=aborted)
+        except SyncAborted:
+            msg = "Import aborted"
+            log.log_message(msg, now=datetime.datetime.now())
+            emit(msg)
+            return
         msg = f"Import completed successfully ({sum(counts.values())} rows)"
         log.log_message(msg, now=datetime.datetime.now())
         emit(msg)
@@ -212,6 +240,9 @@ def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
     cfg_path = "config.json"
     if "--config" in args:
         i = args.index("--config")
+        if i + 1 >= len(args):
+            raise SystemExit("--config requires a path argument "
+                             "(usage: --config config.json)")
         cfg_path = args[i + 1]
         del args[i:i + 2]
     if "--gui" in args:

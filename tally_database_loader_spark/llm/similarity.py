@@ -92,7 +92,12 @@ def _fold_vec(kind: str):
     """Build the pandas_udf for a float fold family (``dot`` /
     ``cosine`` / ``l2``). Null vectors degrade to a per-row Python-float
     fold (Python float IS IEEE double, so results match); the fast path
-    stacks the batch and folds dimension-at-a-time."""
+    stacks the batch and folds dimension-at-a-time.
+
+    Contract (same as the whole embeddings surface): vectors are
+    fixed-dimension with non-null ELEMENTS — a null row is handled, but
+    a null element or ragged lengths raise in np.stack rather than
+    silently diverging from the relational form's NULL propagation."""
 
     def _rowwise(x, y):
         if x is None or y is None:
@@ -117,7 +122,11 @@ def _fold_vec(kind: str):
             na += xf * xf
             nb += yf * yf
         import math
-        return num / (math.sqrt(na) * math.sqrt(nb))
+        den = math.sqrt(na) * math.sqrt(nb)
+        if den == 0.0:  # IEEE x/0.0 like the JVM/numpy, not Python's raise
+            return float("nan") if num == 0.0 else math.copysign(
+                float("inf"), num)
+        return num / den
 
     @F.pandas_udf("double")
     def fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -522,7 +531,9 @@ def _argmin_cell_vec(u: Column, cents: list[list[int]]) -> Column:
     (corpus × k × dim integer ops per pass); vectorized it runs at
     numpy/BLAS speed instead of interpreted-expression speed, ~100×
     (FAISS makes the same choice: quantizer assignment is vectorized
-    native code)."""
+    native code). Contract: non-null fixed-dim vectors with non-null
+    elements (the ``kmeans_cells`` id/vector requirement); corrupt rows
+    raise rather than silently diverge."""
     cb = np.asarray(cents, dtype=np.int64)          # k × d
     cb2 = (cb * cb).sum(axis=1)                     # k
 

@@ -65,23 +65,35 @@ class ParquetStore:
 
     _BUCKET = "__bucket"
     _MANIFEST = "_manifest.json"
+    _VACUUMED = "_vacuumed"
 
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
         self.n_buckets = n_buckets
 
     def _versions(self, table: str) -> list[int]:
-        """Live versions = those with a commit manifest. Directories that
-        merely hold carried-forward data files for newer versions (e.g.
-        after a vacuum) are not themselves readable snapshots."""
+        """Live versions: those with a commit manifest, plus LEGACY
+        bucket-layout directories from the pre-manifest release (no
+        manifest, no ``_vacuumed`` tombstone — readable via the directory
+        fallback in ``_read_manifest``, so an old store keeps working and
+        migrates on its next commit). Directories that merely hold
+        carried-forward data files for newer versions (tombstoned by
+        vacuum) are not themselves readable snapshots."""
         d = os.path.join(self.root, table)
         if not os.path.isdir(d):
             return []
         out = []
         for v in os.listdir(d):
-            if v.startswith("v") and v[1:].isdigit() \
-                    and os.path.isfile(os.path.join(d, v, self._MANIFEST)):
+            if not (v.startswith("v") and v[1:].isdigit()):
+                continue
+            vdir = os.path.join(d, v)
+            if os.path.isfile(os.path.join(vdir, self._MANIFEST)):
                 out.append(int(v[1:]))
+            elif not os.path.isfile(os.path.join(vdir, self._VACUUMED)) \
+                    and os.path.isdir(vdir) \
+                    and any(e.startswith(f"{self._BUCKET}=")
+                            for e in os.listdir(vdir)):
+                out.append(int(v[1:]))  # legacy pre-manifest snapshot
         return sorted(out)
 
     def _vdir(self, table: str, v: int) -> str:
@@ -104,9 +116,15 @@ class ParquetStore:
         return os.path.join(self._vdir(table, v), self._MANIFEST)
 
     def _read_manifest(self, table: str, v: int) -> dict[int, list[str]]:
-        """bucket → data-file paths relative to the table root."""
+        """bucket → data-file paths relative to the table root. A LEGACY
+        version directory (written before manifests existed) has no
+        manifest file — its layout IS the manifest, so fall back to the
+        directory scan; the next commit on top of it records a real one."""
         import json
-        with open(self._manifest_path(table, v)) as fh:
+        p = self._manifest_path(table, v)
+        if not os.path.isfile(p):
+            return self._scan_bucket_files(table, v)
+        with open(p) as fh:
             m = json.load(fh)
         return {int(b): files for b, files in m["buckets"].items()}
 
@@ -184,7 +202,13 @@ class ParquetStore:
         """Drop all but the newest ``keep_last`` versions. Manifests make
         this reference-counted: a data file listed by any surviving
         manifest is kept even when it physically lives in a dropped
-        version's directory; everything unreferenced is reclaimed."""
+        version's directory; everything unreferenced is reclaimed —
+        including files orphaned in directories whose snapshot was
+        de-listed by an EARLIER vacuum pass (the sweep walks every
+        version directory, not just the ones dropped now, so repeated
+        sync+vacuum cycles cannot leak). De-listed directories that
+        still hold carried-forward files get a ``_vacuumed`` tombstone so
+        they are never mistaken for legacy snapshots."""
         vs = self._versions(table)
         keep = vs[len(vs) - keep_last:] if keep_last > 0 else []
         dropped = [v for v in vs if v not in keep]
@@ -192,16 +216,34 @@ class ParquetStore:
         referenced = {rel for v in keep
                       for rels in self._read_manifest(table, v).values()
                       for rel in rels}
+        keep_meta = {os.path.join(f"v{v}", self._MANIFEST) for v in keep}
         for v in dropped:
-            vdir = self._vdir(table, v)
-            os.remove(self._manifest_path(table, v))  # de-list the snapshot
+            mp = self._manifest_path(table, v)
+            if os.path.isfile(mp):
+                os.remove(mp)  # de-list the snapshot
+            with open(os.path.join(self._vdir(table, v), self._VACUUMED),
+                      "w") as fh:
+                fh.write("")  # tombstone: not a legacy snapshot
+        for entry in sorted(os.listdir(troot)):
+            if not (entry.startswith("v") and entry[1:].isdigit()) \
+                    or int(entry[1:]) in keep:
+                continue
+            vdir = os.path.join(troot, entry)
             for dirpath, _dirs, files in os.walk(vdir, topdown=False):
                 for fn in files:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, troot)
-                    if rel not in referenced:
-                        os.remove(full)
-                if not os.listdir(dirpath):
+                    if rel in referenced or rel in keep_meta \
+                            or fn == self._VACUUMED:
+                        continue
+                    os.remove(full)
+                remaining = os.listdir(dirpath)
+                if not remaining:
+                    os.rmdir(dirpath)
+                elif remaining == [self._VACUUMED] and dirpath == vdir:
+                    # nothing carried forward survives here — drop the
+                    # tombstoned shell entirely
+                    os.remove(os.path.join(dirpath, self._VACUUMED))
                     os.rmdir(dirpath)
         return dropped
 

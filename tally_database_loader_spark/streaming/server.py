@@ -225,12 +225,16 @@ class SyncServer:
                     self._reply(srv._start_sync(config), "text/plain")
                 elif self.path == "/abort":
                     self._reply(srv._request_abort(), "text/plain")
-                elif self.path == "/list-company":
-                    config = json.loads(body) if body else {}
-                    self._reply(srv._list_company(config), "text/xml")
-                elif self.path == "/tally-status":
-                    config = json.loads(body) if body else {}
-                    self._reply(srv._tally_status(config), "text/plain")
+                elif self.path in ("/list-company", "/tally-status"):
+                    try:
+                        config = json.loads(body) if body else {}
+                    except json.JSONDecodeError:
+                        self._reply("invalid config JSON", "text/plain", 400)
+                        return
+                    if self.path == "/list-company":
+                        self._reply(srv._list_company(config), "text/xml")
+                    else:
+                        self._reply(srv._tally_status(config), "text/plain")
                 else:
                     self._reply("not found", "text/plain", 404)
 

@@ -156,6 +156,69 @@ def test_cli_incremental_sync_from_dump(spark, tmp_path):
     assert store.history("mst_unit") == hist_before
 
 
+def test_cli_incremental_bootstraps_new_table_without_masking_changes(
+        spark, tmp_path):
+    """A table added to the definition AFTER the first sync must load —
+    and its bootstrap must not advance the sink AlterId watermark before
+    the old tables' pending changes are applied (the diff/merge runs
+    over the existing tables FIRST)."""
+    dumpdir = _dump_incr(tmp_path, [("u-1", "Nos", "1")])
+    defpath = tmp_path / "spec.yaml"
+    defpath.write_text(_DEF_INCR, encoding="utf-8")
+    cfgpath = tmp_path / "config.json"
+    store_path = tmp_path / "nbstore"
+    cfgpath.write_text(json.dumps({
+        "database": {"technology": "parquet", "loadpath": str(store_path),
+                     "logpath": str(tmp_path / "log.txt")},
+        "tally": {"definition": str(defpath), "dumpdir": dumpdir,
+                  "sync": "incremental"},
+    }), encoding="utf-8")
+    assert main(["--config", str(cfgpath)], spark=spark) == {"mst_unit": 1}
+
+    # add a second table to the definition AND mutate the first; the new
+    # table carries a HIGHER alterid than the pending mst_unit change
+    defpath.write_text(_DEF_INCR.replace(
+        "transaction: []",
+        """  - name: mst_category
+    collection: Category
+    fields:
+      - name: guid
+        field: $Guid
+        type: text
+      - name: name
+        field: $Name
+        type: text
+      - name: alterid
+        field: $AlterId
+        type: number
+transaction: []"""), encoding="utf-8")
+    _dump_incr(tmp_path, [("u-1", "Numbers", "2")])
+    d = tmp_path / "dump_incr"
+    (d / "mst_category.xml").write_text(
+        "<ENVELOPE>\r\n  <F01>c-1</F01><F02>Primary</F02><F03>9</F03>"
+        "\r\n</ENVELOPE>", encoding="utf-8")
+    counts = main(["--config", str(cfgpath)], spark=spark)
+    assert counts == {"mst_unit": 1, "mst_category": 1}
+    from tally_database_loader_spark.operators.incremental import ParquetStore
+    store = ParquetStore(str(store_path))
+    assert [r.name for r in store.read(spark, "mst_unit").collect()] \
+        == ["Numbers"]  # the pending modify was NOT masked by the bootstrap
+    assert store.read(spark, "mst_category").count() == 1
+
+
+def test_run_import_cooperative_abort(spark, setup):
+    """run_import checks the abort predicate between tables and raises
+    SyncAborted — the consumer the GUI server's /abort wires in."""
+    from tally_database_loader_spark.__main__ import SyncAborted, run_import
+    from tally_database_loader_spark.config import load_config
+    from tally_database_loader_spark.streaming.progress import SyncLogger
+    tmp_path, cfgpath = setup
+    cfg = load_config(cfgpath.read_text(encoding="utf-8"), [])
+    log = SyncLogger(str(tmp_path / "abort-log.txt"))
+    with pytest.raises(SyncAborted):
+        run_import(spark, cfg, log, aborted=lambda: True)
+
+
 def test_gui_serve_posts_config_and_syncs(spark, setup, tmp_path):
     """GUI mode parity (reference run-gui.bat → server.mjs → fork
     index.mjs with the posted config): POST /sync overrides layer onto

@@ -190,6 +190,58 @@ def test_compact_restores_one_file_per_bucket(spark, tmp_path):
             for r in store.read(spark, "t", version=v - 1).collect()} == before
 
 
+def test_vacuum_reclaims_cross_pass_orphans(spark, tmp_path):
+    """Files carried forward past one vacuum must still be reclaimed by a
+    LATER vacuum once nothing references them: v2 references v1's
+    untouched buckets; vacuum #1 drops v1 (files survive, referenced);
+    v3 is a full rewrite; vacuum #2 drops v2 — and must also sweep the
+    v1 orphans even though v1 was de-listed in the earlier pass."""
+    import os
+    store = ParquetStore(str(tmp_path / "xp"), n_buckets=4)
+    df = spark.range(60).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+    store.write(df, "t")                                   # v1
+    store.write_scoped(df, "t",
+                       spark.createDataFrame([("g-1",)], "guid string"))  # v2
+    assert store.vacuum("t") == [1]
+    v1_dir = store._vdir("t", 1)
+    assert os.path.isdir(v1_dir)  # still holds v2's carried-forward files
+    store.write(df, "t")                                   # v3, fresh files
+    assert store.vacuum("t") == [2]
+    # the v1 orphans (and the emptied v2 shell) are gone
+    assert not os.path.isdir(v1_dir), "cross-pass orphan files leaked"
+    assert not os.path.isdir(store._vdir("t", 2))
+    assert {r.guid for r in store.read(spark, "t").collect()} \
+        == {f"g-{i}" for i in range(60)}
+
+
+def test_legacy_store_without_manifests_migrates(spark, tmp_path):
+    """A store written by the pre-manifest release (bucket dirs, no
+    _manifest.json) stays readable, accepts a scoped commit on top (the
+    directory scan stands in for the missing manifest and the new
+    version records a real one), and never clobbers the legacy data."""
+    import os
+    store = ParquetStore(str(tmp_path / "lg"), n_buckets=4)
+    df = spark.range(40).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+    store.write(df, "t")
+    os.remove(store._manifest_path("t", 1))  # simulate the old layout
+    assert store.history("t") == [1]         # legacy dir counts as live
+    assert store.read(spark, "t").count() == 40
+    upd = df.withColumn("val", F.when(F.col("guid") == "g-3", -3)
+                               .otherwise(F.col("val")))
+    store.write_scoped(upd, "t", spark.createDataFrame([("g-3",)],
+                                                       "guid string"))
+    got = {r.guid: r.val for r in store.read(spark, "t").collect()}
+    assert got["g-3"] == -3 and len(got) == 40
+    # v2's manifest references the legacy files it carried forward
+    refs = {rel for rels in store._read_manifest("t", 2).values()
+            for rel in rels}
+    assert any(rel.startswith("v1/") for rel in refs)
+
+
 def test_delete_all_rows_reads_back_empty_with_schema(spark, tmp_path):
     """MERGE semantics include delete-everything: a scoped commit whose
     merged frame is empty yields a committed-empty snapshot that reads
@@ -246,6 +298,8 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     if os.path.isdir(v1_dir):
         for dirpath, _dirs, files in os.walk(v1_dir):
             for fn in files:
+                if fn == "_vacuumed":  # de-list tombstone, not data
+                    continue
                 rel = os.path.relpath(os.path.join(dirpath, fn),
                                       os.path.join(str(tmp_path / "tt"), "t"))
                 assert rel in v2_refs, f"unreclaimed unreferenced file: {rel}"
