@@ -36,11 +36,24 @@ except ImportError:  # pragma: no cover - during bisection of this module
 # suites (sketch_suite, multimodal_suite), so every round-2 flagship —
 # PQ-ADC, cluster-balanced, HLL, CMS, weighted sampling, frame sampling —
 # now has a driver CORRECTNESS row.
+#
+# Round-4 curation (VERDICT r3 "Next round" #1): three more synthetic
+# variants yield to their real-report twins so the report library itself
+# is driver-verified — account_ledger → report_account_ledger (the same
+# F4 theta + F5 semi + F9 string_agg over the REAL 22-table model,
+# reference reports/mssql/account-ledger.sql:19-20), sales_daily →
+# report_daily_cash_movement (5-way star + F11 calendar spine + F2,
+# daily-cash-movement.sql:19-30), voucher_view_union →
+# report_accounting_voucher_view (F13 UNION ALL + F19 synthetic opening
+# rows, post-import-scripts/opening-transaction.sql:4-13). That makes 8
+# report_* rows in the driver window; the displaced queries remain
+# registered and oracle-replayed by tests/test_gate_queries.py.
 _WINDOW = [
     # §2.F relational report shapes
-    "pricing_summary", "sales_daily", "account_ledger",
+    "pricing_summary", "report_daily_cash_movement",
+    "report_account_ledger",
     "purchase_register", "workflow_dedup",
-    "voucher_view_union", "segment_pivot",
+    "report_accounting_voucher_view", "segment_pivot",
     # §2.E incremental-sync operators
     "version_probe", "delete_detect_antijoin", "modified_detect",
     "cascade_update_join", "cascade_delete_counts", "upsert_merge",

@@ -47,6 +47,11 @@ def test_driver_window_covers_all_families():
         # families the displaced synthetic variants covered
         "multimodal_suite", "sketch_suite", "report_stock_summary",
         "report_sales_register", "report_group_trees",
+        # round-4 curation: the real-report twins that displaced the last
+        # synthetic shape variants (F4/F5/F9 theta-semi-stringagg ledger,
+        # F11/F2 spine star, F13/F19 opening-row union) — 8 report_* rows
+        "report_account_ledger", "report_daily_cash_movement",
+        "report_accounting_voucher_view",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"
