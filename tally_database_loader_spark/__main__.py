@@ -296,5 +296,15 @@ def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
             spark.stop()
 
 
+def cli() -> int:
+    """``[project.scripts]`` entry. ``main`` returns the per-table row
+    counts for tests and ``python -m`` callers, but setuptools wraps the
+    script entry in ``sys.exit(...)`` — and ``sys.exit(<dict>)`` prints
+    the dict to stderr and exits 1, reporting every successful sync as a
+    shell failure. Swallow the counts, return a proper status code."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -38,6 +38,14 @@ from ..sources.registry import TableSpec
 from .flatten import extract_all
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this commit was staging for.
+
+    The losing commit leaves no trace (its staging directory is removed);
+    the caller re-reads the table and retries — the same contract as a
+    Delta/Iceberg commit conflict."""
+
+
 class ParquetStore:
     """Versioned, hash-bucketed parquet target: each commit lands in
     ``{table}/v{n+1}``, laid out as ``__bucket=K`` partitions on a stable
@@ -72,25 +80,30 @@ class ParquetStore:
         self.n_buckets = n_buckets
 
     def _versions(self, table: str) -> list[int]:
-        """Live versions: those with a commit manifest, plus LEGACY
-        bucket-layout directories from the pre-manifest release (no
-        manifest, no ``_vacuumed`` tombstone — readable via the directory
-        fallback in ``_read_manifest``, so an old store keeps working and
-        migrates on its next commit). Directories that merely hold
-        carried-forward data files for newer versions (tombstoned by
-        vacuum) are not themselves readable snapshots."""
+        """Live versions. The commit record is the manifest: a ``v{n}``
+        directory carrying ``_manifest.json`` is a snapshot. The LEGACY
+        fallback (bucket-layout directory, no manifest — the pre-manifest
+        release's layout) applies ONLY when the table has no manifest in
+        ANY version: once a single manifest exists, a manifest-less
+        directory can only be an aborted commit from the pre-staging
+        release or a vacuum-delisted shell, and treating it as the newest
+        snapshot would silently drop every carried-forward row (ADVICE
+        r3). Legacy stores keep working and migrate on their next commit;
+        aborted partials are invisible and reclaimed by ``vacuum``."""
         d = os.path.join(self.root, table)
         if not os.path.isdir(d):
             return []
+        entries = [v for v in os.listdir(d)
+                   if v.startswith("v") and v[1:].isdigit()
+                   and os.path.isdir(os.path.join(d, v))]
+        committed = [int(v[1:]) for v in entries
+                     if os.path.isfile(os.path.join(d, v, self._MANIFEST))]
+        if committed:
+            return sorted(committed)
         out = []
-        for v in os.listdir(d):
-            if not (v.startswith("v") and v[1:].isdigit()):
-                continue
+        for v in entries:
             vdir = os.path.join(d, v)
-            if os.path.isfile(os.path.join(vdir, self._MANIFEST)):
-                out.append(int(v[1:]))
-            elif not os.path.isfile(os.path.join(vdir, self._VACUUMED)) \
-                    and os.path.isdir(vdir) \
+            if not os.path.isfile(os.path.join(vdir, self._VACUUMED)) \
                     and any(e.startswith(f"{self._BUCKET}=")
                             for e in os.listdir(vdir)):
                 out.append(int(v[1:]))  # legacy pre-manifest snapshot
@@ -130,14 +143,24 @@ class ParquetStore:
 
     def _manifest_schema(self, table: str, v: int):
         import json
-        with open(self._manifest_path(table, v)) as fh:
+        p = self._manifest_path(table, v)
+        if not os.path.isfile(p):  # legacy pre-manifest snapshot
+            return None
+        with open(p) as fh:
             return json.load(fh).get("schema")
 
     def _write_manifest(self, table: str, v: int,
                         buckets: dict[int, list[str]],
-                        schema_json: str | None = None) -> None:
+                        schema_json: str | None = None,
+                        at: str | None = None) -> None:
+        """Write the manifest for version ``v`` into directory ``at``
+        (default: the final version directory). Commits pass the STAGING
+        directory so the manifest travels with the data files through the
+        atomic rename in ``_claim`` — the rename, not this write, is the
+        commit point."""
         import json
-        os.makedirs(self._vdir(table, v), exist_ok=True)
+        d = at or self._vdir(table, v)
+        os.makedirs(d, exist_ok=True)
         body = {"version": v,
                 "buckets": {str(b): sorted(f) for b, f in buckets.items() if f}}
         if schema_json is not None:
@@ -145,15 +168,18 @@ class ParquetStore:
             # deleted every row) still reads back with its schema — files
             # can't carry it when there are none
             body["schema"] = json.loads(schema_json)
-        tmp = self._manifest_path(table, v) + ".tmp"
+        tmp = os.path.join(d, self._MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(body, fh, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path(table, v))  # atomic commit point
+        os.replace(tmp, os.path.join(d, self._MANIFEST))
 
-    def _scan_bucket_files(self, table: str, v: int) -> dict[int, list[str]]:
+    def _scan_bucket_files(self, table: str, v: int,
+                           at: str | None = None) -> dict[int, list[str]]:
         """List freshly written ``__bucket=K`` parquet files of a version
-        directory, as table-root-relative paths."""
-        vdir = self._vdir(table, v)
+        directory (or of its STAGING directory ``at``), as table-root-
+        relative paths under the FINAL ``v{v}/`` prefix — staged files are
+        recorded at the address the atomic rename will give them."""
+        vdir = at or self._vdir(table, v)
         out: dict[int, list[str]] = {}
         if not os.path.isdir(vdir):
             return out
@@ -165,6 +191,52 @@ class ParquetStore:
             out[b] = [os.path.join(f"v{v}", entry, fn)
                       for fn in os.listdir(bdir) if fn.endswith(".parquet")]
         return out
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _stage_dir(self, table: str, nxt: int) -> str:
+        """Private staging directory for an in-flight commit. Dot-prefixed
+        and non-``v{n}``-shaped, so ``_versions`` / ``vacuum`` / readers
+        never see half-written state; unique per writer so two concurrent
+        commits stage independently."""
+        token = f"{os.getpid():08x}-{os.urandom(4).hex()}"
+        return os.path.join(self.root, table, f".stage-v{nxt}-{token}")
+
+    def _claim(self, table: str, nxt: int, stage: str) -> None:
+        """CAS commit point: atomically rename the fully-staged version
+        (data files + manifest) to ``v{nxt}``. POSIX rename onto an
+        existing non-empty directory fails, so of two concurrent writers
+        that both computed ``nxt`` exactly one wins; the loser's staging
+        is discarded and it raises ``ConcurrentWriteError`` instead of
+        clobbering (VERDICT r3 #3). A crash before this point leaves only
+        an invisible staging dir — no partial snapshot can ever become
+        the newest version. (On an object store this one rename would be
+        the table format's commit call — e.g. a conditional PUT.)"""
+        import shutil
+        vdir = self._vdir(table, nxt)
+        try:
+            os.rename(stage, vdir)
+            return
+        except OSError:
+            pass
+        if not os.path.isfile(os.path.join(vdir, self._MANIFEST)):
+            # the blocker has no manifest, so it is NOT a committed
+            # snapshot — a current-protocol winner appears atomically
+            # WITH its manifest. It can only be an aborted partial from
+            # the pre-staging release; its files sit above every live
+            # version so no manifest can reference them. Reclaim and
+            # retry once.
+            shutil.rmtree(vdir, ignore_errors=True)
+            try:
+                os.rename(stage, vdir)
+                return
+            except OSError:
+                pass
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"version v{nxt} of table {table!r} was committed by a "
+            f"concurrent writer while this commit was staging; "
+            f"re-read the table and retry the sync")
 
     # -- snapshot I/O -------------------------------------------------------
 
@@ -186,13 +258,21 @@ class ParquetStore:
         files = [os.path.join(troot, rel)
                  for rels in self._read_manifest(table, version).values()
                  for rel in rels]
+        sj = self._manifest_schema(table, version)
         if not files:  # a committed-empty snapshot
-            sj = self._manifest_schema(table, version)
             if sj is not None:
                 from pyspark.sql import types as T
                 return spark.createDataFrame([], T.StructType.fromJson(sj))
             return spark.read.parquet(self._vdir(table, version))
-        df = spark.read.parquet(*files)
+        if sj is not None:
+            # apply the manifest's recorded schema: carried-forward files
+            # can span versions with different schemas (evolution via
+            # direct commits), and schema-less multi-file reads depend on
+            # which file Spark samples (ADVICE r3) — the manifest is the
+            # source of truth, so reads are deterministic
+            from pyspark.sql import types as T
+            return spark.read.schema(T.StructType.fromJson(sj)).parquet(*files)
+        df = spark.read.parquet(*files)  # legacy pre-manifest snapshot
         return df.drop(self._BUCKET) if self._BUCKET in df.columns else df
 
     def history(self, table: str) -> list[int]:
@@ -209,10 +289,21 @@ class ParquetStore:
         sync+vacuum cycles cannot leak). De-listed directories that
         still hold carried-forward files get a ``_vacuumed`` tombstone so
         they are never mistaken for legacy snapshots."""
+        import shutil
         vs = self._versions(table)
         keep = vs[len(vs) - keep_last:] if keep_last > 0 else []
         dropped = [v for v in vs if v not in keep]
         troot = os.path.join(self.root, table)
+        latest = vs[-1] if vs else 0
+        for entry in os.listdir(troot):
+            # dead staging dirs: a stage targeting an already-committed
+            # version can never win its rename (the target is non-empty),
+            # so reclaiming it cannot race a live writer
+            if entry.startswith(".stage-v"):
+                target = entry.split("-")[1][1:]
+                if target.isdigit() and int(target) <= latest:
+                    shutil.rmtree(os.path.join(troot, entry),
+                                  ignore_errors=True)
         referenced = {rel for v in keep
                       for rels in self._read_manifest(table, v).values()
                       for rel in rels}
@@ -249,14 +340,18 @@ class ParquetStore:
 
     def write(self, df: DataFrame, table: str) -> None:
         """Full-table commit (bucketed layout + manifest listing every
-        written bucket, so later scoped commits can reference its files)."""
+        written bucket, so later scoped commits can reference its files).
+        Stages privately, then claims ``v{n+1}`` with one atomic rename."""
         nxt = (self._versions(table) or [0])[-1] + 1
         key = self._key_of(df)
+        stage = self._stage_dir(table, nxt)
         (df.withColumn(self._BUCKET, self._bucket_col(key))
            .write.mode("overwrite").partitionBy(self._BUCKET)
-           .parquet(self._vdir(table, nxt)))
-        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt),
-                             schema_json=df.schema.json())
+           .parquet(stage))
+        self._write_manifest(table, nxt,
+                             self._scan_bucket_files(table, nxt, at=stage),
+                             schema_json=df.schema.json(), at=stage)
+        self._claim(table, nxt, stage)
 
     def write_scoped(self, df: DataFrame, table: str,
                      touched_keys: DataFrame) -> int:
@@ -278,18 +373,20 @@ class ParquetStore:
                            F.lit(self.n_buckets)).cast("int").alias("b"))
             .distinct().collect())  # ≤ n_buckets ints — a scalar probe
         nxt = vs[-1] + 1
+        stage = self._stage_dir(table, nxt)
         if touched:
             (df.withColumn(self._BUCKET, self._bucket_col(key))
                .filter(F.col(self._BUCKET).isin(touched))
                .write.mode("overwrite").partitionBy(self._BUCKET)
-               .parquet(self._vdir(table, nxt)))
+               .parquet(stage))
         buckets = dict(self._read_manifest(table, vs[-1]))
-        fresh = self._scan_bucket_files(table, nxt)
+        fresh = self._scan_bucket_files(table, nxt, at=stage)
         for b in touched:
             # a touched bucket with no surviving rows commits as empty
             buckets[b] = fresh.get(b, [])
         self._write_manifest(table, nxt, buckets,
-                             schema_json=df.schema.json())
+                             schema_json=df.schema.json(), at=stage)
+        self._claim(table, nxt, stage)
         return len(touched)
 
     def compact(self, spark: SparkSession, table: str,
@@ -304,14 +401,17 @@ class ParquetStore:
         df = self.read(spark, table)
         key = self._key_of(df)
         nxt = self._versions(table)[-1] + 1
+        stage = self._stage_dir(table, nxt)
         out = (df.withColumn(self._BUCKET, self._bucket_col(key))
                  .repartition(self.n_buckets, F.col(self._BUCKET)))
         if sort_col is not None:
             out = out.sortWithinPartitions(sort_col)
         (out.write.mode("overwrite").partitionBy(self._BUCKET)
-            .parquet(self._vdir(table, nxt)))
-        self._write_manifest(table, nxt, self._scan_bucket_files(table, nxt),
-                             schema_json=df.schema.json())
+            .parquet(stage))
+        self._write_manifest(table, nxt,
+                             self._scan_bucket_files(table, nxt, at=stage),
+                             schema_json=df.schema.json(), at=stage)
+        self._claim(table, nxt, stage)
         return nxt
 
     def tables(self) -> list[str]:

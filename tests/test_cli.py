@@ -264,3 +264,17 @@ def test_cli_rejects_unknown_sink(spark, setup):
     with pytest.raises(SystemExit):
         main(["--config", str(cfgpath),
               "--database-technology", "oracle"], spark=spark)
+
+
+def test_console_script_entry_exits_zero(monkeypatch):
+    """ADVICE r3: setuptools wraps [project.scripts] in sys.exit(...);
+    main() returns a counts dict, and sys.exit(<dict>) reports success as
+    shell failure. The cli() wrapper must return a clean 0 instead."""
+    from tally_database_loader_spark.__main__ import cli
+    import tally_database_loader_spark.__main__ as m
+    monkeypatch.setattr(m, "main", lambda *a, **k: {"mst_unit": 3})
+    assert cli() == 0
+    # and pyproject points the script at the wrapper, not main
+    import pathlib
+    toml = pathlib.Path(__file__).resolve().parents[1] / "pyproject.toml"
+    assert "__main__:cli" in toml.read_text()

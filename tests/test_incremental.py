@@ -10,8 +10,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tally_database_loader_spark.operators.incremental import (IncrementalSync,
-                                                               ParquetStore)
+from tally_database_loader_spark.operators.incremental import (
+    ConcurrentWriteError, IncrementalSync, ParquetStore)
 from tally_database_loader_spark.sources.registry import default_tables
 from tests.tally_fixtures import tally_source
 
@@ -303,3 +303,106 @@ def test_time_travel_and_vacuum(spark, tmp_path):
                 rel = os.path.relpath(os.path.join(dirpath, fn),
                                       os.path.join(str(tmp_path / "tt"), "t"))
                 assert rel in v2_refs, f"unreclaimed unreferenced file: {rel}"
+
+
+def _guid_df(spark, n=60):
+    return spark.range(n).select(
+        F.concat(F.lit("g-"), F.col("id").cast("string")).alias("guid"),
+        F.col("id").alias("val"))
+
+
+def test_concurrent_writer_loses_cleanly(spark, tmp_path):
+    """Two writers race for the same commit ordinal: exactly one wins the
+    atomic rename; the loser raises ConcurrentWriteError, leaves no
+    staging debris, and the winner's snapshot is untouched (VERDICT r3
+    #3). Interleaving is simulated by pinning writer B's version read to
+    the stale pre-race state."""
+    import os
+    root = str(tmp_path / "cw")
+    a, b = ParquetStore(root, n_buckets=4), ParquetStore(root, n_buckets=4)
+    df = _guid_df(spark)
+    a.write(df, "t")                                            # v1
+    b._versions = lambda table: [1]   # B read the table before A's commit
+    upd_a = df.withColumn("val", F.when(F.col("guid") == "g-1", -1)
+                                  .otherwise(F.col("val")))
+    a.write_scoped(upd_a, "t",
+                   spark.createDataFrame([("g-1",)], "guid string"))  # v2
+    upd_b = df.withColumn("val", F.when(F.col("guid") == "g-2", -2)
+                                  .otherwise(F.col("val")))
+    with pytest.raises(ConcurrentWriteError):
+        b.write_scoped(upd_b, "t",
+                       spark.createDataFrame([("g-2",)], "guid string"))
+    assert a.history("t") == [1, 2]
+    got = {r.guid: r.val for r in a.read(spark, "t").collect()}
+    assert got["g-1"] == -1 and got["g-2"] == 2 and len(got) == 60
+    assert not [e for e in os.listdir(os.path.join(root, "t"))
+                if e.startswith(".stage-")], "loser left staging debris"
+
+
+def test_aborted_partial_commit_is_invisible(spark, tmp_path):
+    """ADVICE r3: a crash between the data write and the manifest write
+    (pre-staging release shape: bucket dirs, no manifest) must NOT be
+    resurrected as the newest 'legacy' snapshot — that would silently
+    drop every carried-forward row. With manifests present anywhere in
+    the table, manifest-less v-dirs are invisible; a later commit at the
+    same ordinal reclaims the junk instead of failing forever."""
+    import os
+    store = ParquetStore(str(tmp_path / "ab"), n_buckets=4)
+    df = _guid_df(spark)
+    store.write(df, "t")                                        # v1
+    store.write_scoped(df, "t",
+                       spark.createDataFrame([("g-1",)], "guid string"))  # v2
+    # simulate the old code crashing mid-commit at v3
+    junk = os.path.join(store._vdir("t", 3), "__bucket=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet file")
+    assert store.history("t") == [1, 2], \
+        "aborted partial commit resurfaced as a live snapshot"
+    full = {r.guid for r in store.read(spark, "t").collect()}
+    assert full == {f"g-{i}" for i in range(60)}
+    # the next commit claims v3 by reclaiming the junk, not by raising
+    store.write_scoped(df, "t",
+                       spark.createDataFrame([("g-2",)], "guid string"))
+    assert store.history("t") == [1, 2, 3]
+    assert {r.guid for r in store.read(spark, "t").collect()} == full
+
+
+def test_crashed_staging_is_invisible_and_vacuumed(spark, tmp_path):
+    """A writer that dies before the rename leaves only a dot-prefixed
+    staging dir: readers and _versions never see it, and vacuum reclaims
+    it once its target ordinal has been committed by someone else."""
+    import os
+    store = ParquetStore(str(tmp_path / "cs"), n_buckets=4)
+    df = _guid_df(spark)
+    store.write(df, "t")                                        # v1
+    stage = store._stage_dir("t", 2)
+    os.makedirs(os.path.join(stage, "__bucket=1"))
+    with open(os.path.join(stage, "__bucket=1", "part-0.parquet"), "wb") as fh:
+        fh.write(b"orphan")
+    assert store.history("t") == [1]
+    store.write_scoped(df, "t",
+                       spark.createDataFrame([("g-3",)], "guid string"))  # v2
+    assert store.history("t") == [1, 2]
+    store.vacuum("t", keep_last=2)  # drops nothing, sweeps dead stages
+    assert not os.path.isdir(stage), "dead staging dir not reclaimed"
+
+
+def test_read_applies_manifest_schema(spark, tmp_path):
+    """Schema evolution across carried-forward files: the newest commit
+    adds a column, old buckets' files lack it. The read must use the
+    manifest's recorded schema (deterministic), not whichever file Spark
+    happens to sample — old rows surface the new column as NULL."""
+    store = ParquetStore(str(tmp_path / "se"), n_buckets=4)
+    df = _guid_df(spark)
+    store.write(df, "t")                                        # v1
+    evolved = df.withColumn("extra", F.when(F.col("guid") == "g-1",
+                                            F.lit("x")))
+    store.write_scoped(evolved, "t",
+                       spark.createDataFrame([("g-1",)], "guid string"))  # v2
+    out = store.read(spark, "t")
+    assert out.columns == ["guid", "val", "extra"]
+    rows = {r.guid: r.extra for r in out.collect()}
+    assert rows["g-1"] == "x" and len(rows) == 60
+    # a carried-forward row (untouched bucket, file written at v1)
+    assert all(v is None for g, v in rows.items() if g != "g-1")
