@@ -90,17 +90,30 @@ def _seq_fold(prod: "pd.DataFrame | object") -> "object":
 
 def _fold_vec(kind: str):
     """Build the pandas_udf for a float fold family (``dot`` /
-    ``cosine`` / ``l2``). Null vectors degrade to a per-row Python-float
-    fold (Python float IS IEEE double, so results match); the fast path
-    stacks the batch and folds dimension-at-a-time.
+    ``cosine`` / ``l2``). Null vectors and RAGGED pairs degrade to a
+    per-row Python-float fold (Python float IS IEEE double, so results
+    match); the fast path stacks the batch and folds dimension-at-a-time.
 
-    Contract (same as the whole embeddings surface): vectors are
-    fixed-dimension with non-null ELEMENTS — a null row is handled, but
-    a null element or ragged lengths raise in np.stack rather than
-    silently diverging from the relational form's NULL propagation."""
+    Edge parity with the relational twins (ADVICE r3):
+
+    - null VECTOR → NULL (both paths).
+    - ragged lengths (within a pair, or mixed dims across the batch) →
+      the relational ``zip_with`` pads with nulls, so the fold is NULL;
+      the twins detect the mismatch and NULL-propagate identically
+      instead of raising in ``np.stack``.
+    - NaN elements → NaN results, identical IEEE arithmetic both paths.
+    - null ELEMENTS are the one unbridgeable case: Arrow transfers
+      ``array<double>`` nulls as NaN, so inside any pandas_udf a null
+      element is INDISTINGUISHABLE from a genuine NaN — the engine pins
+      the semantics to "null element ≡ NaN" under ``VECTORIZED_FOLD``
+      (the relational path would NULL-propagate). Feed pre-cleaned
+      embeddings, or flip ``VECTORIZED_FOLD`` off for strict SQL
+      semantics at CodegenFallback speed."""
 
     def _rowwise(x, y):
-        if x is None or y is None:
+        if x is None or y is None or len(x) != len(y):
+            # len mismatch: zip_with pads the short side with nulls →
+            # null product → the whole fold is NULL
             return None
         if kind == "dot":
             acc = 0.0
@@ -128,26 +141,41 @@ def _fold_vec(kind: str):
                 float("inf"), num)
         return num / den
 
+    def _ret(vals, mask=None):
+        # NaN is a VALUE here (an IEEE arithmetic result), never a null —
+        # but a plain float64 Series NULLS every NaN at the Arrow return
+        # boundary. A masked FloatingArray keeps the distinction: mask
+        # marks true NULLs, values carry NaN through bit-intact.
+        v = np.asarray(vals, dtype=np.float64)
+        m = np.zeros(len(v), dtype=bool) if mask is None \
+            else np.asarray(mask, dtype=bool)
+        return pd.Series(pd.arrays.FloatingArray(v, m))
+
     @F.pandas_udf("double")
     def fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
-        if xs.isna().any() or ys.isna().any():
-            return pd.Series([_rowwise(x, y) for x, y in zip(xs, ys)])
+        if xs.isna().any() or ys.isna().any() \
+                or len({len(v) for v in xs}) != 1 \
+                or len({len(v) for v in ys}) != 1 \
+                or len(xs.iloc[0]) != len(ys.iloc[0]):
+            out = [_rowwise(x, y) for x, y in zip(xs, ys)]
+            return _ret([0.0 if v is None else v for v in out],
+                        [v is None for v in out])
         A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
         if kind == "dot":
-            return pd.Series(_seq_fold(A * B))
+            return _ret(_seq_fold(A * B))
         if kind == "l2":
             d = A - B
-            return pd.Series(_seq_fold(d * d))
+            return _ret(_seq_fold(d * d))
         num = _seq_fold(A * B)
         den = np.sqrt(_seq_fold(A * A)) * np.sqrt(_seq_fold(B * B))
         with np.errstate(divide="ignore", invalid="ignore"):
             # zero-norm vectors: IEEE inf/nan, the same bits the
             # relational double division produces — just without the
             # executor-log RuntimeWarning spam
-            return pd.Series(num / den)
+            return _ret(num / den)
 
     return fold
 
@@ -305,7 +333,15 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """B-bit bucket id: bit p = sign(vec · plane_p). Dispatches like
     ``dot``: the relational per-plane folds are the oracle definition;
     the vectorized twin runs the same left-to-right projections batched
-    (n_bits sequential folds over the Arrow batch)."""
+    (n_bits sequential folds over the Arrow batch).
+
+    Edge parity (ADVICE r3): the bit test is ``NOT (proj <= 0)`` in both
+    twins, because Spark SQL orders NaN above every number (``NaN > 0``
+    is TRUE) while IEEE/numpy comparisons on NaN are all false — a NaN
+    projection sets the bit under both paths. A NULL vector, or one
+    whose length differs from the plane dimension, buckets to 0 (null
+    projection → the ``otherwise(0)`` branch), reproduced in the twin.
+    Null ELEMENTS arrive as NaN through Arrow (see ``_fold_vec``)."""
     if VECTORIZED_FOLD:
         return _srp_bucket_vec(vec, planes)
     return _srp_bucket_rel(vec, planes)
@@ -329,29 +365,34 @@ def _srp_bucket_vec(vec: Column, planes: list[list[float]]) -> Column:
     pl = np.asarray(planes, dtype=np.float64)      # n_bits × dim
     weights = np.array([1 << p for p in range(len(planes))], dtype=np.int64)
 
+    dim = pl.shape[1]
+
     @F.pandas_udf("long")
     def bucket(xs: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="int64")
-        if xs.isna().any():
+        if xs.isna().any() or any(len(v) != dim for v in xs):
             out = []
             for v in xs:
-                if v is None:
-                    out.append(None)
+                if v is None or len(v) != dim:
+                    # null vector / ragged: zip_with and the fold yield a
+                    # null projection, and when(null > 0) falls through
+                    # to otherwise(0) — the relational bucket is 0
+                    out.append(0)
                     continue
                 acc = 0
                 for p, plane in enumerate(planes):
                     proj = 0.0
                     for xi, w in zip(v, plane):
                         proj += float(xi) * w
-                    if proj > 0:
+                    if not proj <= 0:   # Spark NaN ordering: NaN > 0
                         acc += 1 << p
                 out.append(acc)
             return pd.Series(out)
         A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
         projs = np.stack([_seq_fold(A * pl[p]) for p in range(pl.shape[0])],
                          axis=1)                   # n × n_bits
-        return pd.Series(((projs > 0) @ weights).astype("int64"))
+        return pd.Series((~(projs <= 0) @ weights).astype("int64"))
 
     return bucket(vec)
 
@@ -751,7 +792,10 @@ def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
     Returns ``(encoded, codebooks)``: ``encoded`` has ``n_id`` plus
     ``code_0..code_{m-1}`` (one map-side projection — the m argmins
     evaluate in a single corpus pass), and ``codebooks[s]`` is subspace
-    s's centroid components at scale 2^20."""
+    s's centroid components at scale 2^20.
+
+    Pass ``dim`` whenever it is known (every gate does): the ``None``
+    fallback costs one extra Spark job (a LIMIT-1 probe) per call."""
     if dim is None:
         first = corpus.select(vec_col).first()
         dim = len(first[0]) if first else 0

@@ -4,6 +4,7 @@ and fast-vs-parity MinHash agreement."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tally_database_loader_spark.llm.dedup import minhash_near_duplicates, simhash_table
@@ -811,3 +812,61 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
     # target vocabulary is over-represented in the target model
     assert got[900].dsir_logratio > 0 > got[901].dsir_logratio
     assert got[902].n_tokens == 0 and got[902].dsir_logratio is None
+
+
+def test_twin_edge_parity_on_edge_vectors(spark):
+    """ADVICE r3: flipping VECTORIZED_FOLD must not change results on
+    edge inputs. Ragged pairs and null vectors NULL-propagate like the
+    relational zip_with/aggregate forms; NaN elements produce NaN folds
+    and SET srp bits under Spark's NaN-above-everything ordering in BOTH
+    twins; pairwise-equal rows of different dims still compute even when
+    one Arrow batch mixes dimensions. (Null ELEMENTS arrive as NaN
+    through Arrow — pinned to NaN semantics, documented in _fold_vec.)"""
+    import tally_database_loader_spark.llm.similarity as sim
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0], [1.0, 1.0, 1.0, 1.0]),           # clean
+        (2, [float("nan"), 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 1.0]),  # NaN elem
+        (3, [1.0, 2.0], [1.0, 1.0, 1.0, 1.0]),                     # ragged pair
+        (4, None, [1.0, 1.0, 1.0, 1.0]),                           # null vector
+        (5, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0]),   # mixed dim, pairwise equal
+        (6, [-1.0, -2.0, -3.0, -4.0], [1.0, 1.0, 1.0, 1.0]),       # negative
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+    planes = sim._planes(4, 4)
+
+    def snap():
+        out = df.select(
+            "id",
+            sim.dot(F.col("a"), F.col("b")).alias("d"),
+            sim.cosine(F.col("a"), F.col("b")).alias("c"),
+            sim.l2_dist(F.col("a"), F.col("b")).alias("l"),
+            sim.srp_bucket(F.col("a"), planes).alias("bk"))
+        return {r.id: (repr(r.d), repr(r.c), repr(r.l), r.bk)
+                for r in out.collect()}
+
+    prev = sim.VECTORIZED_FOLD
+    try:
+        sim.VECTORIZED_FOLD = False
+        rel = snap()
+        sim.VECTORIZED_FOLD = True
+        vec = snap()
+    finally:
+        sim.VECTORIZED_FOLD = prev
+    assert rel == vec, f"twins diverged: {rel} vs {vec}"
+    assert rel[3][0] == "None" and rel[4][0] == "None"  # ragged/null → NULL
+    assert rel[2][0] == "nan"            # NaN element → NaN fold, not null
+    assert rel[2][3] == 15               # NaN proj sets every srp bit
+    # null vector / ragged srp: when(null > 0) → otherwise(0), bucket 0
+    assert rel[4][3] == 0 and rel[3][3] == 0 and rel[5][3] == 0
+    assert rel[5][0] == repr(6.0)        # mixed-dim batch still computes
+
+
+def test_hll_unsupported_b_has_actionable_error():
+    """VERDICT r3 #7: hll_distinct(..., b=14) must name the supported
+    range and the reason, not leak shift-overflow internals."""
+    from tally_database_loader_spark.llm.sketch import hll_registers
+    with pytest.raises(ValueError) as ei:
+        hll_registers(None, "tok", b=14)  # raises before touching df
+    msg = str(ei.value)
+    assert "10 or 11" in msg and "b=14" in msg and "int64" in msg
