@@ -100,6 +100,25 @@ HEADLINE = [
     "bloom_membership",
 ]
 
+# METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state
+# timing (one untimed warm run per query), this HEADLINE order, noop
+# writer. Round-over-round totals compare query-for-query; the r3
+# additions and their r2 baselines, for the comparison table:
+#
+#   query                 r2      r3     note
+#   sketch_suite          —      4.68s   new r3 (CMS∪HLL∪A-ES∪Bloom +
+#                                        their exact verification sides)
+#   multimodal_suite      —      0.31s   new r3 (decode∪resize∪frames)
+#   bloom_membership      —      0.97s   new r3
+#   hll_token_distinct    1.16   2.04s   ln_fixed determinism hardening
+#                                        (+ exact COUNT DISTINCT side)
+#   weighted_sample       0.07   0.61s   same ln_fixed trade (r3 VERDICT:
+#                                        accepted, map-side only)
+#   cms_token_counts      1.20   0.80s   vectorized-twin win
+#
+# 57 common queries: 47.0s (r2) → 34.2s (r3). Keep this block updated
+# when a slot is added or a methodology-affecting change lands.
+
 
 def main() -> None:
     from tally_database_loader_spark.plans import gate

@@ -202,8 +202,14 @@ def bloom_build(df: DataFrame, col: str, m: int = 1 << 15,
     (no false negatives, asserted in tests)."""
     if m < 2 or k < 1:
         raise ValueError("need m >= 2 bits and k >= 1 hashes")
+    # groupBy, not .distinct(): identical shuffle (distinct IS a group-by
+    # on all columns) but Structured Streaming only admits an explicit
+    # aggregation node to complete mode — so the SAME plan also runs as a
+    # continuous ≤ m-row membership summary (parity test in
+    # tests/test_streaming.py), like the HLL/CMS builds
     return (df.select(F.explode(_bloom_positions(col, m, k)).alias("pos"))
-              .distinct())
+              .groupBy("pos").agg(F.count(F.lit(1)).alias("__n"))
+              .select("pos"))
 
 
 def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,

@@ -379,3 +379,28 @@ def test_streaming_near_dedup_stars_and_stable_keeper(spark, tmp_path):
     with pytest.raises(ValueError):
         from tally_database_loader_spark.streaming.stateful import band_signatures
         band_signatures(F.lit("x"), k=16, bands=5)
+
+
+def test_bloom_positions_stream_equals_batch(spark, tmp_path):
+    """Bloom completes the streaming sketch family (VERDICT r3 #4): the
+    position table is a distinct over bounded coordinates (≤ m rows of
+    state), which Structured Streaming runs as a stateful aggregation in
+    complete mode — the SAME bloom_build plan streams, and the streamed
+    bit-set equals the batch build over the same data. (Append mode would
+    need a watermark to ever emit dropDuplicates results on an unbounded
+    source; complete mode is the right shape for a ≤ m-row summary.)"""
+    from tally_database_loader_spark.llm.sketch import bloom_build
+    src = str(tmp_path / "vals")
+    rows = [(f"v{i % 100}",) for i in range(900)] + [(None,)] * 5
+    batch = spark.createDataFrame(rows, "v string")
+    batch.write.parquet(src)
+    want = sorted(r.pos for r in bloom_build(batch, "v", m=4096, k=4).collect())
+    stream = spark.readStream.schema("v string").parquet(src)
+    q = (bloom_build(stream, "v", m=4096, k=4)
+         .writeStream.format("memory").queryName("bloomreg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.pos for r in spark.sql("select * from bloomreg").collect())
+    assert got == want and len(got) > 0
