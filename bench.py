@@ -98,6 +98,8 @@ HEADLINE = [
     "sketch_suite",
     "multimodal_suite",
     "bloom_membership",
+    # round-4 addition (new slot, noted in the comparison table below)
+    "semantic_dedup",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state
@@ -115,6 +117,8 @@ HEADLINE = [
 #   weighted_sample       0.07   0.61s   same ln_fixed trade (r3 VERDICT:
 #                                        accepted, map-side only)
 #   cms_token_counts      1.20   0.80s   vectorized-twin win
+#   semantic_dedup        —      —       new r4 (SemDeDup: k-means-scoped
+#                                        within-cluster cosine pruning)
 #
 # 57 common queries: 47.0s (r2) → 34.2s (r3). Keep this block updated
 # when a slot is added or a methodology-affecting change lands.

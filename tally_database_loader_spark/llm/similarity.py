@@ -774,6 +774,54 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 50,
                     F.col("rk").cast("int").alias("rk")))
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
+                   n_lists: int = 8, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): learn
+    embedding clusters with the deterministic exact-integer
+    ``kmeans_cells``, then WITHIN each cluster drop every document that
+    has a more-preferred (lower-id) ε-neighbor — pairwise cosine is
+    computed only inside a cluster, never across the corpus. This is the
+    semantic complement to ``embedding_near_duplicates`` (SRP-LSH
+    buckets): LSH buckets catch near-copies; learned clusters scope the
+    comparison to semantic regions, which is how SemDeDup prunes
+    redundant-but-not-identical training text.
+
+    Keeper rule: a row survives unless some SAME-CLUSTER row with a
+    smaller id is ``> threshold`` cosine-similar — deterministic, one
+    representative per similar group (a chain a~b, b~c keeps only ``a``
+    — the aggressive end of SemDeDup's policy; raise the threshold for
+    gentler pruning).
+
+    Scale shape: assignment is map-side (codebook literals); the
+    pairwise stage is a self-equi-join ON CELL — with ``n_lists``
+    scaled so clusters stay O(corpus/n_lists), the pair count is
+    corpus²/n_lists, the SemDeDup trade, and the join is a plain
+    shuffle-hash on uniform cell keys (never a cartesian). The drop set
+    anti-joins back on id. For a skewed hot cluster, compose with
+    ``cluster_balanced_sample`` first or sub-bucket via ``srp_bucket``.
+
+    Output: ``vec_id, cell`` of the SURVIVORS (cell int, id-ordered
+    semantics; no dependence on join or partition order)."""
+    assigned, _ = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    a = assigned.select(F.col("n_id").alias("a_id"), "cell",
+                        F.col("n_vec").alias("a_vec"))
+    b = assigned.select(F.col("n_id").alias("b_id"), "cell",
+                        F.col("n_vec").alias("b_vec"))
+    drops = (a.join(b, "cell")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .filter(cosine(F.col("a_vec"), F.col("b_vec"))
+                      > F.lit(float(threshold)))
+              .select(F.col("b_id").alias("drop_id"))
+              .distinct())
+    return (assigned.join(drops,
+                          assigned["n_id"] == drops["drop_id"], "left_anti")
+                    .select(F.col("n_id").alias(id_col),
+                            F.col("cell").cast("int").alias("cell")))
+
+
 def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
               iters: int = 2, dim: int | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding",

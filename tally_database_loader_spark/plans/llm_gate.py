@@ -675,6 +675,38 @@ def cluster_balanced_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(e, per_cluster=40, n_clusters=8, iters=2)
 
 
+_DD_SEMDEDUP_COS = (_dd_dot("ea.embedding", "eb.embedding")
+                    + " / (sqrt(" + _dd_dot("ea.embedding", "ea.embedding")
+                    + ") * sqrt(" + _dd_dot("eb.embedding", "eb.embedding")
+                    + "))")
+
+_DD_SEMANTIC_DEDUP = f"""
+WITH {_dd_lloyd('k', 'embedding', 8, 2)},
+drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM kaf a JOIN kaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_DD_SEMDEDUP_COS} > 0.3)
+SELECT kaf.vec_id, CAST(kaf.cell AS INT) AS cell
+FROM kaf LEFT JOIN drops ON drops.drop_id = kaf.vec_id
+WHERE drops.drop_id IS NULL
+"""
+
+
+@gate_query("semantic_dedup", oracle=_DD_SEMANTIC_DEDUP)
+def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/similarity.py semantic_dedup):
+    deterministic k-means clusters scope the pairwise cosine (the
+    corpus²/n_lists SemDeDup trade — never an all-pairs join), and every
+    row with a lower-id ε-neighbor in its cluster is dropped. The oracle
+    replays the Lloyd chain, the within-cluster pair scan, and the
+    anti-join — full value-hash, including the learned cell ids."""
+    from ..llm.similarity import semantic_dedup
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, n_lists=8, iters=2)
+
+
 def _dd_l2(a: str, b: str) -> str:
     """Left-fold double squared-L2 (== Spark zip_with + aggregate in
     llm/similarity.py l2_dist)."""

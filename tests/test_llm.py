@@ -870,3 +870,33 @@ def test_hll_unsupported_b_has_actionable_error():
         hll_registers(None, "tok", b=14)  # raises before touching df
     msg = str(ei.value)
     assert "10 or 11" in msg and "b=14" in msg and "int64" in msg
+
+
+def test_semantic_dedup_keeps_one_representative_per_similar_group(spark):
+    """SemDeDup semantics: every dropped row has a surviving lower-id
+    ε-neighbor in its own cluster, and no two survivors in the same
+    cluster are ε-similar to each other ... except through the chain
+    rule (a~b, b~c, a!~c keeps only a — asserted directionally: each
+    drop is justified by SOME lower-id same-cluster neighbor)."""
+    from tally_database_loader_spark.llm.similarity import (cosine,
+                                                            kmeans_cells,
+                                                            semantic_dedup)
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    kept = semantic_dedup(e, threshold=0.3, n_lists=8, iters=2)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assigned, _ = kmeans_cells(e, n_lists=8, iters=2)
+    pairs = (assigned.alias("a").join(assigned.alias("b"), "cell")
+             .filter(F.col("a.n_id") < F.col("b.n_id"))
+             .select(F.col("a.n_id").alias("lo"), F.col("b.n_id").alias("hi"),
+                     cosine(F.col("a.n_vec"), F.col("b.n_vec")).alias("cos"))
+             .filter(F.col("cos") > 0.3).collect())
+    sim_lo = {}
+    for r in pairs:
+        sim_lo.setdefault(r.hi, []).append(r.lo)
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    dropped = all_ids - kept_ids
+    assert dropped, "threshold produced no drops — test data regressed"
+    # every dropped row has a lower-id similar same-cluster neighbor
+    assert all(h in sim_lo for h in dropped)
+    # every row with NO lower-id similar neighbor survives
+    assert all(i in kept_ids for i in all_ids if i not in sim_lo)
