@@ -71,7 +71,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _cosine_rel(a: Column, b: Column) -> Column:
-    return _dot_rel(a, b) / (F.sqrt(_dot_rel(a, a)) * F.sqrt(_dot_rel(b, b)))
+    # zero-norm pin: cosine with a zero denominator is NULL — Spark 4's
+    # default ANSI mode would otherwise raise DIVIDE_BY_ZERO here while
+    # the vectorized twin produced a float, and DuckDB's double x/0 is
+    # NULL anyway, so NULL is the one value all three agree on. A NaN
+    # denominator is NOT zero (Spark orders NaN above everything, so
+    # `!= 0` holds) and propagates NaN, same as numpy/Python.
+    num = _dot_rel(a, b)
+    den = F.sqrt(_dot_rel(a, a)) * F.sqrt(_dot_rel(b, b))
+    return F.when(den != F.lit(0.0), num / den)
 
 
 # Arrow-vectorized float folds on by default; the relational twins stay
@@ -102,6 +110,11 @@ def _fold_vec(kind: str):
       the twins detect the mismatch and NULL-propagate identically
       instead of raising in ``np.stack``.
     - NaN elements → NaN results, identical IEEE arithmetic both paths.
+    - zero-norm cosine → NULL in both twins (and in DuckDB oracles,
+      where double x/0 is NULL) — Spark 4's default ANSI mode would
+      raise DIVIDE_BY_ZERO in the relational form otherwise, and a NaN
+      result would poison similarity thresholds (NaN orders above every
+      τ in Spark AND DuckDB).
     - null ELEMENTS are the one unbridgeable case: Arrow transfers
       ``array<double>`` nulls as NaN, so inside any pandas_udf a null
       element is INDISTINGUISHABLE from a genuine NaN — the engine pins
@@ -136,9 +149,8 @@ def _fold_vec(kind: str):
             nb += yf * yf
         import math
         den = math.sqrt(na) * math.sqrt(nb)
-        if den == 0.0:  # IEEE x/0.0 like the JVM/numpy, not Python's raise
-            return float("nan") if num == 0.0 else math.copysign(
-                float("inf"), num)
+        if den == 0.0:  # zero-norm pin: NULL (see _cosine_rel)
+            return None
         return num / den
 
     def _ret(vals, mask=None):
@@ -151,19 +163,27 @@ def _fold_vec(kind: str):
             else np.asarray(mask, dtype=bool)
         return pd.Series(pd.arrays.FloatingArray(v, m))
 
+    def _slow(xs, ys):
+        out = [_rowwise(x, y) for x, y in zip(xs, ys)]
+        return _ret([0.0 if v is None else v for v in out],
+                    [v is None for v in out])
+
     @F.pandas_udf("double")
     def fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
-        if xs.isna().any() or ys.isna().any() \
-                or len({len(v) for v in xs}) != 1 \
-                or len({len(v) for v in ys}) != 1 \
-                or len(xs.iloc[0]) != len(ys.iloc[0]):
-            out = [_rowwise(x, y) for x, y in zip(xs, ys)]
-            return _ret([0.0 if v is None else v for v in out],
-                        [v is None for v in out])
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+        if xs.isna().any() or ys.isna().any():
+            return _slow(xs, ys)
+        try:
+            # clean batches pay no ragged-detection pass: np.stack itself
+            # raises on mixed dims, which routes the (rare) ragged batch
+            # through the bit-equal rowwise path
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+        except ValueError:
+            return _slow(xs, ys)
+        if A.shape[1] != B.shape[1]:
+            return _slow(xs, ys)
         if kind == "dot":
             return _ret(_seq_fold(A * B))
         if kind == "l2":
@@ -172,10 +192,9 @@ def _fold_vec(kind: str):
         num = _seq_fold(A * B)
         den = np.sqrt(_seq_fold(A * A)) * np.sqrt(_seq_fold(B * B))
         with np.errstate(divide="ignore", invalid="ignore"):
-            # zero-norm vectors: IEEE inf/nan, the same bits the
-            # relational double division produces — just without the
-            # executor-log RuntimeWarning spam
-            return _ret(num / den)
+            # zero-norm pin: NULL where den == 0 (see _cosine_rel); a NaN
+            # den fails the == and propagates NaN like the JVM
+            return _ret(num / den, den == 0.0)
 
     return fold
 

@@ -74,6 +74,9 @@ class ParquetStore:
     _BUCKET = "__bucket"
     _MANIFEST = "_manifest.json"
     _VACUUMED = "_vacuumed"
+    # vacuum only reclaims superseded staging dirs older than this —
+    # a live commit stages for minutes; a crashed writer's stage forever
+    STAGE_RETENTION_S = 3600.0
 
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
@@ -202,41 +205,59 @@ class ParquetStore:
         token = f"{os.getpid():08x}-{os.urandom(4).hex()}"
         return os.path.join(self.root, table, f".stage-v{nxt}-{token}")
 
-    def _claim(self, table: str, nxt: int, stage: str) -> None:
-        """CAS commit point: atomically rename the fully-staged version
-        (data files + manifest) to ``v{nxt}``. POSIX rename onto an
-        existing non-empty directory fails, so of two concurrent writers
-        that both computed ``nxt`` exactly one wins; the loser's staging
-        is discarded and it raises ``ConcurrentWriteError`` instead of
-        clobbering (VERDICT r3 #3). A crash before this point leaves only
-        an invisible staging dir — no partial snapshot can ever become
-        the newest version. (On an object store this one rename would be
-        the table format's commit call — e.g. a conditional PUT.)"""
+    def _finalize(self, table: str, nxt: int, stage: str,
+                  buckets_fn, schema_json: str) -> int:
+        """Write the manifest into the stage and CAS-claim an ordinal:
+        atomically rename the fully-staged version (data files +
+        manifest) to ``v{nxt}``. POSIX rename onto an existing non-empty
+        directory fails, so of two concurrent writers that both computed
+        ``nxt`` exactly one wins; the loser's staging is discarded and it
+        raises ``ConcurrentWriteError`` instead of clobbering (VERDICT
+        r3 #3). A crash before the rename leaves only an invisible
+        staging dir — no partial snapshot can ever become the newest
+        version. (On an object store this one rename would be the table
+        format's commit call — e.g. a conditional PUT.)
+
+        An ordinal blocked by a MANIFEST-LESS directory (aborted partial
+        from the pre-staging release) is SKIPPED, not reclaimed: the
+        claim path never deletes anything, because any check-then-delete
+        here races a concurrent winner committing between the check and
+        the delete (a current-protocol snapshot appears atomically WITH
+        its manifest, so the check alone can't be trusted a moment
+        later). The junk stays invisible to ``_versions`` and is
+        reclaimed by ``vacuum``; version ordinals may therefore have
+        gaps, which every reader already tolerates.
+
+        ``buckets_fn(fresh)`` maps the stage's freshly-written bucket
+        files (already rebased to the candidate ``v{nxt}/`` prefix) to
+        the full manifest bucket map — identity for full rewrites,
+        carry-forward merge for scoped commits. It re-runs when the
+        ordinal is bumped so recorded paths always match the final name.
+        Returns the ordinal actually claimed."""
         import shutil
-        vdir = self._vdir(table, nxt)
-        try:
-            os.rename(stage, vdir)
-            return
-        except OSError:
-            pass
-        if not os.path.isfile(os.path.join(vdir, self._MANIFEST)):
-            # the blocker has no manifest, so it is NOT a committed
-            # snapshot — a current-protocol winner appears atomically
-            # WITH its manifest. It can only be an aborted partial from
-            # the pre-staging release; its files sit above every live
-            # version so no manifest can reference them. Reclaim and
-            # retry once.
-            shutil.rmtree(vdir, ignore_errors=True)
+        while True:
+            self._write_manifest(
+                table, nxt,
+                buckets_fn(self._scan_bucket_files(table, nxt, at=stage)),
+                schema_json=schema_json, at=stage)
+            vdir = self._vdir(table, nxt)
             try:
                 os.rename(stage, vdir)
-                return
+                return nxt
             except OSError:
-                pass
-        shutil.rmtree(stage, ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"version v{nxt} of table {table!r} was committed by a "
-            f"concurrent writer while this commit was staging; "
-            f"re-read the table and retry the sync")
+                if not os.path.isdir(vdir):
+                    # the rename failed for some reason OTHER than the
+                    # target existing (permissions, missing stage) —
+                    # surface it rather than spinning on ordinals
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+            if os.path.isfile(os.path.join(vdir, self._MANIFEST)):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"version v{nxt} of table {table!r} was committed by "
+                    f"a concurrent writer while this commit was staging; "
+                    f"re-read the table and retry the sync")
+            nxt += 1  # aborted-partial junk: skip the ordinal
 
     # -- snapshot I/O -------------------------------------------------------
 
@@ -294,16 +315,26 @@ class ParquetStore:
         keep = vs[len(vs) - keep_last:] if keep_last > 0 else []
         dropped = [v for v in vs if v not in keep]
         troot = os.path.join(self.root, table)
+        import time as _time
         latest = vs[-1] if vs else 0
+        now = _time.time()
         for entry in os.listdir(troot):
             # dead staging dirs: a stage targeting an already-committed
-            # version can never win its rename (the target is non-empty),
-            # so reclaiming it cannot race a live writer
+            # ordinal can never win its rename at that ordinal, but a
+            # LIVE writer's _finalize may still bump it to a free one —
+            # so only reclaim stages that are BOTH superseded and older
+            # than the retention window (a live commit stages for
+            # minutes, not an hour; a crashed writer's stage is forever)
             if entry.startswith(".stage-v"):
                 target = entry.split("-")[1][1:]
-                if target.isdigit() and int(target) <= latest:
-                    shutil.rmtree(os.path.join(troot, entry),
-                                  ignore_errors=True)
+                p = os.path.join(troot, entry)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # already gone
+                if target.isdigit() and int(target) <= latest \
+                        and age > self.STAGE_RETENTION_S:
+                    shutil.rmtree(p, ignore_errors=True)
         referenced = {rel for v in keep
                       for rels in self._read_manifest(table, v).values()
                       for rel in rels}
@@ -348,10 +379,8 @@ class ParquetStore:
         (df.withColumn(self._BUCKET, self._bucket_col(key))
            .write.mode("overwrite").partitionBy(self._BUCKET)
            .parquet(stage))
-        self._write_manifest(table, nxt,
-                             self._scan_bucket_files(table, nxt, at=stage),
-                             schema_json=df.schema.json(), at=stage)
-        self._claim(table, nxt, stage)
+        self._finalize(table, nxt, stage, lambda fresh: fresh,
+                       df.schema.json())
 
     def write_scoped(self, df: DataFrame, table: str,
                      touched_keys: DataFrame) -> int:
@@ -379,14 +408,16 @@ class ParquetStore:
                .filter(F.col(self._BUCKET).isin(touched))
                .write.mode("overwrite").partitionBy(self._BUCKET)
                .parquet(stage))
-        buckets = dict(self._read_manifest(table, vs[-1]))
-        fresh = self._scan_bucket_files(table, nxt, at=stage)
-        for b in touched:
-            # a touched bucket with no surviving rows commits as empty
-            buckets[b] = fresh.get(b, [])
-        self._write_manifest(table, nxt, buckets,
-                             schema_json=df.schema.json(), at=stage)
-        self._claim(table, nxt, stage)
+        carry = dict(self._read_manifest(table, vs[-1]))
+
+        def merge(fresh: dict[int, list[str]]) -> dict[int, list[str]]:
+            buckets = dict(carry)
+            for b in touched:
+                # a touched bucket with no surviving rows commits empty
+                buckets[b] = fresh.get(b, [])
+            return buckets
+
+        self._finalize(table, nxt, stage, merge, df.schema.json())
         return len(touched)
 
     def compact(self, spark: SparkSession, table: str,
@@ -408,11 +439,8 @@ class ParquetStore:
             out = out.sortWithinPartitions(sort_col)
         (out.write.mode("overwrite").partitionBy(self._BUCKET)
             .parquet(stage))
-        self._write_manifest(table, nxt,
-                             self._scan_bucket_files(table, nxt, at=stage),
-                             schema_json=df.schema.json(), at=stage)
-        self._claim(table, nxt, stage)
-        return nxt
+        return self._finalize(table, nxt, stage, lambda fresh: fresh,
+                              df.schema.json())
 
     def tables(self) -> list[str]:
         if not os.path.isdir(self.root):

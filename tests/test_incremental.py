@@ -344,8 +344,10 @@ def test_aborted_partial_commit_is_invisible(spark, tmp_path):
     (pre-staging release shape: bucket dirs, no manifest) must NOT be
     resurrected as the newest 'legacy' snapshot — that would silently
     drop every carried-forward row. With manifests present anywhere in
-    the table, manifest-less v-dirs are invisible; a later commit at the
-    same ordinal reclaims the junk instead of failing forever."""
+    the table, manifest-less v-dirs are invisible; a later commit SKIPS
+    the blocked ordinal (the claim path never deletes — a check-then-
+    delete would race a concurrent winner) and vacuum reclaims the
+    junk."""
     import os
     store = ParquetStore(str(tmp_path / "ab"), n_buckets=4)
     df = _guid_df(spark)
@@ -361,19 +363,25 @@ def test_aborted_partial_commit_is_invisible(spark, tmp_path):
         "aborted partial commit resurfaced as a live snapshot"
     full = {r.guid for r in store.read(spark, "t").collect()}
     assert full == {f"g-{i}" for i in range(60)}
-    # the next commit claims v3 by reclaiming the junk, not by raising
+    # the next commit skips the blocked ordinal (claims v4), not raising
     store.write_scoped(df, "t",
                        spark.createDataFrame([("g-2",)], "guid string"))
-    assert store.history("t") == [1, 2, 3]
+    assert store.history("t") == [1, 2, 4]
     assert {r.guid for r in store.read(spark, "t").collect()} == full
+    # vacuum (not the claim path) reclaims the junk ordinal
+    store.vacuum("t", keep_last=1)
+    assert not os.path.isdir(store._vdir("t", 3)), "junk v3 not reclaimed"
 
 
 def test_crashed_staging_is_invisible_and_vacuumed(spark, tmp_path):
     """A writer that dies before the rename leaves only a dot-prefixed
     staging dir: readers and _versions never see it, and vacuum reclaims
-    it once its target ordinal has been committed by someone else."""
+    it once its target ordinal is superseded AND it has aged past the
+    retention window (a live writer's stage must never be swept from
+    under its in-flight Spark write)."""
     import os
     store = ParquetStore(str(tmp_path / "cs"), n_buckets=4)
+    store.STAGE_RETENTION_S = 0.0  # the crash happened 'long ago'
     df = _guid_df(spark)
     store.write(df, "t")                                        # v1
     stage = store._stage_dir("t", 2)
@@ -386,6 +394,13 @@ def test_crashed_staging_is_invisible_and_vacuumed(spark, tmp_path):
     assert store.history("t") == [1, 2]
     store.vacuum("t", keep_last=2)  # drops nothing, sweeps dead stages
     assert not os.path.isdir(stage), "dead staging dir not reclaimed"
+    # a FRESH superseded stage (possibly a live writer about to bump its
+    # ordinal) survives the default retention window
+    fresh = store._stage_dir("t", 2)
+    os.makedirs(fresh)
+    store.STAGE_RETENTION_S = ParquetStore.STAGE_RETENTION_S
+    store.vacuum("t", keep_last=2)
+    assert os.path.isdir(fresh), "live-age staging dir was swept"
 
 
 def test_read_applies_manifest_schema(spark, tmp_path):

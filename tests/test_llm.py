@@ -831,6 +831,7 @@ def test_twin_edge_parity_on_edge_vectors(spark):
         (4, None, [1.0, 1.0, 1.0, 1.0]),                           # null vector
         (5, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0]),   # mixed dim, pairwise equal
         (6, [-1.0, -2.0, -3.0, -4.0], [1.0, 1.0, 1.0, 1.0]),       # negative
+        (7, [0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]),           # zero norm
     ]
     df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
     planes = sim._planes(4, 4)
@@ -860,6 +861,24 @@ def test_twin_edge_parity_on_edge_vectors(spark):
     # null vector / ragged srp: when(null > 0) → otherwise(0), bucket 0
     assert rel[4][3] == 0 and rel[3][3] == 0 and rel[5][3] == 0
     assert rel[5][0] == repr(6.0)        # mixed-dim batch still computes
+    # zero-norm pin: cosine NULL (ANSI-safe, DuckDB x/0 ≡ NULL), dot 0,
+    # bucket 0 — NOT NaN, which would order above every threshold
+    assert rel[7] == (repr(0.0), "None", repr(4.0), 0)
+    # and through the CLEAN batch path too (no nulls/ragged in batch —
+    # the masked den == 0 branch, not the rowwise fallback)
+    clean = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 1.0]), (2, [3.0, 4.0], [1.0, 1.0])],
+        "id int, a array<double>, b array<double>")
+    for flag in (False, True):
+        try:
+            sim.VECTORIZED_FOLD = flag
+            got = {r.id: r.c for r in clean.select(
+                "id", sim.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+        finally:
+            sim.VECTORIZED_FOLD = prev
+        import math
+        assert got[1] is None, f"zero-norm cosine not NULL (flag={flag})"
+        assert got[2] == 7.0 / (math.sqrt(25.0) * math.sqrt(2.0)), f"flag={flag}"
 
 
 def test_hll_unsupported_b_has_actionable_error():
