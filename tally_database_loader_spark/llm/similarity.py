@@ -445,7 +445,12 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                  F.col("nrm").alias("n1"), "bucket")
     c = b.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"),
                  F.col("nrm").alias("n2"), "bucket")
-    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    # zero-norm pin (see _cosine_rel): NULL, not an ANSI DIVIDE_BY_ZERO —
+    # a zero-norm vector is near-duplicate of nothing and the NULL fails
+    # the >= threshold filter
+    den = F.col("n1") * F.col("n2")
+    cos = F.when(den != F.lit(0.0),
+                 dot(F.col("v1"), F.col("v2")) / den)
     return (a.join(c, "bucket")
              .filter(F.col("d1") < F.col("d2"))
              .select("d1", "d2", cos.alias("cos"))
