@@ -92,12 +92,22 @@ def write_json(df: DataFrame, path: str, *, single_file: bool = False,
     if single_file:
         tmp = path + "._parts"
         df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(tmp)
-        rows = []
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part, "r", encoding="utf-8") as src:
-                rows.extend(line.rstrip("\n") for line in src if line.strip())
+        # stream part-by-part (like _finalize_single_file for CSV) — no
+        # whole-output buffering in driver memory
         with open(path, "w", encoding="utf-8") as out:
-            out.write("[\n" + ",\n".join(rows) + "\n]\n")
+            out.write("[\n")
+            first = True
+            for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+                with open(part, "r", encoding="utf-8") as src:
+                    for line in src:
+                        line = line.rstrip("\n")
+                        if not line.strip():
+                            continue
+                        if not first:
+                            out.write(",\n")
+                        out.write(line)
+                        first = False
+            out.write("\n]\n")
         shutil.rmtree(tmp)
     else:
         df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(path)
@@ -188,10 +198,16 @@ def write_bigquery(df: DataFrame, dataset: str, table: str, *,
     ``outputRows``)."""
     opts = bigquery_writer_options(dataset, table, truncate=truncate,
                                    temp_bucket=temp_bucket)
+    # observe the row count ON the write job itself — a trailing
+    # df.count() would re-run the whole plan as a second job (and could
+    # disagree with what was written for a non-deterministic input)
+    from pyspark.sql import Observation
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if stub_dir is not None:
         stage = os.path.join(stub_dir, f"{table}.csv")
         write_csv(df, stage, single_file=True, bom=False)
-        n_rows = df.count()
+        n_rows = int(obs.get["n"])
         job = {
             "configuration": {
                 "load": {
@@ -218,7 +234,7 @@ def write_bigquery(df: DataFrame, dataset: str, table: str, *,
             "classpath (--packages com.google.cloud.spark:spark-bigquery-"
             "with-dependencies); pass stub_dir= for a local dry run"
         ) from exc
-    return df.count()
+    return int(obs.get["n"])
 
 
 def write_cdm(dfs: dict[str, DataFrame], specs: dict, out_dir: str, *,
@@ -363,7 +379,8 @@ def write_training_shards(df: DataFrame, path: str, *, id_col: str,
         "n_shards": n_shards,
         "shards": sorted(
             ({"shard": int(r["shard"]), "docs": int(r["docs"]),
-              "tokens": int(r["tokens"]),
+              # all-NULL len_col in a shard sums to NULL, like checksum
+              "tokens": int(r["tokens"]) if r["tokens"] is not None else 0,
               "checksum": int(r["checksum"]) if r["checksum"] is not None
               else 0}
              for r in rows), key=lambda s: s["shard"]),

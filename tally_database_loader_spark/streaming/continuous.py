@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,14 +41,24 @@ from pyspark.sql import functions as F
 from ..operators.incremental import IncrementalSync, ParquetStore
 from ..sources.registry import TableSpec
 
-_MANIFEST_SCHEMA = "drop_id string, roots array<string>, path string"
+_MANIFEST_SCHEMA = "drop_id string, seq long, roots array<string>, path string"
 
 
 def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
                      drop_id: str | None = None) -> str:
     """Producer side of the change feed: persist one poll's nested source
     snapshot and announce it with a manifest line. (The reference's
-    analog is each ``setInterval`` tick completing its Tally extraction.)"""
+    analog is each ``setInterval`` tick completing its Tally extraction.)
+
+    The manifest carries a monotonic ``seq`` (publish-time nanos): drops
+    landing in the SAME micro-batch must merge in publication order —
+    uuid order is random, and applying an older snapshot after a newer
+    one would classify the newer rows as deletes (the H2 gate only skips
+    on EQUAL AlterIds). The line is staged dot-prefixed (Spark's file
+    listing ignores dotfiles) and renamed into place, so the streaming
+    source can never list a half-written manifest — a truncated JSON
+    would burn its filename in the source checkpoint and lose the drop
+    forever."""
     drop_id = drop_id or uuid.uuid4().hex
     snap_dir = os.path.join(landing_dir, "snapshots", drop_id)
     for root, df in source_by_root.items():
@@ -55,11 +66,14 @@ def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
     manifest_dir = os.path.join(landing_dir, "manifest")
     os.makedirs(manifest_dir, exist_ok=True)
     line = json.dumps({"drop_id": drop_id,
+                       "seq": time.time_ns(),
                        "roots": sorted(source_by_root),
                        "path": snap_dir})
-    with open(os.path.join(manifest_dir, f"{drop_id}.json"), "w",
-              encoding="utf-8") as fh:
+    final = os.path.join(manifest_dir, f"{drop_id}.json")
+    tmp = os.path.join(manifest_dir, f".{drop_id}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(line + "\n")
+    os.replace(tmp, final)  # atomic publish
     return drop_id
 
 
@@ -78,8 +92,12 @@ class ContinuousTallySync:
         self.batch_stats: list[dict] = []   # (test/observability hook)
 
     def _merge_batch(self, manifest: DataFrame, batch_id: int) -> None:
-        # manifest rows are drop announcements — tiny by construction
-        for row in manifest.orderBy("drop_id").collect():
+        # manifest rows are drop announcements — tiny by construction.
+        # Publication order, NOT drop_id (uuid) order: out-of-order
+        # application of snapshots would delete-then-never-restore rows
+        # created between them. Legacy seq-less manifests sort first.
+        for row in manifest.orderBy(F.col("seq").asc_nulls_first(),
+                                    "drop_id").collect():
             src = {root: self.spark.read.parquet(os.path.join(row.path, root))
                    for root in row.roots}
             if self.sync.store.tables():

@@ -103,8 +103,14 @@ class SyncServer:
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
-        if self._worker is not None:
-            self._worker.join(timeout=30)
+        # give a still-running sync its documented cooperative-stop
+        # signal BEFORE joining — otherwise the join burns its full
+        # timeout and abandons the worker mid-mutation
+        self._abort.set()
+        with self._lock:
+            worker = self._worker
+        if worker is not None:
+            worker.join(timeout=30)
 
     # -- log feed -----------------------------------------------------------
 
@@ -133,15 +139,20 @@ class SyncServer:
                 return "Sync is already running"
             self._running = True
             self._abort.clear()
-        self._worker = threading.Thread(
-            target=self._sync_main, args=(config,), daemon=True)
-        self._worker.start()
+            # assign the worker INSIDE the lock: an /abort landing
+            # between _running=True and the assignment would otherwise
+            # see the previous dead worker and silently drop the abort
+            self._worker = threading.Thread(
+                target=self._sync_main, args=(config,), daemon=True)
+            self._worker.start()
         return "Sync started"
 
     def _request_abort(self) -> str:
-        if self._worker is not None and self._worker.is_alive():
-            self._abort.set()
-            return "Abort requested"
+        with self._lock:
+            if self._running and self._worker is not None \
+                    and self._worker.is_alive():
+                self._abort.set()
+                return "Abort requested"
         return "Could not abort: no sync running"
 
     # -- Tally probes (reference /list-company, /tally-status) --------------
@@ -197,13 +208,16 @@ class SyncServer:
                     except FileNotFoundError:
                         self._reply("{}", "application/json")
                 elif path == "/log":
-                    since = 0
-                    for part in query.split("&"):
-                        if part.startswith("since="):
-                            try:
-                                since = int(part[6:])
-                            except ValueError:
-                                pass
+                    from urllib.parse import parse_qs
+                    try:
+                        since = int(parse_qs(query).get("since", ["0"])[0])
+                    except ValueError:
+                        since = 0
+                    if since < 0:
+                        # a negative cursor would slice a wrong tail
+                        # window and return a misleading next pointer
+                        self._reply("since must be >= 0", "text/plain", 400)
+                        return
                     nxt, lines = srv.log_since(since)
                     self._reply(json.dumps({"next": nxt, "lines": lines}),
                                 "application/json")

@@ -21,8 +21,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_OUT_SCHEMA = "key bigint, n_events bigint, total double"
 _STATE_SCHEMA = "n bigint, total double"
+
+
+def _col_type(df: DataFrame, col: str) -> str:
+    """DDL type of ``df[col]`` — the output/state schemas mirror the
+    caller's key/id types (a string-keyed ledger feed must not crash on
+    a hard-coded ``bigint``, ADVICE-class review finding r4)."""
+    return df.schema[col].dataType.simpleString()
+
+
+def _py(v):
+    """numpy scalar → plain Python (Arrow state/output columns reject
+    np.int64 for string-typed schemas and vice versa)."""
+    return v.item() if hasattr(v, "item") else v
 
 
 def running_totals(events: DataFrame, *, key_col: str = "user_id",
@@ -32,7 +44,10 @@ def running_totals(events: DataFrame, *, key_col: str = "user_id",
     Each micro-batch folds its rows into the key's (n, total) pair and
     emits the updated pair — ``update`` output mode semantics. Restarting
     from the checkpoint resumes the totals (asserted in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py). The output ``key`` column carries the
+    caller's key type."""
+    out_schema = f"key {_col_type(events, key_col)}, " \
+                 f"n_events bigint, total double"
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -44,12 +59,8 @@ def running_totals(events: DataFrame, *, key_col: str = "user_id",
         yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
 
     return (events.groupBy(key_col)
-            .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
+            .applyInPandasWithState(update, out_schema, _STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
-
-
-_DEDUP_OUT = "fingerprint string, doc_id bigint, dup_count bigint"
-_DEDUP_STATE = "keeper bigint, dups bigint"
 
 
 def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
@@ -68,7 +79,12 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
     would be nondeterministic; min-wins matches the batch operator's
     keep_id = min(doc_id) convention and is retry-stable. Checkpoint
     recovery resumes the seen-set (asserted in tests/test_streaming.py),
-    which is what makes ingestion restarts idempotent."""
+    which is what makes ingestion restarts idempotent. Output/state
+    schemas mirror the caller's fingerprint/id types (string doc ids
+    work)."""
+    out_schema = f"fingerprint {_col_type(docs, key_col)}, " \
+                 f"doc_id {_col_type(docs, id_col)}, dup_count bigint"
+    state_schema = f"keeper {_col_type(docs, id_col)}, dups bigint"
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -82,7 +98,7 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            m = int(pdf[id_col].min())
+            m = _py(pdf[id_col].min())
             batch_min = m if batch_min is None else min(batch_min, m)
             n_new += len(pdf)
         if n_new:
@@ -96,7 +112,7 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
                             "dup_count": [dups]})
 
     return (docs.groupBy(key_col)
-            .applyInPandasWithState(update, _DEDUP_OUT, _DEDUP_STATE,
+            .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
@@ -104,8 +120,6 @@ def streaming_dedup(docs: DataFrame, *, key_col: str = "fingerprint",
 # streaming MinHash-LSH near-duplicate candidates
 # ---------------------------------------------------------------------------
 
-_ND_OUT = "band int, bsig string, d1 bigint, d2 bigint"
-_ND_STATE = "keeper bigint"
 
 
 def band_signatures(text, n: int = 3, k: int = 16, bands: int = 4):
@@ -157,16 +171,21 @@ def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     the representative), which is what duplicate CLUSTERING consumes;
     downstream exact-Jaccard verification stays a batch join. Documents
     shorter than the shingle width produce no signatures and pass
-    through unexamined, exactly like the batch path."""
+    through unexamined, exactly like the batch path. The pair columns
+    mirror the caller's id type (string doc ids work; min-wins becomes
+    lexicographic)."""
+    idt = _col_type(docs, id_col)
+    nd_out = f"band int, bsig string, d1 {idt}, d2 {idt}"
+    nd_state = f"keeper {idt}"
 
     def update(key, pdfs: "Iterator[pd.DataFrame]",
                state: GroupState) -> "Iterator[pd.DataFrame]":
         keeper = state.get[0] if state.exists else None
-        ids: set[int] = set()
+        ids = set()
         for pdf in pdfs:
             # the grouped frame carries the ALIASED id column, never the
             # caller's original name
-            ids.update(int(x) for x in pdf["doc_id"])
+            ids.update(_py(x) for x in pdf["doc_id"])
         ids = sorted(ids)
         if keeper is None and ids:
             keeper = ids[0]
@@ -186,5 +205,5 @@ def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
                        F.col("b.bsig").alias("bsig"))
                .filter(F.col("bsig") != ""))
     return (sig.groupBy("band", "bsig")
-            .applyInPandasWithState(update, _ND_OUT, _ND_STATE,
+            .applyInPandasWithState(update, nd_out, nd_state,
                                     "update", GroupStateTimeout.NoTimeout))

@@ -404,3 +404,70 @@ def test_bloom_positions_stream_equals_batch(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.pos for r in spark.sql("select * from bloomreg").collect())
     assert got == want and len(got) > 0
+
+
+def test_same_batch_drops_merge_in_publication_order(spark, tmp_path):
+    """Review r4: two snapshot drops landing in ONE micro-batch must
+    apply in PUBLICATION order (the manifest's monotonic seq), not
+    drop_id order — uuid ids are random, and applying the older snapshot
+    last would classify the newer snapshot's rows as deletes and destroy
+    them. drop_ids here are chosen so id-order is the REVERSE of
+    publication order."""
+    from tests.tally_fixtures import tally_source
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStore(str(tmp_path / "store"))
+    specs = default_tables()
+    cts = ContinuousTallySync(spark, store, specs, landing, ckpt)
+
+    src1 = tally_source(spark)
+    src2 = _mutate(spark, src1)           # newer state: v-006 deleted etc.
+    publish_snapshot(landing, src1, drop_id="zzz-older")
+    publish_snapshot(landing, src2, drop_id="aaa-newer")
+    cts.run_once()                        # ONE micro-batch, both drops
+
+    applied = [s["drop_id"] for s in cts.batch_stats]
+    assert applied == ["zzz-older", "aaa-newer"], \
+        f"drops applied out of publication order: {applied}"
+    vch = {r["guid"] for r in store.read(spark, "trn_voucher").collect()}
+    assert "v-006" not in vch, "older snapshot resurrected a deleted row"
+    assert "v-013" in vch, "newer snapshot's insert was lost"
+
+
+def test_stateful_operators_accept_string_keys(spark, tmp_path):
+    """Review r4: output/state schemas must mirror the caller's key/id
+    types — the docstring's own per-LEDGER example is string-keyed, and
+    the previous hard-coded bigint schemas crashed on it."""
+    from tally_database_loader_spark.streaming.stateful import (
+        running_totals, streaming_dedup)
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [("Cash", 10.0), ("Cash", 5.0), ("Bank", 7.0)],
+        "ledger string, value double").write.parquet(src)
+    stream = spark.readStream.schema("ledger string, value double").parquet(src)
+    out: list = []
+    q = (running_totals(stream, key_col="ledger")
+         .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {r["key"]: (r["n_events"], r["total"]) for r in out} \
+        == {"Cash": (2, 15.0), "Bank": (1, 7.0)}
+
+    dsrc = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [("fp1", "doc-b"), ("fp1", "doc-a"), ("fp2", "doc-c")],
+        "fingerprint string, doc_id string").write.parquet(dsrc)
+    dstream = spark.readStream.schema(
+        "fingerprint string, doc_id string").parquet(dsrc)
+    dout: list = []
+    q = (streaming_dedup(dstream)
+         .writeStream.foreachBatch(lambda df, _id: dout.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["fingerprint"]: (r["doc_id"], r["dup_count"]) for r in dout}
+    assert got == {"fp1": ("doc-a", 1), "fp2": ("doc-c", 0)}  # min-wins
