@@ -64,7 +64,10 @@ def asof_join(
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
 
     tie = F.col(tiebreak) if tiebreak else F.lit(0)
-    r = right.select(
+    # a NULL right_ts satisfies no `right_ts <= left_ts` predicate, but
+    # would sort FIRST in the ascending window (NULLS FIRST) and backfill
+    # left rows that should get the left-outer NULL — drop such rows
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias(_TS),
         tie.alias("__asof_tie"),

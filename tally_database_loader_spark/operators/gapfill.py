@@ -67,9 +67,13 @@ def gap_fill(
     out_ts: str = "cell_ts",
 ) -> DataFrame:
     """Dense fixed-``step`` series over ``[start, end]`` (numeric units of
-    ``ts_col``; epoch micros for timestamps) for every distinct key in
-    ``obs``, with the latest observation in each cell carried forward
-    across empty cells.
+    ``ts_col``; epoch micros for timestamps) for every distinct key with
+    at least one observation INSIDE the window, with the latest
+    observation in each cell carried forward across empty cells. Keys
+    whose observations all fall outside ``[start, end]`` get no rows —
+    LOCF never carries in from outside the window, so their series would
+    be all-NULL (the classic SQL spine formulation, which the
+    ``gap_fill_locf`` oracle replays, scopes keys the same way).
 
     Within a cell the kept observation is the one with the greatest
     ``(ts, tiebreak)`` — pass a unique ``tiebreak`` column to make
@@ -99,6 +103,10 @@ def gap_fill(
                         .alias(_ELECT))
                   .select(*keys, _CELL, F.col(f"{_ELECT}.{_PAY}").alias(_PAY)))
 
+    # spine keys = keys with at least one observation IN the window (the
+    # classic SQL formulation the oracle replays); keys that went quiet
+    # before `start` get no series — LOCF never carries in from outside
+    # the window, so their rows would be all-NULL noise
     spine = (obs_w.select(*keys).distinct()
                 .withColumn(_CELL, F.explode(F.sequence(F.lit(b0), F.lit(b1)))))
 

@@ -72,21 +72,32 @@ def transitive_closure(edges: DataFrame, max_depth: int = 32,
 
 
 def tree_paths(nodes: DataFrame, name_col: str = "name",
-               parent_col: str = "parent", root_marker: str = "",
-               max_depth: int = 32) -> DataFrame:
+               parent_col: str = "parent", root_marker: str | None = "",
+               max_depth: int = 32,
+               broadcast_nodes: bool = True) -> DataFrame:
     """(name, path, depth) for every node, path = root/.../name.
 
     DataFrame equivalent of the reference's parent-child tree listing
-    (reports/mssql/group-tree-parent-child.sql): starts at roots
-    (parent == ``root_marker``) and joins children on parent=name per level.
-    """
+    (reports/mssql/group-tree-parent-child.sql): starts at roots and
+    joins children on parent=name per level. Roots are rows whose parent
+    equals ``root_marker`` OR is NULL — the Tally model normalizes
+    root parents to '' but the common external representation is NULL,
+    and ``parent == ''`` evaluates to NULL for those rows, which would
+    silently return an empty tree. Pass ``root_marker=None`` to treat
+    ONLY NULL parents as roots. ``broadcast_nodes=False`` for node
+    tables too large for a driver broadcast (the per-level join then
+    shuffles, like ``transitive_closure``'s ``broadcast_edges=False``)."""
     base = nodes.select(F.col(name_col).alias("name"), F.col(parent_col).alias("parent"))
-    frontier = (base.filter(F.col("parent") == root_marker)
+    is_root = (F.col("parent").isNull() if root_marker is None
+               else (F.col("parent") == root_marker) | F.col("parent").isNull())
+    frontier = (base.filter(is_root)
                     .select("name", F.col("name").alias("path"),
                             F.lit(1).cast("int").alias("depth")))
     levels = [frontier]
-    children = F.broadcast(base.select(F.col("name").alias("_c_name"),
-                                       F.col("parent").alias("_c_parent")))
+    children = base.select(F.col("name").alias("_c_name"),
+                           F.col("parent").alias("_c_parent"))
+    if broadcast_nodes:
+        children = F.broadcast(children)
     for _ in range(max_depth - 1):
         frontier = (frontier.join(children, frontier.name == F.col("_c_parent"))
                     .select(F.col("_c_name").alias("name"),

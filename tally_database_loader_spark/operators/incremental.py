@@ -493,40 +493,67 @@ class IncrementalSync:
         roots = set(source_by_root)
         primaries = self._primary_tables(roots)
 
-        # E1/E2: version probes; H2 change gate
-        src_max = 0
+        # E1/E2: version probes; H2 change gate. Masters and vouchers
+        # advance on INDEPENDENT AlterId counters ($AltMstId/$AltVchId,
+        # reference src/tally.mts:114-128) — one probe per group
+        src_max = {"master": 0, "transaction": 0}
         for root, df in source_by_root.items():
             if "AlterId" in df.columns:
+                g = "transaction" if root == "Voucher" else "master"
                 row = df.agg(F.coalesce(F.max("AlterId"), F.lit(0)).alias("m")).collect()[0]
-                src_max = max(src_max, int(row.m))
+                src_max[g] = max(src_max[g], int(row.m))
         frames = extract_all(source_by_root, self.specs, include_alterid=True)
         return self.incremental_sync_frames(frames, primaries=primaries,
                                             src_max=src_max)
 
+    def _group_of(self, name: str) -> str:
+        spec = self.specs.get(name)
+        return spec.watermark_group() if spec is not None else "master"
+
     def incremental_sync_frames(self, frames: dict[str, DataFrame],
                                 primaries: list[str] | None = None,
-                                src_max: int | None = None) -> dict:
+                                src_max: dict[str, int] | int | None = None,
+                                ) -> dict:
         """The E-protocol over PRE-EXTRACTED flat per-table frames (each
         with ``guid`` + ``alterid``) — the entry the CLI's XML-dump
         source uses, where tables arrive already flat instead of as
         nested root collections. ``incremental_sync`` delegates here
-        after extraction; semantics are identical."""
+        after extraction; semantics are identical.
+
+        Watermarks are PER GROUP (master vs transaction), mirroring the
+        reference's two counters (src/tally.mts:114-128, filters at
+        :197/:215): masters and vouchers advance on independent Tally
+        AlterId sequences, so a single global max would (a) skip syncs
+        whose only changes are on the lower-valued counter and (b) use
+        the higher counter as the re-append threshold for the other
+        group — a modified master with alterid below the voucher max
+        would be deleted by E5 and never re-appended by E8."""
         if primaries is None:
             primaries = [n for n in frames
                          if n in self.specs
                          and self.specs[n].nature == "Primary"
                          and "guid" in frames[n].columns]
         stats = {"deleted": {}, "appended": {}, "skipped": False}
-        if src_max is None:
-            src_max = 0
-            for name in primaries:
-                if "alterid" in frames[name].columns:
-                    row = frames[name].agg(
-                        F.coalesce(F.max("alterid"), F.lit(0)).alias("m")
-                    ).collect()[0]
-                    src_max = max(src_max, int(row.m))
-        sink_max = sink_max_alterid(self.spark, self.store, primaries)
-        if src_max == sink_max:
+        by_group: dict[str, list[str]] = {"master": [], "transaction": []}
+        for name in primaries:
+            by_group[self._group_of(name)].append(name)
+        if src_max is None or isinstance(src_max, int):
+            legacy = src_max if isinstance(src_max, int) else None
+            src_max = {"master": 0, "transaction": 0}
+            for g, names in by_group.items():
+                if legacy is not None:
+                    src_max[g] = legacy  # pre-split callers: one counter
+                    continue
+                for name in names:
+                    if "alterid" in frames[name].columns:
+                        row = frames[name].agg(
+                            F.coalesce(F.max("alterid"), F.lit(0)).alias("m")
+                        ).collect()[0]
+                        src_max[g] = max(src_max[g], int(row.m))
+        sink_max = {g: sink_max_alterid(self.spark, self.store, names)
+                    for g, names in by_group.items()}
+        if all(src_max.get(g, 0) == sink_max[g]
+               for g, names in by_group.items() if names):
             stats["skipped"] = True
             return stats
 
@@ -536,6 +563,7 @@ class IncrementalSync:
             if not self.store.exists(name):
                 continue
             spec = self.specs[name]
+            wm = sink_max[self._group_of(name)]  # this table's counter
             # E3: slim changed-set (guid, alterid)
             diff = frames[name].select("guid", F.col("alterid").alias("src_alterid"))
             target = self.store.read(self.spark, name)
@@ -552,7 +580,7 @@ class IncrementalSync:
             # E8: fresh rows — alterid beyond the sink watermark (C8), or
             # re-extraction of modified rows (their alterid > old one too)
             fresh = frames[name].join(kept.select("guid"), "guid", "left_anti") \
-                                .filter(F.col("alterid") > sink_max)
+                                .filter(F.col("alterid") > wm)
             merged = kept.unionByName(fresh)
             # partition-scoped commit: only buckets holding a removed or
             # fresh guid are rewritten; the rest carry forward by manifest reference
@@ -564,7 +592,7 @@ class IncrementalSync:
 
             # E7: cascade delete through FK edges; children of fresh
             # (new/modified) parents are re-derived from the source
-            fresh_parents = (frames[name].filter(F.col("alterid") > sink_max)
+            fresh_parents = (frames[name].filter(F.col("alterid") > wm)
                                          .select("guid"))
             for child, fk in spec.cascade_delete.items():
                 if not self.store.exists(child):
@@ -592,7 +620,7 @@ class IncrementalSync:
                     refreshed = None
                     if child in frames:
                         fresh_names = (frames[name]
-                                       .filter(F.col("alterid") > sink_max)
+                                       .filter(F.col("alterid") > wm)
                                        .select(F.col("name").alias(fk)).distinct())
                         refreshed = frames[child].join(F.broadcast(fresh_names),
                                                        fk, "left_semi")

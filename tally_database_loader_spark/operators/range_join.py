@@ -48,9 +48,14 @@ _CELL = "__range_cell"
 
 
 def _as_num(df: DataFrame, col: str) -> Column:
-    """Timestamps compare as epoch micros; numerics pass through."""
-    if isinstance(df.schema[col].dataType, T.TimestampType):
+    """Timestamps compare as epoch micros; numerics pass through.
+    NTZ handled like gapfill._as_num — the session tz is UTC
+    (session.py) so the LTZ cast is instant-preserving."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
         return F.unix_micros(F.col(col))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col(col).cast("timestamp"))
     return F.col(col)
 
 

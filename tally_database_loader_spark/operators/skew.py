@@ -92,7 +92,18 @@ def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
     all ``n_salt`` salt values (×n_salt rows — still far cheaper than one
     straggler task owning the hot key); the join runs on
     (*on, salt) and the salt column is dropped.
+
+    ``how`` is restricted to join types that do NOT preserve unmatched
+    SMALL-side rows: right/full outer would emit ``n_salt`` null-extended
+    copies of every unmatched small row (one per salt replica). Flip the
+    arguments (and the join direction) for those shapes.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer",
+               "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}): join types preserving unmatched "
+            f"small-side rows would duplicate them n_salt times; salt the "
+            f"other side instead")
     b = big.withColumn("_salt", salt_column(distinct_on, n_salt))
     s = (small.select("*", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
                             .alias("_salt"))

@@ -83,6 +83,21 @@ class TableSpec:
     fetch: list[str] = field(default_factory=list)
     cascade_update: dict[str, str] = field(default_factory=dict)   # child_col -> parent_table.col
     cascade_delete: dict[str, str] = field(default_factory=dict)   # child_table -> fk_col
+    # YAML section: 'master' | 'transaction' | '' (derive from collection).
+    # Masters and vouchers advance on INDEPENDENT Tally AlterId counters
+    # ($AltMstId / $AltVchId, reference src/tally.mts:114-128), so the
+    # incremental engine keeps one watermark per group.
+    group: str = ""
+
+    def watermark_group(self) -> str:
+        """'transaction' for Voucher-rooted tables, else 'master' — the
+        reference's section split (its one master-section trn_* table,
+        trn_closingstock_ledger, is Ledger-rooted and lands in 'master'
+        here too)."""
+        if self.group:
+            return self.group
+        return ("transaction" if self.collection.split(".")[0] == "Voucher"
+                else "master")
 
     def struct_type(self, include_alterid: bool = False) -> T.StructType:
         fields = [T.StructField(f.name, f.spark_type(), True) for f in self.fields]
@@ -277,7 +292,10 @@ def default_tables() -> dict[str, TableSpec]:
         TableSpec("trn_batch", "Voucher.AllInventoryEntries.BatchAllocations", [
             _f(g, "..Guid"), _f("item", "..StockItemName"),
             _f("name", "$BatchName"),
-            _f("quantity", "$Amount", "quantity"),
+            # reference tally-export-config.yaml:609-611: the batch
+            # quantity is $ActualQty (signed Inward/Outward), NOT the
+            # monetary $Amount
+            _f("quantity", "$ActualQty", "quantity"),
             _f("amount", "$Amount", "amount"),
             _f("godown", "$GodownName"),
             _f("destination_godown", "$DestinationGodownName"),
@@ -317,5 +335,6 @@ def load_yaml_spec(text: str) -> dict[str, TableSpec]:
                 fetch=tbl.get("fetch") or [],
                 cascade_update=tbl.get("cascade_update") or {},
                 cascade_delete=tbl.get("cascade_delete") or {},
+                group=section,
             )
     return out

@@ -157,6 +157,19 @@ def _tdl_formula(spec: TableSpec, f: Filter) -> str | None:
     # '$$IsEqual:$<expr>:"v"' is nonsense TDL that over-filters
     if not re.fullmatch(r"\$[A-Za-z0-9_.]+", fld.expr):
         return None
+    # only TEXT fields push down: every other type's <SET> encoding
+    # rewrites the raw value (logical Yes/No → 1/0, amount/quantity sign
+    # flips via $$IsDebit/$$IsInwards, date ñ-sentinel, number empty→"0"),
+    # so a server formula over the RAW field is evaluated against
+    # different values than Spark's predicate over the ENCODED output —
+    # e.g. `is_revenue == 1` would push `$$IsEqual:$IsRevenue:"1"` and
+    # match nothing (the server sees Yes/No), dropping rows the client
+    # re-check can never restore. Text's SET is the identity, so raw ==
+    # encoded and equality/membership/contains are exact. (IsNotNull is
+    # excluded even for text: empty text extracts as '', which is NOT
+    # NULL to Spark, but `NOT $$IsEmpty` would drop it server-side.)
+    if fld.type != "text":
+        return None
     src = fld.expr.lstrip("$")
     if isinstance(f, EqualTo):
         v = _tdl_quoted(f.value)
@@ -167,17 +180,10 @@ def _tdl_formula(spec: TableSpec, f: Filter) -> str | None:
             return None
         alts = " OR ".join(f'$$IsEqual:${src}:"{v}"' for v in vals)
         return f"({alts})"
-    if isinstance(f, (GreaterThan, GreaterThanOrEqual,
-                      LessThan, LessThanOrEqual)):
-        v = _tdl_number(f.value)
-        if v is None:
-            return None
-        op = {GreaterThan: ">", GreaterThanOrEqual: ">=",
-              LessThan: "<", LessThanOrEqual: "<="}[type(f)]
-        return f"${src} {op} {v}"
-    if isinstance(f, IsNotNull):
-        return f"NOT $$IsEmpty:${src}"
     if isinstance(f, StringContains):
+        # caseless server-side (a SUPERSET of Spark's case-sensitive
+        # contains — weaker is safe); the exact case-sensitive re-check
+        # happens client-side in _py_pred
         v = _tdl_quoted(f.value)
         return None if v is None else f'$$StringContainsCaseless:${src}:"{v}"'
     return None
@@ -202,7 +208,11 @@ def _py_pred(f: Filter, idx: dict[str, int]):
     if isinstance(f, IsNotNull):
         return lambda r: r[i] is not None
     if isinstance(f, StringContains):
-        return lambda r: r[i] is not None and f.value.lower() in str(r[i]).lower()
+        # CASE-SENSITIVE, matching Spark's StringContains exactly — this
+        # re-check is the only filter Spark sees for a pushed contains
+        # (pushed filters are not re-applied by the engine), and the
+        # server side is deliberately the caseless superset
+        return lambda r: r[i] is not None and f.value in str(r[i])
     return lambda r: True
 
 

@@ -123,7 +123,14 @@ def generate_tdl_xml(spec: TableSpec, company: str | None = None) -> str:
         coll.append(f"<FILTER>{flt_names}</FILTER>")
     coll.append("</COLLECTION>")
     for j, flt in enumerate(spec.filters, start=1):
-        coll.append(f'<SYSTEM TYPE="Formulae" NAME="Fltr{j:02d}">{flt}</SYSTEM>')
+        # XML-escape the formula CONTENT: comparison filters carry bare
+        # '<' / '<=' (the C8 dynamic `$AlterId <= N`, user less-thans),
+        # which is ill-formed inside an element — a conforming parser
+        # rejects the whole request. Tally's XML layer decodes the
+        # entities back before evaluating the formula.
+        esc = (flt.replace("&", "&amp;").replace("<", "&lt;")
+                  .replace(">", "&gt;"))
+        coll.append(f'<SYSTEM TYPE="Formulae" NAME="Fltr{j:02d}">{esc}</SYSTEM>')
 
     return (head + "".join(parts) + "".join(lines) + "".join(fields)
             + "".join(coll) + "</TDLMESSAGE></TDL></DESC></BODY></ENVELOPE>")

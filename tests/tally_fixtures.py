@@ -70,7 +70,7 @@ VOUCHER_SCHEMA = (
     "AllInventoryEntries array<struct<StockItemName:string, ActualQty:string, "
     "Rate:double, Amount:double, AddlAmount:double, Discount:double, "
     "GodownName:string, TrackingNumber:string, OrderNumber:string, OrderDueDate:string, "
-    "BatchAllocations:array<struct<BatchName:string, Amount:double, GodownName:string, "
+    "BatchAllocations:array<struct<BatchName:string, ActualQty:string, Amount:double, GodownName:string, "
     "DestinationGodownName:string, TrackingNumber:string>>>>")
 
 SIMPLE_SCHEMAS = {
@@ -249,7 +249,8 @@ def tally_source(spark: SparkSession) -> dict[str, DataFrame]:
              ledger_entries=[("Purchase Local", -100.0, None, None, None),
                              ("Party Y", 100.0, None, None, None)],
              inventory_entries=[("Item A", "10 nos", 10.0, -100.0, "Main", "TRK1",
-                                 [dict(BatchName="BATCH-1", Amount=10.0, GodownName="Main",
+                                 [dict(BatchName="BATCH-1", ActualQty="10 nos",
+                                       Amount=10.0, GodownName="Main",
                                        DestinationGodownName="", TrackingNumber="TRK1")])],
              is_invoice="Yes"),
         # delivery note with NO invoice yet (note > invoice ⇒ note counts)

@@ -86,3 +86,15 @@ def test_asof_rejects_colliding_columns(spark):
     right = spark.createDataFrame([(1, _ts(0), 6)], "k int, ts timestamp, rid int")
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "ts", "ts", ["rid"])
+
+
+def test_null_right_ts_never_backfills(spark):
+    """A NULL right timestamp satisfies no `right_ts <= left_ts`; it must
+    not win the as-of window (NULLS FIRST would have made it everyone's
+    oldest match)."""
+    from tally_database_loader_spark.operators.asof import asof_join
+    left = spark.createDataFrame([("K", 5)], "k string, lts int")
+    right = spark.createDataFrame([("K", None, "ghost"), ("K", 9, "late")],
+                                  "k string, rts int, payload string")
+    out = asof_join(left, right, ["k"], "lts", "rts", ["payload"]).collect()
+    assert len(out) == 1 and out[0]["payload"] is None

@@ -421,3 +421,52 @@ def test_read_applies_manifest_schema(spark, tmp_path):
     assert rows["g-1"] == "x" and len(rows) == 60
     # a carried-forward row (untouched bucket, file written at v1)
     assert all(v is None for g, v in rows.items() if g != "g-1")
+
+
+def test_master_and_voucher_watermarks_are_independent(spark, tmp_path):
+    """Review r4 (reference src/tally.mts:114-128): masters and vouchers
+    advance on SEPARATE Tally AlterId counters. A modified master whose
+    new alterid sits far below the voucher counter must still sync —
+    under a single global watermark the whole sync was skipped (equal
+    global maxes) or, worse, the master was deleted by E5 and never
+    re-appended by E8 (its alterid under the voucher max)."""
+    from tally_database_loader_spark.sources.registry import load_yaml_spec
+
+    specs = load_yaml_spec("""
+master:
+  - name: mst_thing
+    collection: Thing
+    fields:
+      - {name: guid, field: $Guid, type: text}
+      - {name: name, field: $Name, type: text}
+transaction:
+  - name: trn_voucher
+    collection: Voucher
+    fields:
+      - {name: guid, field: $Guid, type: text}
+      - {name: voucher_number, field: $VoucherNumber, type: text}
+""")
+    assert specs["mst_thing"].watermark_group() == "master"
+    assert specs["trn_voucher"].watermark_group() == "transaction"
+
+    store = ParquetStore(str(tmp_path / "st"), n_buckets=4)
+    eng = IncrementalSync(spark, store, specs)
+    m1 = spark.createDataFrame([("m-1", "A", 5), ("m-2", "B", 7)],
+                               "guid string, name string, alterid long")
+    v1 = spark.createDataFrame([("v-1", "001", 50000)],
+                               "guid string, voucher_number string, alterid long")
+    store.write(m1, "mst_thing")
+    store.write(v1, "trn_voucher")
+
+    # master-only edit: new master alterid 8 — far below the voucher 50000
+    m2 = spark.createDataFrame([("m-1", "A", 5), ("m-2", "B-edited", 8)],
+                               "guid string, name string, alterid long")
+    stats = eng.incremental_sync_frames({"mst_thing": m2, "trn_voucher": v1})
+    assert not stats["skipped"], \
+        "master-only change masked by the voucher counter"
+    got = {r.guid: r.name for r in store.read(spark, "mst_thing").collect()}
+    assert got == {"m-1": "A", "m-2": "B-edited"}, \
+        "modified master deleted but not re-appended (global watermark)"
+    # and the no-op gate still gates: same frames again → skipped
+    stats2 = eng.incremental_sync_frames({"mst_thing": m2, "trn_voucher": v1})
+    assert stats2["skipped"]

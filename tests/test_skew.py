@@ -78,3 +78,18 @@ def test_non_decomposable_aggregate_rejected(spark):
         salted_aggregate(e, keys=["event_type"],
                          aggs={"m": ("median", "value")},
                          distinct_on="event_id")
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """right/full outer would emit n_salt null-extended copies of every
+    unmatched small-side row — rejected with a clear error."""
+    import pytest
+    from tally_database_loader_spark.operators.skew import salted_join
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(2, "b")], "k int, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, ["k"], "k", n_salt=4, how=how)
+    # left outer keeps exactly one copy of each big row — unaffected
+    got = salted_join(big, small, ["k"], "k", n_salt=4, how="left").collect()
+    assert len(got) == 1 and got[0]["w"] is None

@@ -263,11 +263,16 @@ def test_tdl_formula_literal_safety():
         _tdl_formula
 
     spec = default_tables()["mst_vouchertype"]
-    # plain string / numeric literals render
+    # plain string literals on TEXT fields render
     assert _tdl_formula(spec, EqualTo(("name",), "Journal")) \
         == '$$IsEqual:$Name:"Journal"'
-    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0)) \
-        == "$AffectsStock > 0"
+    # NON-TEXT fields never push: their <SET> encodings rewrite the raw
+    # value (logical Yes/No → 1/0 here), so a raw-field server formula
+    # evaluates against different values than Spark's predicate over the
+    # encoded output — `$AffectsStock > 0` would compare Yes/No to 0 and
+    # over-filter rows the client re-check can never restore
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0)) is None
+    assert _tdl_formula(spec, EqualTo(("affects_stock",), 1)) is None
     # a date would render as unquoted arithmetic (1995-1-1) — rejected
     assert _tdl_formula(
         spec, GreaterThan(("name",), datetime.date(1995, 1, 1))) is None
@@ -282,12 +287,12 @@ def test_tdl_formula_literal_safety():
     # computed-expression fields (mst_vouchertype.parent is an if/then
     # normalization) cannot be pasted into a formula — rejected
     assert _tdl_formula(spec, EqualTo(("parent",), "Contra")) is None
-    # scientific notation / non-finite floats are not TDL numerics
+    # numeric comparisons never push (no non-text field may), regardless
+    # of how the literal would render
     assert _tdl_formula(spec, GreaterThan(("affects_stock",), 1e-05)) is None
     assert _tdl_formula(spec, GreaterThan(("affects_stock",),
                                           float("inf"))) is None
-    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0.25)) \
-        == "$AffectsStock > 0.25"
+    assert _tdl_formula(spec, GreaterThan(("affects_stock",), 0.25)) is None
 
 
 def test_tally_stream_source_alterid_offsets(spark, tmp_path):
