@@ -919,3 +919,82 @@ def test_semantic_dedup_keeps_one_representative_per_similar_group(spark):
     assert all(h in sim_lo for h in dropped)
     # every row with NO lower-id similar neighbor survives
     assert all(i in kept_ids for i in all_ids if i not in sim_lo)
+
+
+def _wav_bytes(rate=8000, freq=440, n=800, width=2, channels=1):
+    import io
+    import math
+    import wave as _wave
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = int(10000 * math.sin(2 * math.pi * freq * i / rate))
+            for _ in range(channels):
+                frames += v.to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _ppm_bytes(w, h, rgb):
+    return (f"P6\n{w} {h}\n255\n".encode("ascii")
+            + bytes(rgb) * (w * h))
+
+
+def _bmp_bytes(w, h, bgr):
+    import struct as _s
+    stride = (w * 3 + 3) & ~3
+    data = (bytes(bgr) * w + b"\x00" * (stride - w * 3)) * h
+    off = 54
+    return (b"BM" + _s.pack("<IHHI", off + len(data), 0, 0, off)
+            + _s.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0) + data)
+
+
+def test_real_wav_decode(spark):
+    """decode_audio_features is a REAL stdlib-wave decoder: container
+    fields and PCM RMS come from the actual bytes; corrupt payloads
+    yield NULL-feature rows, never task failures."""
+    import math
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_wav_bytes, decode_audio_features)
+    wav = _wav_bytes(rate=8000, freq=440, n=800)
+    df = spark.createDataFrame([(1, wav), (2, b"not a wav")],
+                               "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in decode_audio_features(df).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].n_channels == 1
+    assert rows[1].n_frames == 800 and rows[1].sample_width == 2
+    assert abs(rows[1].duration_s - 0.1) < 1e-9
+    # a full-cycle sine's RMS ≈ amplitude/√2
+    assert abs(rows[1].rms - 10000 / math.sqrt(2)) / 10000 < 0.01
+    assert rows[1].rms == _decode_wav_bytes(wav)["rms"]  # plumbing == core
+    assert rows[2].sample_rate is None and rows[2].rms is None
+
+
+def test_real_ppm_bmp_decode_and_resize(spark):
+    """decode_image_features really parses PPM P6 and uncompressed 24-bit
+    BMP (dimensions + per-channel means, BMP's BGR order and 4-byte row
+    padding handled); resize_ppm emits a valid smaller P6 payload whose
+    pixels come from nearest-neighbor sampling."""
+    from tally_database_loader_spark.llm.multimodal import (
+        decode_image_features, resize_ppm)
+    ppm = _ppm_bytes(6, 4, (10, 200, 30))
+    bmp = _bmp_bytes(5, 3, (30, 200, 10))      # BGR on disk == same RGB
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, b"\x89PNG....")],
+        "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in decode_image_features(df).collect()}
+    assert (rows[1].format, rows[1].width, rows[1].height) == ("ppm", 6, 4)
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (10.0, 200.0, 30.0)
+    assert (rows[2].format, rows[2].width, rows[2].height) == ("bmp", 5, 3)
+    assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == (10.0, 200.0, 30.0)
+    assert rows[3].format is None              # PNG needs PIL — NULL row
+
+    out = {r.doc_id: r for r in resize_ppm(df, 3, 2).collect()}
+    resized = bytes(out[1].payload)
+    assert resized.startswith(b"P6\n3 2\n255\n")
+    assert resized[-3 * 2 * 3:] == bytes((10, 200, 30)) * 6  # uniform image
+    assert out[2].payload is None              # BMP passthrough → NULL
