@@ -173,13 +173,16 @@ def run_import(spark: SparkSession, cfg, log,
 
 
 def serve(cfg_path: str, *, spark: SparkSession,
-          host: str = "127.0.0.1", port: int = 8997):
+          host: str = "127.0.0.1", port: int = 8997,
+          cli_overrides: list[str] | None = None):
     """GUI mode (the reference's ``run-gui.bat`` → ``server.mjs``): a
     ``SyncServer`` whose ``POST /sync`` body is layered over the config
     file as section overrides and drives ``run_import`` on the shared
     SparkSession — the child-process fork of the reference replaced by a
-    driver thread running distributed plans. Returns the started server
-    (caller blocks or stops it)."""
+    driver thread running distributed plans. ``cli_overrides`` are the
+    launch command's ``--section-key value`` pairs, layered UNDER the
+    POST body (file < CLI < GUI form — latest wins). Returns the started
+    server (caller blocks or stops it)."""
     import datetime
 
     from .config import load_config
@@ -191,7 +194,7 @@ def serve(cfg_path: str, *, spark: SparkSession,
         if os.path.isfile(cfg_path):
             with open(cfg_path, encoding="utf-8") as fh:
                 cfg_text = fh.read()
-        overrides: list[str] = []
+        overrides: list[str] = list(cli_overrides or [])
         for section, kv in (config or {}).items():
             for key, val in (kv or {}).items():
                 overrides += [f"--{section}-{key}", str(val)]
@@ -238,19 +241,27 @@ def main(argv: list[str] | None = None, *, spark: SparkSession | None = None,
               "[--config config.json] [--gui] [--section-key value ...]")
         return {}
     cfg_path = "config.json"
+    explicit_cfg = False
     if "--config" in args:
         i = args.index("--config")
         if i + 1 >= len(args):
             raise SystemExit("--config requires a path argument "
                              "(usage: --config config.json)")
         cfg_path = args[i + 1]
+        explicit_cfg = True
         del args[i:i + 2]
+    if explicit_cfg and not os.path.isfile(cfg_path):
+        # only the IMPLICIT ./config.json may be absent (reference
+        # behavior); an explicitly named file that does not exist would
+        # silently run the sync against built-in defaults
+        raise SystemExit(f"config file not found: {cfg_path}")
     if "--gui" in args:
         own = spark is None
         if own:
             from .session import get_spark
             spark = get_spark("tally-sync-gui")
-        srv = serve(cfg_path, spark=spark)
+        srv = serve(cfg_path, spark=spark,
+                    cli_overrides=[a for a in args if a != "--gui"])
         print(f"Sync server started on {srv.url}")
         try:
             while max_ticks is None:

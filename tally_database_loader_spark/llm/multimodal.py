@@ -101,6 +101,27 @@ def _decode_wav_bytes(b: bytes) -> dict:
             "rms": rms}
 
 
+def _parse_ppm_header(b: bytes) -> tuple[int, int, int]:
+    """(width, height, raster_offset) of a binary PPM: ``P6 <ws> width
+    <ws> height <ws> maxval <single ws> data``, '#' comments allowed.
+    The returned offset is the PARSED header length — never derived from
+    ``len(b)``, which trailing padding would misalign."""
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":              # comment to end of line
+            while i < len(b) and b[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    return tokens[0], tokens[1], i + 1      # +1: single ws after maxval
+
+
 def _decode_image_bytes(b: bytes) -> dict:
     """Parse one image payload — REAL decode for the two formats whose
     byte layout needs no codec: binary PPM (``P6``, raw RGB) and
@@ -108,22 +129,7 @@ def _decode_image_bytes(b: bytes) -> dict:
     padded to 4 bytes). Raises ValueError for other magics (JPEG/PNG
     need PIL — see decode_image)."""
     if b[:2] == b"P6":
-        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
-        parts, i, tokens = [], 2, []
-        while len(tokens) < 3:
-            while i < len(b) and b[i:i + 1].isspace():
-                i += 1
-            if b[i:i + 1] == b"#":          # comment to end of line
-                while i < len(b) and b[i:i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(b) and not b[j:j + 1].isspace():
-                j += 1
-            tokens.append(int(b[i:j]))
-            i = j
-        i += 1  # the single whitespace after maxval
-        w, h, _maxval = tokens
+        w, h, i = _parse_ppm_header(b)
         px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
         means = px.reshape(h, w, 3).mean(axis=(0, 1))
         return {"format": "ppm", "width": w, "height": h, "channels": 3,
@@ -211,12 +217,11 @@ def resize_ppm(df: DataFrame, width: int, height: int,
                 out = None
                 try:
                     b = bytes(payload)
-                    rec = _decode_image_bytes(b)
-                    if rec["format"] == "ppm":
-                        sw, sh = rec["width"], rec["height"]
-                        hdr_len = len(b) - sw * sh * 3
+                    if b[:2] == b"P6":
+                        sw, sh, off = _parse_ppm_header(b)
                         px = np.frombuffer(b, dtype=np.uint8,
-                                           offset=hdr_len).reshape(sh, sw, 3)
+                                           count=sw * sh * 3,
+                                           offset=off).reshape(sh, sw, 3)
                         yi = (np.arange(height) * sh) // height
                         xi = (np.arange(width) * sw) // width
                         res = px[yi][:, xi]
@@ -258,6 +263,10 @@ def fake_resize(df: DataFrame, width: int, height: int,
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL payload → NULL output, not a
+                    rows.append({"doc_id": doc_id, "width": width,  # crash
+                                 "height": height, "payload": None})
+                    continue
                 b = bytes(payload) or b"\x00"
                 out = (b * (size // len(b) + 1))[:size]
                 rows.append({"doc_id": doc_id, "width": width,
@@ -284,6 +293,8 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL payload → no frames (the
+                    continue         # relational explode-of-NULL shape)
                 b = bytes(payload)
                 n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
                 for idx in range(0, n_frames, every_n):
@@ -306,6 +317,11 @@ def fake_decode_features(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL payload → NULL features
+                    rows.append(dict.fromkeys(
+                        ["n_bytes", "mean_byte", "max_byte",
+                         "width", "height"]) | {"doc_id": doc_id})
+                    continue
                 b = bytes(payload)
                 n = len(b)
                 rows.append({

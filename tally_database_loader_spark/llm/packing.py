@@ -79,8 +79,12 @@ def pack_sequences(docs: DataFrame, shard_col: str, id_col: str,
         raise ValueError("seq_len must be positive")
     L = F.lit(seq_len).cast("long")
     # ROWS frame, not the RANGE default: duplicate doc_ids within a shard
-    # must still get distinct running offsets or the tiling invariant breaks.
-    w = (W.partitionBy("shard").orderBy("doc_id")
+    # must still get distinct running offsets or the tiling invariant
+    # breaks. __n is the secondary sort key so two same-id docs of
+    # DIFFERENT lengths take their offsets in a deterministic order
+    # (orderBy doc_id alone left the tie partition-order-dependent);
+    # same-id same-length duplicates are interchangeable either way.
+    w = (W.partitionBy("shard").orderBy("doc_id", "__n")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     n = F.col(len_col).cast("long")
     d = (docs.filter(F.col(len_col) > 0)

@@ -253,6 +253,13 @@ def _quantize_int8_vec(vec: Column) -> Column:
                 qs.append(None)
                 continue
             a = np.asarray(v, dtype=np.float64)
+            if np.isnan(a).any():
+                # NaN-component pin: NULL in both twins — numpy's
+                # floor(NaN).astype(int8) is platform garbage and the
+                # relational ANSI cast of NaN to tinyint raises
+                scales.append(None)
+                qs.append(None)
+                continue
             amax = np.abs(a).max() if a.size else 0.0
             if amax == 0.0:
                 scales.append(0.0)
@@ -276,7 +283,15 @@ def _quantize_int8_rel(vec: Column) -> Column:
     q = F.when(amax == 0.0, F.transform(xd, lambda x: F.lit(0).cast("tinyint"))) \
          .otherwise(F.transform(
              xd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")))
-    return F.struct(scale.alias("scale"), q.alias("q"))
+    # NaN-component pin (matches the vectorized twin): a struct with NULL
+    # fields — the ANSI cast of NaN to tinyint would otherwise abort the
+    # query. Fields-null (not a top-level NULL struct) because a
+    # pandas_udf's returned all-None row materializes as exactly that
+    # shape, and the twins must agree bit-for-bit.
+    nan_in = F.coalesce(F.exists(xd, F.isnan), F.lit(False))
+    return F.struct(
+        F.when(~nan_in, scale).alias("scale"),
+        F.when(~nan_in, q).alias("q"))
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -295,15 +310,26 @@ def int_dot(a: Column, b: Column) -> Column:
 def _int_dot_vec(a: Column, b: Column) -> Column:
     @F.pandas_udf("long")
     def idot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def _slow():
+            # ragged pair → NULL (zip_with pads with nulls and the fold
+            # NULL-propagates in the relational twin) — same edge
+            # contract as _fold_vec
+            return pd.Series([
+                None if x is None or y is None or len(x) != len(y)
+                else sum(int(xi) * int(yi) for xi, yi in zip(x, y))
+                for x, y in zip(xs, ys)])
+
         if len(xs) == 0:
             return pd.Series([], dtype="int64")
         if xs.isna().any() or ys.isna().any():
-            return pd.Series([
-                None if x is None or y is None
-                else sum(int(xi) * int(yi) for xi, yi in zip(x, y))
-                for x, y in zip(xs, ys)])
-        A = np.stack([np.asarray(v, dtype=np.int64) for v in xs])
-        B = np.stack([np.asarray(v, dtype=np.int64) for v in ys])
+            return _slow()
+        try:
+            A = np.stack([np.asarray(v, dtype=np.int64) for v in xs])
+            B = np.stack([np.asarray(v, dtype=np.int64) for v in ys])
+        except ValueError:  # mixed dims across the batch
+            return _slow()
+        if A.shape[1] != B.shape[1]:
+            return _slow()
         return pd.Series((A * B).sum(axis=1))
 
     return idot(a, b)

@@ -73,7 +73,12 @@ def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     bit_len = reduce(add, [(w >= F.lit(1 << k)).cast("int")
                            for k in range(w_bits)])
     rho = F.lit(w_bits + 1) - bit_len
-    return (df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+    # NULLs are EXCLUDED, matching COUNT(DISTINCT col) semantics: a NULL
+    # value hashes to a NULL bucket/rho row, which would corrupt the
+    # register fold (counted in n_occ but contributing no sum term, so
+    # v_zero goes off by one and s loses a 2^51 empty-register term)
+    return (df.filter(F.col(col).isNotNull())
+              .select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
               .groupBy("bucket").agg(F.max("rho").alias("rho")))
 
 

@@ -385,9 +385,13 @@ def normalize_url(url: Column) -> Column:
     path = F.regexp_replace(F.regexp_extract(tail, r"^[^?]*", 0),
                             r"/+$", "")
     query = _strip_utm(F.regexp_replace(tail, r"^[^?]*", ""))
-    fb = F.concat(F.regexp_extract(u, r"^[^?]*", 0),
+    # scheme-less fallback: slash-strip the PATH piece only (the anchored
+    # discipline above) — stripping the concatenated whole would eat a
+    # query value's trailing '/' and keep a pre-query path slash
+    fb = F.concat(F.regexp_replace(F.regexp_extract(u, r"^[^?]*", 0),
+                                   r"/+$", ""),
                   _strip_utm(F.regexp_replace(u, r"^[^?]*", "")))
-    return F.when(head == "", F.regexp_replace(fb, r"/+$", "")) \
+    return F.when(head == "", fb) \
             .otherwise(F.concat(scheme, rest, path, query))
 
 

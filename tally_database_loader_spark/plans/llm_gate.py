@@ -2516,10 +2516,8 @@ def _dd_strip_utm(q: str) -> str:
 _DD_URL_NORM = f"""
 SELECT doc_id,
        CASE WHEN head = '' THEN
-              regexp_replace(
-                regexp_extract(u, '^[^?]*')
-                || {_dd_strip_utm("regexp_replace(u, '^[^?]*', '')")},
-                '/+$', '', 'g')
+              regexp_replace(regexp_extract(u, '^[^?]*'), '/+$', '', 'g')
+              || {_dd_strip_utm("regexp_replace(u, '^[^?]*', '')")}
             ELSE regexp_extract(head, '^[a-z]+://')
                  || regexp_replace(regexp_replace(head, '^[a-z]+://', ''),
                                    '^www\\.', '')

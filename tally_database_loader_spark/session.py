@@ -33,8 +33,13 @@ def get_spark(app_name: str = "tally_database_loader_spark",
     - Arrow enabled for the pandas-UDF slow path.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", _DEFAULT_CPUS)
+    if not str(cpus).isdigit():
+        # one consistent fallback: a non-numeric value must not half-apply
+        # (32 shuffle partitions but master('local[garbage]') exploding at
+        # session construction)
+        cpus = 32
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+        shuffle_partitions = int(cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)

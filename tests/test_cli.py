@@ -334,3 +334,48 @@ def test_cli_http_loop_and_abort(spark, setup, monkeypatch):
                        aborted=lambda: True)
     finally:
         srv.shutdown()
+
+
+def test_explicit_missing_config_rejected(spark):
+    """Review r4: an explicitly named --config path that does not exist
+    must fail loudly — silently running against built-in defaults sent
+    the sync to the wrong sink. The implicit ./config.json staying
+    optional is reference behavior and unaffected."""
+    with pytest.raises(SystemExit, match="config file not found"):
+        main(["--config", "no-such-config.json"], spark=spark)
+
+
+def test_gui_applies_cli_overrides(spark, setup, tmp_path):
+    """Review r4: --section-key overrides given on the GUI launch command
+    must layer into every sync (file < CLI < POST body)."""
+    import time as _time
+    import urllib.request
+
+    from tally_database_loader_spark.__main__ import serve
+    from tally_database_loader_spark.operators.incremental import ParquetStore
+
+    _, cfgpath = setup
+    srv = serve(str(cfgpath), spark=spark, port=0,
+                cli_overrides=["--database-technology", "parquet",
+                               "--database-loadpath",
+                               str(tmp_path / "clistore")])
+    try:
+        req = urllib.request.Request(srv.url + "/sync", data=b"{}",
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.read().decode() == "Sync started"
+        deadline = _time.time() + 120
+        lines, cursor = [], 0
+        while _time.time() < deadline and "~" not in lines:
+            with urllib.request.urlopen(
+                    f"{srv.url}/log?since={cursor}", timeout=10) as resp:
+                feed = json.loads(resp.read().decode())
+            lines += feed["lines"]
+            cursor = feed["next"]
+            _time.sleep(0.05)
+        assert "~" in lines
+    finally:
+        srv.stop()
+    # the CLI override redirected the sink away from the config's csv
+    assert ParquetStore(str(tmp_path / "clistore")).read(
+        spark, "mst_unit").count() == 2

@@ -998,3 +998,63 @@ def test_real_ppm_bmp_decode_and_resize(spark):
     assert resized.startswith(b"P6\n3 2\n255\n")
     assert resized[-3 * 2 * 3:] == bytes((10, 200, 30)) * 6  # uniform image
     assert out[2].payload is None              # BMP passthrough → NULL
+
+
+def test_hll_excludes_nulls_like_count_distinct(spark):
+    """Review r4: a NULL value must not corrupt the register fold —
+    NULLs are excluded, matching COUNT(DISTINCT col) semantics, and the
+    estimate equals the null-free corpus's exactly."""
+    from tally_database_loader_spark.llm.sketch import hll_distinct
+    vals = [(f"v{i % 200}",) for i in range(900)]
+    clean = spark.createDataFrame(vals, "v string")
+    dirty = spark.createDataFrame(vals + [(None,)] * 7, "v string")
+    a = hll_distinct(clean, "v").collect()[0]
+    b = hll_distinct(dirty, "v").collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a["v_zero"] >= 0 and abs(a["estimate"] - 200) / 200 < 0.15
+
+
+def test_int8_twins_edge_parity(spark):
+    """Review r4: the int8 quantize/dot twins must agree with the
+    relational forms on edge vectors — NaN components pin to a NULL
+    struct (the ANSI cast would abort), ragged int-dot pairs
+    NULL-propagate."""
+    import tally_database_loader_spark.llm.similarity as sim
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 4.0]), (2, [1.0, float("nan"), 3.0]),
+         (3, None), (4, [0.0, 0.0, 0.0])],
+        "id int, v array<double>")
+
+    def snap():
+        out = df.select("id", sim.quantize_int8(F.col("v")).alias("qz"))
+        return {r.id: (None if r.qz is None
+                       else (r.qz["scale"], tuple(r.qz["q"] or ())))
+                for r in out.collect()}
+
+    prev = sim.VECTORIZED_FOLD
+    try:
+        sim.VECTORIZED_FOLD = False
+        rel = snap()
+        sim.VECTORIZED_FOLD = True
+        vec = snap()
+    finally:
+        sim.VECTORIZED_FOLD = prev
+    assert rel == vec, f"quantize twins diverged: {rel} vs {vec}"
+    # NaN / NULL vector → fields-NULL struct (the shape a pandas_udf's
+    # all-None row materializes as) in BOTH twins
+    assert rel[2] == (None, ()) and rel[3] == (None, ())
+    assert rel[4] == (0.0, (0, 0, 0))              # zero vector
+
+    pairs = spark.createDataFrame(
+        [(1, [1, 2, 3], [4, 5, 6]), (2, [1, 2], [4, 5, 6]), (3, None, [1])],
+        "id int, a array<int>, b array<int>")
+    try:
+        sim.VECTORIZED_FOLD = False
+        r2 = {r.id: r.d for r in pairs.select(
+            "id", sim.int_dot(F.col("a"), F.col("b")).alias("d")).collect()}
+        sim.VECTORIZED_FOLD = True
+        v2 = {r.id: r.d for r in pairs.select(
+            "id", sim.int_dot(F.col("a"), F.col("b")).alias("d")).collect()}
+    finally:
+        sim.VECTORIZED_FOLD = prev
+    assert r2 == v2 == {1: 32, 2: None, 3: None}
