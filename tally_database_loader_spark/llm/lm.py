@@ -287,8 +287,13 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     thr = F.lit(None).cast("long")
     for g in sorted(thresholds):
         thr = F.when(F.col("grp") == g, F.lit(thresholds[g])).otherwise(thr)
-    return (base.filter(F.pmod(hash_order(F.col("doc_id")), F.lit(_H))
-                        < thr)
+    # 'tr:' salt — the resample draw must be independent of domain_cap's
+    # pick order and batch_layout's shard (review r4: per-operator hash
+    # streams, the 'ws:'/'cms0:'/'bf0:' convention)
+    return (base.filter(
+        F.pmod(hash_order(F.concat(F.lit("tr:"),
+                                   F.col("doc_id").cast("string"))),
+               F.lit(_H)) < thr)
                 .select(F.col("grp_out").alias("grp"), "doc_id"))
 
 

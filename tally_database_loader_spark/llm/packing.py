@@ -168,7 +168,9 @@ def length_bucketed_batches(docs: DataFrame, id_col: str, len_col: str,
     if batch_size <= 0 or n_shards <= 0:
         raise ValueError("batch_size and n_shards must be positive")
     key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<null>"))
-    shard = F.pmod(hash_order(key), F.lit(n_shards)).cast("int")
+    # 'lb:' salt — independent of the other hash-keyed selections
+    shard = F.pmod(hash_order(F.concat(F.lit("lb:"), key)),
+                   F.lit(n_shards)).cast("int")
     # the window runs over the derived frame, so it orders by the derived
     # length column, not the caller's
     w = (W.partitionBy("shard")
@@ -266,8 +268,13 @@ def domain_cap(docs: DataFrame, group_col: str, id_col: str,
         raise ValueError("k must be positive")
     # NULLS LAST pinned on both keys: Spark's asc default is NULLS FIRST,
     # DuckDB's is NULLS LAST — a NULL doc_id must sort the same in both.
+    # 'dc:' salt: each hash-keyed operator draws from its own stream
+    # (review r4) — unsalted md5(doc_id) would make this cap, the
+    # resample threshold and the batch shard CORRELATED selections when
+    # the operators compose over one corpus.
     w = W.partitionBy("grp").orderBy(
-        F.asc_nulls_last(hash_order(F.col("doc_id"))),
+        F.asc_nulls_last(hash_order(
+            F.concat(F.lit("dc:"), F.col("doc_id").cast("string")))),
         F.asc_nulls_last("doc_id"))
     return (docs.select(F.col(group_col).alias("grp"),
                         F.col(id_col).alias("doc_id"))

@@ -757,7 +757,8 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
 def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     n_lists: int = 8, iters: int = 2, nprobe: int = 2,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    fitted: tuple | None = None) -> DataFrame:
     """IVF ANN whose coarse quantizer is the exact-integer ``kmeans_cells``
     — end-to-end deterministic AND SQL-replayable, closing the one gap the
     MLlib-backed ``ivf_topk`` leaves (its float k-means cannot be
@@ -767,9 +768,11 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     integer distance (ties → lower cell id), probes its ``nprobe``
     nearest, and scores candidates with the deterministic double-fold
     cosine. Queries are broadcast; the cell join replaces the cross
-    product."""
-    assigned, cents = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
-                                   id_col=id_col, vec_col=vec_col)
+    product. ``fitted`` takes a precomputed ``kmeans_cells(corpus, ...)``
+    result so several operators over the same corpus share ONE Lloyd fit
+    (each fit scans the corpus ``iters`` times)."""
+    assigned, cents = fitted if fitted is not None else kmeans_cells(
+        corpus, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col)
 
     def _cell_rank(u: Column) -> Column:
         d = _dist_table(u, cents)
@@ -797,7 +800,8 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 50,
                             n_clusters: int = 8, iters: int = 2,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            fitted: tuple | None = None) -> DataFrame:
     """Cluster-balanced corpus selection (the DataComp/SemDeDup curation
     move): learn ``n_clusters`` embedding clusters with the
     deterministic ``kmeans_cells``, then keep at most ``per_cluster``
@@ -811,9 +815,11 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 50,
     uniform within each cluster. Shape: the assignment is map-side
     (codebook literals); the only shuffle is the per-cluster ranking
     window on uniform cell keys. Output: ``vec_id, cell, rk`` for the
-    kept rows."""
-    assigned, _ = kmeans_cells(corpus, n_lists=n_clusters, iters=iters,
-                               id_col=id_col, vec_col=vec_col)
+    kept rows. ``fitted`` shares a precomputed ``kmeans_cells`` result
+    (see ``ivf_kmeans_topk``)."""
+    assigned, _ = fitted if fitted is not None else kmeans_cells(
+        corpus, n_lists=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col)
     w = W.partitionBy("cell").orderBy(
         F.md5(F.col("n_id").cast("string")), F.col("n_id"))
     return (assigned

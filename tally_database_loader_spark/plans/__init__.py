@@ -16,11 +16,12 @@ ALL registrations.
 
 from . import gate  # noqa: F401
 from . import llm_gate  # noqa: F401
-
-try:  # real-report gates (22-table model derived from bench tables)
-    from . import report_gate  # noqa: F401
-except ImportError:  # pragma: no cover - during bisection of this module
-    pass
+# real-report gates (22-table model derived from bench tables). NO
+# try/except here: swallowing an ImportError would silently drop all
+# report_* gates from the driver registry and backfill the 50-row window
+# with other queries — the driver would "pass" without ever running the
+# report family (review r4).
+from . import report_gate  # noqa: F401
 
 # Driver-checked window: every distinct operator family, most informative
 # representative first. Names absent from the registry are skipped.

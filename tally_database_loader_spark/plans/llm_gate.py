@@ -302,7 +302,7 @@ WITH b AS (
 ),
 q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 8),
 s AS (
-  SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS.replace('e.embedding', 'e.embedding')} AS cos
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_DD_COS} AS cos
   FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
 )
 SELECT q_id, neighbor_id, CAST(rn AS INT) AS rank, cos
@@ -1420,7 +1420,7 @@ def pack_sequences_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query("domain_cap", oracle=f"""
 WITH h AS (
   SELECT source AS grp, doc_id,
-         {_dd_hex15("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")} AS hk
+         {_dd_hex15("substr(md5('dc:' || CAST(doc_id AS VARCHAR)), 1, 15)")} AS hk
   FROM documents
 )
 SELECT grp, doc_id, CAST(rn AS INT) AS pick
@@ -2057,10 +2057,16 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut), and cluster-balanced selection (domain_cap by semantic
     structure) — llm/similarity.py. One driver slot hash-checks all
     seven; each also registers standalone."""
-    from ..llm.similarity import (centroid_cosine, ivf_kmeans_topk,
+    from ..llm.similarity import (centroid_cosine, cluster_balanced_sample,
+                                  ivf_kmeans_topk, kmeans_cells,
                                   quantized_topk)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
+    # ONE Lloyd fit shared by the ivf and cluster-balanced arms — each
+    # fit scans the corpus `iters` times, and both arms use the identical
+    # (n_lists=8, iters=2) quantizer (review r4: the suite previously fit
+    # it twice, bit-identically)
+    fitted = kmeans_cells(e, n_lists=8, iters=2)
 
     def tag(df: DataFrame, method: str, score_col: str) -> DataFrame:
         return df.select(F.lit(method).alias("method"), "q_id", "neighbor_id",
@@ -2078,7 +2084,8 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_adc_topk_gate(spark, sf_dir).select(
         F.lit("pq_adc").alias("method"), "q_id", "neighbor_id", "rank",
         F.col("l2_dist").alias("score"))
-    cb = cluster_balanced_sample_gate(spark, sf_dir).select(
+    cb = cluster_balanced_sample(e, per_cluster=40, n_clusters=8, iters=2,
+                                 fitted=fitted).select(
         F.lit("cluster_balanced").alias("method"),
         F.col("cell").cast("long").alias("q_id"),
         F.col("vec_id").alias("neighbor_id"),
@@ -2089,7 +2096,7 @@ def similarity_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "srp_lsh", "cos"))
             .unionByName(tag(quantized_topk(e, q, k=5), "int8", "score"))
             .unionByName(tag(ivf_kmeans_topk(e, q, k=5, n_lists=8, iters=2,
-                                             nprobe=2),
+                                             nprobe=2, fitted=fitted),
                              "ivf_kmeans", "cos"))
             .unionByName(cent)
             .unionByName(pq)
@@ -2143,7 +2150,7 @@ thr AS (SELECT grp,
         FROM wq)
 SELECT b.grp, b.doc_id
 FROM base b JOIN thr ON thr.grp = b.grp
-WHERE list_reduce(list_apply(string_split(substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15), ''),
+WHERE list_reduce(list_apply(string_split(substr(md5('tr:' || CAST(b.doc_id AS VARCHAR)), 1, 15), ''),
                              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
                   (a, b) -> a * 16 + b) % 1048576 < thr.t
 """)
@@ -2617,7 +2624,7 @@ tthr AS (SELECT grp,
 ttemp AS (
   SELECT 'temperature_resample' AS method, b.grp, b.doc_id
   FROM tbase b JOIN tthr ON tthr.grp = b.grp
-  WHERE {_dd_hex15("substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)")}
+  WHERE {_dd_hex15("substr(md5('tr:' || CAST(b.doc_id AS VARCHAR)), 1, 15)")}
         % 1048576 < tthr.t
 ),
 gsplit AS (
@@ -2659,7 +2666,7 @@ def selection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate_query("batch_layout", oracle=f"""
 WITH hb AS (
   SELECT doc_id, n_chars,
-         CAST({_dd_hex15("substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)")}
+         CAST({_dd_hex15("substr(md5('lb:' || CAST(doc_id AS VARCHAR)), 1, 15)")}
               % 4 AS INT) AS shard
   FROM documents
 ),

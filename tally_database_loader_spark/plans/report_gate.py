@@ -119,6 +119,11 @@ def tally_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
     cat["__inv_voucher__"] = (cat["trn_inventory"]
                               .join(cat["trn_voucher"], "guid")
                               .localCheckpoint(eager=False))
+    # bounded cache: a sweep over several sf_dirs in one session would
+    # otherwise pin every sf's checkpoint blocks in executor storage for
+    # the application lifetime; keeping only the latest lets GC release
+    # the evicted DataFrames' blocks
+    _CATALOG_CACHE.clear()
     _CATALOG_CACHE[key] = cat
     return cat
 
@@ -275,9 +280,15 @@ def _derive_catalog(spark: SparkSession, sf_dir: str) -> R.Catalog:
 
 
 def _values(rows, cols) -> str:
+    def lit(c):
+        # explicit SQL string literal, NOT repr(): a value containing an
+        # apostrophe would make repr() emit a DOUBLE-quoted Python string,
+        # which SQL parses as an identifier
+        return ("'" + c.replace("'", "''") + "'" if isinstance(c, str)
+                else str(c))
+
     body = ", ".join(
-        "(" + ", ".join(repr(c) if isinstance(c, str) else str(c) for c in r) + ")"
-        for r in rows)
+        "(" + ", ".join(lit(c) for c in r) + ")" for r in rows)
     return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
 
 

@@ -341,7 +341,8 @@ def purchase_daily(cat: Catalog, from_date: str, to_date: str) -> DataFrame:
 
 
 def _monthly_series(cat: Catalog, primary_group: str, from_date: str,
-                    to_date: str, negate: bool) -> DataFrame:
+                    to_date: str, negate: bool,
+                    accounting_only: bool = False) -> DataFrame:
     spark = cat["trn_voucher"].sparkSession
     months = (_date_spine(spark, from_date, to_date)
               .select(F.year("date").alias("year"), F.month("date").alias("month"))
@@ -353,9 +354,16 @@ def _monthly_series(cat: Catalog, primary_group: str, from_date: str,
            .join(F.broadcast(cat["mst_group"].select(F.col("name").alias("l_parent"),
                                                      "primary_group")), "l_parent")
            .filter((F.col("primary_group") == primary_group)
-                   & F.col("date").between(from_date, to_date))
-           .groupBy(F.year("date").alias("year"), F.month("date").alias("month"))
-           .agg(F.sum("amount").alias("amount")))
+                   & F.col("date").between(from_date, to_date)))
+    if accounting_only:
+        # purchase-monthly.sql:24 — order/inventory vouchers excluded,
+        # exactly like the daily variant; sales-monthly.sql has no such
+        # filter (same asymmetry as daily)
+        eff = eff.filter((F.col("is_order_voucher") == 0)
+                         & (F.col("is_inventory_voucher") == 0))
+    eff = (eff.groupBy(F.year("date").alias("year"),
+                       F.month("date").alias("month"))
+              .agg(F.sum("amount").alias("amount")))
     amt = F.coalesce((-F.col("amount")) if negate else F.col("amount"), _dzero())
     return (months.join(F.broadcast(eff), ["year", "month"], "left")
                   .select("year", "month", amt.cast(_D17).alias("amount"))
@@ -369,7 +377,8 @@ def sales_monthly(cat: Catalog, from_date: str, to_date: str) -> DataFrame:
 
 def purchase_monthly(cat: Catalog, from_date: str, to_date: str) -> DataFrame:
     """reports/mssql/purchase-monthly.sql (negated)."""
-    return _monthly_series(cat, "Purchase Accounts", from_date, to_date, negate=True)
+    return _monthly_series(cat, "Purchase Accounts", from_date, to_date,
+                           negate=True, accounting_only=True)
 
 
 def daily_cash_movement(cat: Catalog, from_date: str, to_date: str) -> DataFrame:

@@ -320,7 +320,9 @@ m AS (
   JOIN trn_voucher v ON v.guid = a.guid
   JOIN mst_ledger l ON l.name = a.ledger
   JOIN mst_group g ON g.name = l.parent
-  WHERE g.primary_group = 'Purchase Accounts' AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
+  WHERE g.primary_group = 'Purchase Accounts'
+    AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
+    AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
   GROUP BY 1, 2
 )
 SELECT months.year, months.month, CAST(COALESCE(-m.amount, 0) AS DECIMAL(17,2)) AS amount
