@@ -117,11 +117,12 @@ HEADLINE = [
 #   weighted_sample       0.07   0.61s   same ln_fixed trade (r3 VERDICT:
 #                                        accepted, map-side only)
 #   cms_token_counts      1.20   0.80s   vectorized-twin win
-#   semantic_dedup        —      —       new r4 (SemDeDup: k-means-scoped
-#                                        within-cluster cosine pruning)
+#   semantic_dedup        —      —      ~1.8s new r4 (SemDeDup: Lloyd fit
+#                                        + k-means-scoped cosine pruning)
 #
-# 57 common queries: 47.0s (r2) → 34.2s (r3). Keep this block updated
-# when a slot is added or a methodology-affecting change lands.
+# 57 common queries: 47.0s (r2) → 34.2s (r3). The 60 queries common to
+# r3/r4 measured 40.2s (r3) → 36.7s (r4) on a quiet box. Keep this block
+# updated when a slot is added or a methodology-affecting change lands.
 
 
 def main() -> None:
