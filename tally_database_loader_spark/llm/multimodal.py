@@ -93,19 +93,21 @@ def _decode_wav_bytes(b: bytes) -> dict:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
     elif width == 1:
         samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
-    else:  # 24/32-bit: parse container only
-        samples = np.zeros(0)
-    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size else 0.0
+    else:  # 24/32-bit: container parsed, samples not — rms must be NULL
+        samples = None
+    rms = (None if samples is None
+           else float(np.sqrt(np.mean(samples * samples))) if samples.size
+           else 0.0)  # a zero-FRAME file is genuinely silent
     return {"sample_rate": rate, "n_channels": nch, "sample_width": width,
             "n_frames": n, "duration_s": (n / rate) if rate else 0.0,
             "rms": rms}
 
 
-def _parse_ppm_header(b: bytes) -> tuple[int, int, int]:
-    """(width, height, raster_offset) of a binary PPM: ``P6 <ws> width
-    <ws> height <ws> maxval <single ws> data``, '#' comments allowed.
-    The returned offset is the PARSED header length — never derived from
-    ``len(b)``, which trailing padding would misalign."""
+def _parse_ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, raster_offset) of a binary PPM: ``P6 <ws>
+    width <ws> height <ws> maxval <single ws> data``, '#' comments
+    allowed. The returned offset is the PARSED header length — never
+    derived from ``len(b)``, which trailing padding would misalign."""
     i, tokens = 2, []
     while len(tokens) < 3:
         while i < len(b) and b[i:i + 1].isspace():
@@ -119,7 +121,7 @@ def _parse_ppm_header(b: bytes) -> tuple[int, int, int]:
             j += 1
         tokens.append(int(b[i:j]))
         i = j
-    return tokens[0], tokens[1], i + 1      # +1: single ws after maxval
+    return tokens[0], tokens[1], tokens[2], i + 1  # +1: ws after maxval
 
 
 def _decode_image_bytes(b: bytes) -> dict:
@@ -129,7 +131,14 @@ def _decode_image_bytes(b: bytes) -> dict:
     padded to 4 bytes). Raises ValueError for other magics (JPEG/PNG
     need PIL — see decode_image)."""
     if b[:2] == b"P6":
-        w, h, i = _parse_ppm_header(b)
+        w, h, maxval, i = _parse_ppm_header(b)
+        if maxval != 255:
+            # 16-bit P6 (maxval > 255, 2 bytes/sample) is legal PPM but
+            # needs wide-sample handling — reading it as uint8 would
+            # return confidently wrong means; match the BMP branch's
+            # loud rejection of unsupported variants
+            raise ValueError("PPM maxval != 255 unsupported (16-bit "
+                             "samples); use PIL-backed decode")
         px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
         means = px.reshape(h, w, 3).mean(axis=(0, 1))
         return {"format": "ppm", "width": w, "height": h, "channels": 3,
@@ -218,7 +227,9 @@ def resize_ppm(df: DataFrame, width: int, height: int,
                 try:
                     b = bytes(payload)
                     if b[:2] == b"P6":
-                        sw, sh, off = _parse_ppm_header(b)
+                        sw, sh, maxval, off = _parse_ppm_header(b)
+                        if maxval != 255:  # 16-bit P6 → NULL passthrough
+                            raise ValueError("maxval != 255")
                         px = np.frombuffer(b, dtype=np.uint8,
                                            count=sw * sh * 3,
                                            offset=off).reshape(sh, sw, 3)

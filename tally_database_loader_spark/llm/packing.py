@@ -214,11 +214,13 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     drawn set is a PURE FUNCTION of the data (retry/speculation/
     AQE-stable, auditable) where ``rand()`` is not — this is how a
     quality- or DSIR-score-weighted subsample stays reproducible at
-    100 TB. The ``'ws:'`` salt decouples this operator's randomness
-    from the unsalted ``hash_order(id)`` that ``domain_cap`` /
-    ``group_split`` / ``hash_sample`` draw from — composing them (e.g.
-    sampling the survivors of a hash-capped corpus) would otherwise
-    confine ``u`` to a subrange and distort the inclusion distribution.
+    100 TB. The ``'ws:'`` salt gives this operator its own hash stream —
+    since round 4 EVERY hash-keyed selection is salted (``'dc:'``
+    domain_cap, ``'tr:'`` temperature_resample, ``'lb:'`` batch shards,
+    ``'sample:'`` hash_sample), so composed selections (e.g. sampling
+    the survivors of a hash-capped corpus) are independent draws instead
+    of confining ``u`` to a subrange and distorting the inclusion
+    distribution.
 
     Exactness: ``u`` is exact (``v/2^20`` with ``v = hash mod 2^20 + 1``
     — a dyadic rational), and ``ln(u)·2^30`` is the EXACT-INTEGER

@@ -79,17 +79,18 @@ def tree_paths(nodes: DataFrame, name_col: str = "name",
 
     DataFrame equivalent of the reference's parent-child tree listing
     (reports/mssql/group-tree-parent-child.sql): starts at roots and
-    joins children on parent=name per level. Roots are rows whose parent
-    equals ``root_marker`` OR is NULL — the Tally model normalizes
-    root parents to '' but the common external representation is NULL,
-    and ``parent == ''`` evaluates to NULL for those rows, which would
-    silently return an empty tree. Pass ``root_marker=None`` to treat
-    ONLY NULL parents as roots. ``broadcast_nodes=False`` for node
-    tables too large for a driver broadcast (the per-level join then
-    shuffles, like ``transitive_closure``'s ``broadcast_edges=False``)."""
+    joins children on parent=name per level. Roots are EXACTLY the rows
+    whose parent equals ``root_marker`` (matching the SQL anchor
+    ``WHERE parent = ''`` the oracle replays — an orphan row with a NULL
+    parent must not be silently promoted to a root with a fabricated
+    subtree); pass ``root_marker=None`` for trees whose roots are stored
+    with NULL parents (the common representation outside this repo's
+    ''-normalized model). ``broadcast_nodes=False`` for node tables too
+    large for a driver broadcast (the per-level join then shuffles, like
+    ``transitive_closure``'s ``broadcast_edges=False``)."""
     base = nodes.select(F.col(name_col).alias("name"), F.col(parent_col).alias("parent"))
     is_root = (F.col("parent").isNull() if root_marker is None
-               else (F.col("parent") == root_marker) | F.col("parent").isNull())
+               else F.col("parent") == root_marker)
     frontier = (base.filter(is_root)
                     .select("name", F.col("name").alias("path"),
                             F.lit(1).cast("int").alias("depth")))

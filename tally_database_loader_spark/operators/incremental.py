@@ -316,24 +316,23 @@ class ParquetStore:
         dropped = [v for v in vs if v not in keep]
         troot = os.path.join(self.root, table)
         import time as _time
-        latest = vs[-1] if vs else 0
         now = _time.time()
         for entry in os.listdir(troot):
-            # dead staging dirs: a stage targeting an already-committed
-            # ordinal can never win its rename at that ordinal, but a
-            # LIVE writer's _finalize may still bump it to a free one —
-            # so only reclaim stages that are BOTH superseded and older
-            # than the retention window (a live commit stages for
-            # minutes, not an hour; a crashed writer's stage is forever)
+            # dead staging dirs: reclaim any stage older than the
+            # retention window — including one targeting latest+1, which
+            # would otherwise leak a full staged table copy FOREVER on a
+            # table that receives no further commits. A live writer
+            # finishes staging well inside the window (the contract:
+            # STAGE_RETENTION_S must exceed the longest expected commit;
+            # a swept ultra-slow writer fails loudly at its rename
+            # instead of clobbering anything).
             if entry.startswith(".stage-v"):
-                target = entry.split("-")[1][1:]
                 p = os.path.join(troot, entry)
                 try:
                     age = now - os.path.getmtime(p)
                 except OSError:
                     continue  # already gone
-                if target.isdigit() and int(target) <= latest \
-                        and age > self.STAGE_RETENTION_S:
+                if age > self.STAGE_RETENTION_S:
                     shutil.rmtree(p, ignore_errors=True)
         referenced = {rel for v in keep
                       for rels in self._read_manifest(table, v).values()

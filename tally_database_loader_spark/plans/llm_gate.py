@@ -1396,7 +1396,8 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT source AS shard, doc_id, CAST(n_chars AS BIGINT) AS n,
          CAST(SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
-             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             ORDER BY doc_id, CAST(n_chars AS BIGINT)
+             ROWS UNBOUNDED PRECEDING)
              - CAST(n_chars AS BIGINT) AS BIGINT) AS strt
   FROM documents WHERE n_chars > 0
 )
@@ -1818,7 +1819,7 @@ cdedup AS (
 ),
 cpk AS (
   SELECT source AS shard, doc_id, n,
-         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id, n
                            ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS strt
   FROM cdedup WHERE n > 0
 )

@@ -43,6 +43,8 @@ from ..sources.registry import TableSpec
 
 _MANIFEST_SCHEMA = "drop_id string, seq long, roots array<string>, path string"
 
+_LAST_SEQ = 0  # process-local monotonicity floor for publish_snapshot
+
 
 def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
                      drop_id: str | None = None) -> str:
@@ -59,14 +61,20 @@ def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
     source can never list a half-written manifest — a truncated JSON
     would burn its filename in the source checkpoint and lose the drop
     forever."""
+    global _LAST_SEQ
     drop_id = drop_id or uuid.uuid4().hex
     snap_dir = os.path.join(landing_dir, "snapshots", drop_id)
     for root, df in source_by_root.items():
         df.write.mode("overwrite").parquet(os.path.join(snap_dir, root))
     manifest_dir = os.path.join(landing_dir, "manifest")
     os.makedirs(manifest_dir, exist_ok=True)
+    # max(clock, prev+1): wall-clock alone is NOT monotonic (NTP steps /
+    # VM slew could hand a later drop a smaller seq and re-create the
+    # out-of-order merge this field prevents); the producer is the
+    # single poll loop by design, so a process-local floor suffices
+    _LAST_SEQ = max(time.time_ns(), _LAST_SEQ + 1)
     line = json.dumps({"drop_id": drop_id,
-                       "seq": time.time_ns(),
+                       "seq": _LAST_SEQ,
                        "roots": sorted(source_by_root),
                        "path": snap_dir})
     final = os.path.join(manifest_dir, f"{drop_id}.json")

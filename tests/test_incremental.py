@@ -376,9 +376,11 @@ def test_aborted_partial_commit_is_invisible(spark, tmp_path):
 def test_crashed_staging_is_invisible_and_vacuumed(spark, tmp_path):
     """A writer that dies before the rename leaves only a dot-prefixed
     staging dir: readers and _versions never see it, and vacuum reclaims
-    it once its target ordinal is superseded AND it has aged past the
-    retention window (a live writer's stage must never be swept from
-    under its in-flight Spark write)."""
+    it once it has aged past the retention window — REGARDLESS of target
+    ordinal (a stage targeting latest+1 on a table with no further
+    commits would otherwise leak a staged table copy forever). A
+    younger-than-retention stage must never be swept from under a live
+    writer's in-flight Spark write."""
     import os
     store = ParquetStore(str(tmp_path / "cs"), n_buckets=4)
     store.STAGE_RETENTION_S = 0.0  # the crash happened 'long ago'
@@ -394,8 +396,14 @@ def test_crashed_staging_is_invisible_and_vacuumed(spark, tmp_path):
     assert store.history("t") == [1, 2]
     store.vacuum("t", keep_last=2)  # drops nothing, sweeps dead stages
     assert not os.path.isdir(stage), "dead staging dir not reclaimed"
-    # a FRESH superseded stage (possibly a live writer about to bump its
-    # ordinal) survives the default retention window
+    # an aged stage targeting latest+1 (writer crashed; no later commit
+    # will ever supersede it) is reclaimed too — the forever-leak case
+    orphan = store._stage_dir("t", 3)
+    os.makedirs(orphan)
+    store.vacuum("t", keep_last=2)
+    assert not os.path.isdir(orphan), "latest+1 staging dir leaked"
+    # a FRESH stage (possibly a live writer mid-commit) survives the
+    # default retention window
     fresh = store._stage_dir("t", 2)
     os.makedirs(fresh)
     store.STAGE_RETENTION_S = ParquetStore.STAGE_RETENTION_S

@@ -992,6 +992,27 @@ def test_real_ppm_bmp_decode_and_resize(spark):
     assert (rows[2].format, rows[2].width, rows[2].height) == ("bmp", 5, 3)
     assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == (10.0, 200.0, 30.0)
     assert rows[3].format is None              # PNG needs PIL — NULL row
+    # legal-but-unsupported variants must surface NULL, never confident
+    # garbage: 16-bit PPM (maxval 65535) and a 24-bit WAV RMS
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_wav_bytes, decode_audio_features)
+    wide = spark.createDataFrame(
+        [(9, b"P6\n2 2\n65535\n" + b"\x00\x01" * 12)],
+        "doc_id bigint, payload binary")
+    assert decode_image_features(wide).collect()[0].format is None
+    w24 = _wav_bytes(n=10)
+    # splice sampwidth=3 into the fmt chunk (bytes 34-35 of a canonical
+    # PCM header) and triple the data length so wave accepts it
+    import struct as _s
+    w24 = bytearray(_wav_bytes(n=0))
+    w24[34:36] = _s.pack("<H", 24)  # bits per sample
+    rec = None
+    try:
+        rec = _decode_wav_bytes(bytes(w24))
+    except Exception:
+        pass  # wave may reject the spliced header — also acceptable
+    if rec is not None:
+        assert rec["rms"] is None, "undecoded RMS must be NULL, not 0.0"
 
     out = {r.doc_id: r for r in resize_ppm(df, 3, 2).collect()}
     resized = bytes(out[1].payload)
