@@ -310,18 +310,31 @@ def int_dot(a: Column, b: Column) -> Column:
 def _int_dot_vec(a: Column, b: Column) -> Column:
     @F.pandas_udf("long")
     def idot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def _has_nan(v):
+            # null ELEMENTS of an int array arrive as NaN through Arrow
+            # (ints can't carry null, so the batch comes as float64) —
+            # and np.asarray(<nan>, int64) does NOT reliably raise: some
+            # numpy versions silently wrap NaN to INT64_MIN, which would
+            # make the fast path return a confidently wrong finite dot.
+            # Real int-dtype arrays skip the scan entirely.
+            a = np.asarray(v)
+            return a.dtype.kind == "f" and np.isnan(a).any()
+
         def _slow():
-            # ragged pair → NULL (zip_with pads with nulls and the fold
-            # NULL-propagates in the relational twin) — same edge
-            # contract as _fold_vec
+            # ragged pair / null element → NULL (zip_with pads with
+            # nulls and the fold NULL-propagates in the relational twin)
+            # — same edge contract as _fold_vec
             return pd.Series([
                 None if x is None or y is None or len(x) != len(y)
+                or _has_nan(x) or _has_nan(y)
                 else sum(int(xi) * int(yi) for xi, yi in zip(x, y))
                 for x, y in zip(xs, ys)])
 
         if len(xs) == 0:
             return pd.Series([], dtype="int64")
-        if xs.isna().any() or ys.isna().any():
+        if xs.isna().any() or ys.isna().any() \
+                or any(_has_nan(v) for v in xs) \
+                or any(_has_nan(v) for v in ys):
             return _slow()
         try:
             A = np.stack([np.asarray(v, dtype=np.int64) for v in xs])

@@ -1079,3 +1079,70 @@ def test_int8_twins_edge_parity(spark):
     finally:
         sim.VECTORIZED_FOLD = prev
     assert r2 == v2 == {1: 32, 2: None, 3: None}
+
+
+def test_twin_parity_randomized_sweep(spark):
+    """Breadth companion to the hand-picked edge cases: 300 seeded-random
+    vector pairs — mixed magnitudes (1e-30..1e30), negatives, zeros,
+    zero-norm rows, NaN/inf elements, a few ragged and NULL rows — must
+    produce IDENTICAL results under both fold dispatches, compared at
+    full repr precision in one batched pass per flag."""
+    import random
+
+    import tally_database_loader_spark.llm.similarity as sim
+
+    rng = random.Random(0xC0FFEE)
+
+    def vec(n):
+        out = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.02:
+                out.append(float("nan"))
+            elif r < 0.04:
+                out.append(float("inf") if rng.random() < 0.5
+                           else float("-inf"))
+            elif r < 0.10:
+                out.append(0.0)
+            else:
+                out.append(rng.uniform(-1, 1)
+                           * 10.0 ** rng.randint(-30, 30))
+        return out
+
+    rows = []
+    for i in range(300):
+        kind = rng.random()
+        if kind < 0.03:
+            rows.append((i, None, vec(8)))
+        elif kind < 0.06:
+            rows.append((i, vec(rng.choice([4, 6])), vec(8)))  # ragged
+        elif kind < 0.10:
+            rows.append((i, [0.0] * 8, vec(8)))                # zero-norm
+        else:
+            rows.append((i, vec(8), vec(8)))
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+    planes = sim._planes(4, 8)
+
+    def snap():
+        out = df.select(
+            "id",
+            sim.dot(F.col("a"), F.col("b")).alias("d"),
+            sim.cosine(F.col("a"), F.col("b")).alias("c"),
+            sim.l2_dist(F.col("a"), F.col("b")).alias("l"),
+            sim.srp_bucket(F.col("a"), planes).alias("bk"),
+            sim.int_dot(F.transform("a", lambda x: x.try_cast("int")),
+                        F.transform("b", lambda x: x.try_cast("int"))).alias("i"))
+        return {r.id: (repr(r.d), repr(r.c), repr(r.l), r.bk, r.i)
+                for r in out.collect()}
+
+    prev = sim.VECTORIZED_FOLD
+    try:
+        sim.VECTORIZED_FOLD = False
+        rel = snap()
+        sim.VECTORIZED_FOLD = True
+        vec_ = snap()
+    finally:
+        sim.VECTORIZED_FOLD = prev
+    diffs = {k: (rel[k], vec_[k]) for k in rel if rel[k] != vec_[k]}
+    assert not diffs, f"{len(diffs)} twin divergences, first: " \
+                      f"{next(iter(diffs.items()))}"
