@@ -284,16 +284,22 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
         r["grp"]: min(_H, (_H * keep_num * n_total * w[r["grp"]])
                       // (keep_den * w_total * r["n"]))
         for r in rows}
-    thr = F.lit(None).cast("long")
-    for g in sorted(thresholds):
-        thr = F.when(F.col("grp") == g, F.lit(thresholds[g])).otherwise(thr)
+    # thresholds re-enter the plan as a broadcast-joined (grp, thr)
+    # dimension, not a per-group when-chain: a 10k-domain corpus would
+    # otherwise build a 10k-deep CASE expression and choke the analyzer
+    # long before data volume matters (review r4 #1).
+    spark = docs.sparkSession
+    thr_df = spark.createDataFrame(
+        [(g, thresholds[g]) for g in sorted(thresholds)],
+        "grp string, __tr_thr long")
     # 'tr:' salt — the resample draw must be independent of domain_cap's
     # pick order and batch_layout's shard (review r4: per-operator hash
     # streams, the 'ws:'/'cms0:'/'bf0:' convention)
-    return (base.filter(
+    return (base.join(F.broadcast(thr_df), "grp")
+                .filter(
         F.pmod(hash_order(F.concat(F.lit("tr:"),
                                    F.col("doc_id").cast("string"))),
-               F.lit(_H)) < thr)
+               F.lit(_H)) < F.col("__tr_thr"))
                 .select(F.col("grp_out").alias("grp"), "doc_id"))
 
 

@@ -132,6 +132,12 @@ def _decode_image_bytes(b: bytes) -> dict:
     need PIL — see decode_image)."""
     if b[:2] == b"P6":
         w, h, maxval, i = _parse_ppm_header(b)
+        if w <= 0 or h <= 0:
+            # zero-area: px.mean over an empty slice would yield NaN
+            # channel means — and NaN orders ABOVE every threshold in
+            # Spark, poisoning downstream filters; the module contract
+            # is NULL, never confident garbage (ADVICE r4)
+            raise ValueError(f"degenerate PPM dimensions {w}x{h}")
         if maxval != 255:
             # 16-bit P6 (maxval > 255, 2 bytes/sample) is legal PPM but
             # needs wide-sample handling — reading it as uint8 would
@@ -152,6 +158,12 @@ def _decode_image_bytes(b: bytes) -> dict:
         if bpp != 24 or compression != 0:
             raise ValueError(f"BMP variant unsupported without PIL "
                              f"(bpp={bpp}, compression={compression})")
+        if w <= 0 or h == 0:
+            # structurally valid but zero-area (or negative-width) BMP:
+            # empty-slice mean is NaN, which Spark orders above every
+            # threshold — reject so the wrapper emits the NULL-feature
+            # row (ADVICE r4). h < 0 is legal (top-down rows).
+            raise ValueError(f"degenerate BMP dimensions {w}x{h}")
         stride = (w * 3 + 3) & ~3          # rows padded to 4 bytes
         rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h),
                              offset=off).reshape(abs(h), stride)

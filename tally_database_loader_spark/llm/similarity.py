@@ -844,9 +844,10 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int = 50,
 
 
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
-                   n_lists: int = 8, iters: int = 2,
+                   n_lists: int | None = 8, iters: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   cell_cap: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): learn
     embedding clusters with the deterministic exact-integer
     ``kmeans_cells``, then WITHIN each cluster drop every document that
@@ -868,18 +869,34 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
     scaled so clusters stay O(corpus/n_lists), the pair count is
     corpus²/n_lists, the SemDeDup trade, and the join is a plain
     shuffle-hash on uniform cell keys (never a cartesian). The drop set
-    anti-joins back on id. For a skewed hot cluster, compose with
-    ``cluster_balanced_sample`` first or sub-bucket via ``srp_bucket``.
+    anti-joins back on id.
+
+    Hot-cluster guard (round-5): pass ``n_lists=None`` to auto-scale
+    the cluster count from a corpus count probe (SemDeDup at web scale
+    uses ~50k clusters, not 8), and/or ``cell_cap`` to bound the pair
+    stage BY CONSTRUCTION — any cell past the cap is split into
+    ``ceil(cell_size / cell_cap)`` keyed-md5 hash sub-buckets ('sd:'
+    salt, the per-operator hash-stream convention) and pairs are joined
+    on ``(cell, sub)``. Expected sub-bucket size ≤ ``cell_cap``
+    regardless of embedding skew (an id-hash splits even a cell of
+    IDENTICAL vectors, where ``srp_bucket`` would co-bucket them all),
+    so pair rows per cell fall from quadratic to ~``cell_size ·
+    cell_cap / 2``. Recall trade, documented: a similar group straddling
+    s sub-buckets keeps ≤ s representatives instead of 1 — the bounded
+    end of the SemDeDup policy. Both knobs are deterministic functions
+    of the corpus (count probes are bounded: one scalar / n_lists
+    rows), so the operator stays retry-stable and SQL-replayable.
 
     Output: ``vec_id, cell`` of the SURVIVORS (cell int, id-ordered
     semantics; no dependence on join or partition order)."""
-    assigned, _ = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
-                               id_col=id_col, vec_col=vec_col)
-    a = assigned.select(F.col("n_id").alias("a_id"), "cell",
+    assigned, key = semantic_cells(corpus, n_lists=n_lists, iters=iters,
+                                   id_col=id_col, vec_col=vec_col,
+                                   cell_cap=cell_cap)
+    a = assigned.select(F.col("n_id").alias("a_id"), *key,
                         F.col("n_vec").alias("a_vec"))
-    b = assigned.select(F.col("n_id").alias("b_id"), "cell",
+    b = assigned.select(F.col("n_id").alias("b_id"), *key,
                         F.col("n_vec").alias("b_vec"))
-    drops = (a.join(b, "cell")
+    drops = (a.join(b, key)
               .filter(F.col("a_id") < F.col("b_id"))
               .filter(cosine(F.col("a_vec"), F.col("b_vec"))
                       > F.lit(float(threshold)))
@@ -889,6 +906,50 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
                           assigned["n_id"] == drops["drop_id"], "left_anti")
                     .select(F.col("n_id").alias(id_col),
                             F.col("cell").cast("int").alias("cell")))
+
+
+def semantic_cells(corpus: DataFrame, n_lists: int | None = 8,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   cell_cap: int | None = None,
+                   ) -> tuple[DataFrame, list[str]]:
+    """The assignment stage of ``semantic_dedup``, exposed so tests (and
+    composed pipelines) can measure the pair-join fan-out directly:
+    returns ``(assigned, key)`` where ``assigned`` has
+    ``n_id, n_vec, cell`` (plus ``__sub`` when the hot-cluster guard
+    split a cell) and ``key`` is the pair-join key list. The pair stage
+    is exactly ``assigned ⋈ assigned ON key`` filtered to ``a_id <
+    b_id`` — its row count is what ``cell_cap`` bounds."""
+    from .packing import hash_order
+    if cell_cap is not None and cell_cap < 1:
+        raise ValueError("cell_cap must be positive")
+    if n_lists is None:
+        n = corpus.count()
+        n_lists = max(8, min(65536, -(-n // (cell_cap or 20_000))))
+    assigned, _ = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    key = ["cell"]
+    if cell_cap is not None:
+        sizes = (assigned.groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+        n_subs = {int(r["cell"]): -(-int(r["c"]) // cell_cap)
+                  for r in sizes}
+        if any(v > 1 for v in n_subs.values()):
+            # (cell, n_subs) is a ≤ n_lists-row dimension — broadcast
+            # it rather than folding literals into a when-chain (the
+            # temperature_resample lesson, review r4 #1).
+            subs_df = corpus.sparkSession.createDataFrame(
+                sorted(n_subs.items()), "cell int, __n_subs long")
+            assigned = (assigned
+                        .join(F.broadcast(subs_df), "cell")
+                        .withColumn("__sub", F.pmod(
+                            hash_order(F.concat(
+                                F.lit("sd:"),
+                                F.col("n_id").cast("string"))),
+                            F.col("__n_subs")))
+                        .drop("__n_subs"))
+            key = ["cell", "__sub"]
+    return assigned, key
 
 
 def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
@@ -911,11 +972,13 @@ def pq_encode(corpus: DataFrame, m: int = 4, n_codes: int = 16,
     evaluate in a single corpus pass), and ``codebooks[s]`` is subspace
     s's centroid components at scale 2^20.
 
-    Pass ``dim`` whenever it is known (every gate does): the ``None``
-    fallback costs one extra Spark job (a LIMIT-1 probe) per call."""
+    ``dim`` is required (review r4 #4 retired the ``None``→LIMIT-1
+    probe fallback: every caller knows its embedding width, and the
+    probe cost an extra analyzer job per call)."""
     if dim is None:
-        first = corpus.select(vec_col).first()
-        dim = len(first[0]) if first else 0
+        raise ValueError(
+            "pq_encode: pass dim explicitly (the embedding width, e.g. "
+            "dim=64) — the implicit LIMIT-1 probe was retired")
     if dim == 0 or dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub_len = dim // m
@@ -1002,8 +1065,9 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     broadcasts back onto the corpus for one vector-fetch pass.
     Output: ``q_id, neighbor_id, rank, l2_dist``."""
     if dim is None:
-        first = corpus.select(vec_col).first()
-        dim = len(first[0]) if first else 0
+        raise ValueError(
+            "pq_adc_topk: pass dim explicitly (the embedding width, "
+            "e.g. dim=64) — the implicit LIMIT-1 probe was retired")
     encoded, codebooks = pq_encode(corpus, m=m, n_codes=n_codes,
                                    iters=iters, dim=dim, id_col=id_col,
                                    vec_col=vec_col)

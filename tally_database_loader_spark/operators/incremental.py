@@ -328,8 +328,21 @@ class ParquetStore:
             # instead of clobbering anything).
             if entry.startswith(".stage-v"):
                 p = os.path.join(troot, entry)
+                # age by the NEWEST mtime anywhere under the stage, not
+                # the stage root's: a long parquet write mostly touches
+                # __bucket=K subdirectories, so a root-mtime check could
+                # sweep a live-but-slow commit mid-write (ADVICE r4)
                 try:
-                    age = now - os.path.getmtime(p)
+                    mtimes = [os.path.getmtime(p)]
+                    for dirpath, dirs, files in os.walk(p):
+                        for n in dirs + files:
+                            try:
+                                mtimes.append(
+                                    os.path.getmtime(
+                                        os.path.join(dirpath, n)))
+                            except OSError:
+                                pass  # racing writer/sweeper
+                    age = now - max(mtimes)
                 except OSError:
                     continue  # already gone
                 if age > self.STAGE_RETENTION_S:

@@ -95,6 +95,14 @@ class TableSpec:
         trn_closingstock_ledger, is Ledger-rooted and lands in 'master'
         here too)."""
         if self.group:
+            if self.group not in ("master", "transaction"):
+                # a directly-constructed TableSpec can carry any string;
+                # fail here with the field named rather than as an
+                # unexplained KeyError inside incremental_sync_frames'
+                # by_group dict (ADVICE r4)
+                raise ValueError(
+                    f"TableSpec {self.name!r}: group must be 'master' or "
+                    f"'transaction', got {self.group!r}")
             return self.group
         return ("transaction" if self.collection.split(".")[0] == "Voucher"
                 else "master")

@@ -46,6 +46,30 @@ _MANIFEST_SCHEMA = "drop_id string, seq long, roots array<string>, path string"
 _LAST_SEQ = 0  # process-local monotonicity floor for publish_snapshot
 
 
+def _max_published_seq(manifest_dir: str) -> int:
+    """Max ``seq`` across the committed manifests in ``manifest_dir`` —
+    the on-disk monotonicity floor a restarted producer must clear.
+    Dot-prefixed stage files are skipped (not yet published); unreadable
+    or seq-less (legacy) lines count as 0 rather than failing the
+    publish."""
+    best = 0
+    try:
+        names = os.listdir(manifest_dir)
+    except OSError:
+        return 0
+    for name in names:
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(manifest_dir, name),
+                      encoding="utf-8") as fh:
+                seq = json.loads(fh.readline()).get("seq") or 0
+            best = max(best, int(seq))
+        except (OSError, ValueError):
+            continue
+    return best
+
+
 def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
                      drop_id: str | None = None) -> str:
     """Producer side of the change feed: persist one poll's nested source
@@ -70,8 +94,13 @@ def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
     os.makedirs(manifest_dir, exist_ok=True)
     # max(clock, prev+1): wall-clock alone is NOT monotonic (NTP steps /
     # VM slew could hand a later drop a smaller seq and re-create the
-    # out-of-order merge this field prevents); the producer is the
-    # single poll loop by design, so a process-local floor suffices
+    # out-of-order merge this field prevents). The floor is
+    # process-local, so on the FIRST publish of a new producer process
+    # seed it from the manifests already on disk — a producer restart
+    # combined with a backwards clock step must not publish a newer
+    # drop with a smaller seq than an already-published one (ADVICE r4).
+    if _LAST_SEQ == 0:
+        _LAST_SEQ = _max_published_seq(manifest_dir)
     _LAST_SEQ = max(time.time_ns(), _LAST_SEQ + 1)
     line = json.dumps({"drop_id": drop_id,
                        "seq": _LAST_SEQ,

@@ -478,3 +478,31 @@ transaction:
     # and the no-op gate still gates: same frames again → skipped
     stats2 = eng.incremental_sync_frames({"mst_thing": m2, "trn_voucher": v1})
     assert stats2["skipped"]
+
+
+def test_live_slow_stage_not_swept_by_root_mtime(spark, tmp_path):
+    """ADVICE r4: a long Spark parquet write mostly touches __bucket=K
+    subdirectories, so an old stage ROOT mtime does not mean the commit
+    is dead — vacuum must age a stage by the newest mtime anywhere under
+    it, or it kills healthy slow commits mid-write."""
+    import os
+    store = ParquetStore(str(tmp_path / "ls"), n_buckets=4)
+    store.write(_guid_df(spark), "t")                           # v1
+    store.STAGE_RETENTION_S = 60.0
+    stage = store._stage_dir("t", 2)
+    bucket = os.path.join(stage, "__bucket=1")
+    os.makedirs(bucket)
+    with open(os.path.join(bucket, "part-0.parquet"), "wb") as fh:
+        fh.write(b"in-flight")                                  # fresh file
+    old = 1.0                                                   # epoch 1970
+    os.utime(stage, (old, old))
+    os.utime(bucket, (old, old))
+    store.vacuum("t", keep_last=1)
+    assert os.path.isdir(stage), \
+        "live stage swept on root mtime despite fresh writes inside"
+    # once EVERYTHING under it is old, the stage really is dead
+    os.utime(os.path.join(bucket, "part-0.parquet"), (old, old))
+    os.utime(stage, (old, old))
+    os.utime(bucket, (old, old))
+    store.vacuum("t", keep_last=1)
+    assert not os.path.isdir(stage), "dead stage not reclaimed"

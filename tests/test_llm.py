@@ -1146,3 +1146,135 @@ def test_twin_parity_randomized_sweep(spark):
     diffs = {k: (rel[k], vec_[k]) for k in rel if rel[k] != vec_[k]}
     assert not diffs, f"{len(diffs)} twin divergences, first: " \
                       f"{next(iter(diffs.items()))}"
+
+
+def test_temperature_resample_thresholds_broadcast_at_5000_groups(spark):
+    """Review r4 #1: per-group keep-thresholds must enter the plan as a
+    broadcast-joined dimension, not a group-count-deep CASE chain — at
+    web-corpus domain cardinality (10k+) a when-chain chokes the
+    analyzer long before data volume matters. 5,000 groups must build,
+    run, and keep the resample's flattening semantics."""
+    from tally_database_loader_spark.llm.lm import temperature_resample
+    n_groups = 5000
+    rows = [(f"g{i:05d}", i * 7 + j) for i in range(n_groups)
+            for j in range(3 if i else 300)]  # g00000 is the hot group
+    docs = spark.createDataFrame(rows, "source string, doc_id long")
+    kept = temperature_resample(docs, "source", "doc_id")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "thresholds not broadcast-joined"
+    assert "CaseWhen" not in plan, "per-group when-chain is back"
+    counts = {r.grp: r.c for r in
+              kept.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    total = sum(counts.values())
+    n_docs = len(rows)
+    assert 0.35 * n_docs <= total <= 0.65 * n_docs
+    # flattening holds at this cardinality: the hot group thins hardest
+    assert counts["g00000"] / 300 < sum(
+        counts.get(f"g{i:05d}", 0) for i in range(1, 100)) / (99 * 3)
+
+
+def test_semantic_dedup_cell_cap_bounds_pair_stage(spark):
+    """Review r4 #2: the hot-cluster guard. One adversarial mega-cluster
+    (every vector in the same k-means cell) must not produce a quadratic
+    pair join — with ``cell_cap`` the pair-stage row count stays under
+    ~n·cap/2 by construction, vs n(n-1)/2 uncapped."""
+    import math
+    from tally_database_loader_spark.llm.similarity import (semantic_cells,
+                                                            semantic_dedup)
+    n, cap = 400, 25
+    # near-identical vectors: all land in one Lloyd cell AND would
+    # co-bucket under any sign-projection scheme — the adversarial case
+    # an id-hash sub-bucket splits regardless
+    rows = [(i, [1.0, 0.0, 1.0 + i * 1e-6, 0.0]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, key = semantic_cells(e, n_lists=2, iters=1, cell_cap=cap)
+    assert key == ["cell", "__sub"], "guard did not engage"
+    sizes = [r.c for r in assigned.groupBy(*key)
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    pair_rows = sum(s * (s - 1) // 2 for s in sizes)
+    quadratic = n * (n - 1) // 2
+    assert pair_rows < n * cap, \
+        f"pair stage {pair_rows} rows ≥ n·cap bound {n * cap}"
+    assert pair_rows < quadratic / 4, \
+        f"pair stage {pair_rows} not meaningfully under quadratic {quadratic}"
+    # semantics: capped dedup still collapses each sub-bucket to one
+    # representative — survivors ≈ number of sub-buckets, and every
+    # uncapped survivor (global id-minimum) still survives capped
+    kept_capped = {r.vec_id for r in
+                   semantic_dedup(e, threshold=0.9, n_lists=2, iters=1,
+                                  cell_cap=cap).collect()}
+    kept_uncapped = {r.vec_id for r in
+                     semantic_dedup(e, threshold=0.9, n_lists=2,
+                                    iters=1).collect()}
+    assert kept_uncapped <= kept_capped, \
+        "capping dropped a row the uncapped policy kept"
+    assert len(kept_capped) <= len(sizes), \
+        f"{len(kept_capped)} survivors > {len(sizes)} sub-buckets"
+    assert len(sizes) <= math.ceil(n / cap) + 2  # ≤ one extra per cell
+    # determinism across runs (hash sub-bucketing is keyed, not random)
+    again = {r.vec_id for r in
+             semantic_dedup(e, threshold=0.9, n_lists=2, iters=1,
+                            cell_cap=cap).collect()}
+    assert again == kept_capped
+
+
+def test_semantic_dedup_cell_cap_noop_below_cap(spark):
+    """A cap no cell exceeds must leave the operator byte-identical to
+    the uncapped path (the gate keeps its value-hash oracle)."""
+    from tally_database_loader_spark.llm.similarity import (semantic_cells,
+                                                            semantic_dedup)
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    _, key = semantic_cells(e, n_lists=8, iters=2, cell_cap=10 ** 9)
+    assert key == ["cell"], "guard engaged below the cap"
+    capped = sorted(map(tuple, semantic_dedup(
+        e, threshold=0.3, n_lists=8, iters=2, cell_cap=10 ** 9).collect()))
+    plain = sorted(map(tuple, semantic_dedup(
+        e, threshold=0.3, n_lists=8, iters=2).collect()))
+    assert capped == plain
+
+
+def test_semantic_dedup_auto_n_lists(spark):
+    """``n_lists=None`` derives the cluster count from a corpus count
+    probe: ceil(n / cell_cap) with a floor of 8 — SemDeDup's real-world
+    shape is clusters ∝ corpus, not a fixed toy 8."""
+    from tally_database_loader_spark.llm.similarity import semantic_cells
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.0])
+            for i in range(120)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, _ = semantic_cells(e, n_lists=None, iters=1, cell_cap=10)
+    # ceil(120/10) = 12 lists requested; Lloyd may leave some cells
+    # empty but the assignment must spread past the floor of 8
+    assert assigned.select("cell").distinct().count() > 1
+    with pytest.raises(ValueError):
+        semantic_cells(e, n_lists=8, iters=1, cell_cap=0)
+
+
+def test_pq_requires_explicit_dim(spark):
+    """Review r4 #4: the dim=None LIMIT-1 probe is retired — pq_encode /
+    pq_adc_topk raise with the fix named instead of running a hidden
+    analyzer job per call."""
+    from tally_database_loader_spark.llm.similarity import (pq_adc_topk,
+                                                            pq_encode)
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    with pytest.raises(ValueError, match="dim"):
+        pq_encode(e, m=4, n_codes=16)
+    with pytest.raises(ValueError, match="dim"):
+        pq_adc_topk(e, e.limit(2), k=2, m=4)
+
+
+def test_zero_area_image_yields_null_feature_row(spark):
+    """ADVICE r4: a structurally valid but zero-area PPM/BMP must surface
+    the NULL-feature row, not NaN channel means — NaN orders above every
+    threshold in Spark and would poison downstream quality filters."""
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_image_bytes, decode_image_features)
+    ppm0 = _ppm_bytes(0, 4, (1, 2, 3))
+    bmp0 = _bmp_bytes(5, 0, (1, 2, 3))
+    for b in (ppm0, bmp0):
+        with pytest.raises(ValueError, match="degenerate"):
+            _decode_image_bytes(b)
+    df = spark.createDataFrame([(1, ppm0), (2, bmp0)],
+                               "doc_id bigint, payload binary")
+    for r in decode_image_features(df).collect():
+        assert r.format is None and r.mean_r is None, \
+            f"zero-area image produced a non-NULL row: {r}"

@@ -119,7 +119,13 @@ def test_new_gate_plan_shapes(spark):
     assert tp.count("Exchange") == 1 and "roundrobin" in tp.lower()
     assert "Join" not in tp
     tr = _plan(spark, "temperature_resample")
-    assert tr.count("Exchange") == 0 and "Join" not in tr
+    # r5: per-group keep-thresholds enter as a broadcast-joined (grp,
+    # thr) dimension — a 10k-domain corpus must not build a 10k-deep
+    # CASE (review r4 #1). No shuffle exchange: the only Exchange is
+    # the threshold broadcast itself.
+    assert "BroadcastHashJoin" in tr and "SortMergeJoin" not in tr
+    assert "Exchange hashpartitioning" not in tr
+    assert "Exchange SinglePartition" not in tr
     lm = _plan(spark, "unigram_lm_score")
     # the vocabulary-sized model table joins broadcast; the final
     # docs ⟕ per-doc-scores join is corpus × corpus and may legitimately

@@ -471,3 +471,38 @@ def test_stateful_operators_accept_string_keys(spark, tmp_path):
     q.awaitTermination()
     got = {r["fingerprint"]: (r["doc_id"], r["dup_count"]) for r in dout}
     assert got == {"fp1": ("doc-a", 1), "fp2": ("doc-c", 0)}  # min-wins
+
+
+def test_seq_floor_reseeds_from_disk_after_producer_restart(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the monotonic seq floor is process-local, so a producer
+    restart combined with a backwards wall-clock step (NTP) could
+    publish a NEWER drop with a SMALLER seq than one already on disk —
+    re-creating the out-of-order merge seq prevents. On first publish
+    the floor must seed from the max seq already in the manifest dir."""
+    import json
+    import os
+    from tally_database_loader_spark.streaming import continuous as C
+
+    landing = str(tmp_path / "landing")
+    src = tally_source(spark)
+    monkeypatch.setattr(C, "_LAST_SEQ", 0)
+    C.publish_snapshot(landing, src, drop_id="before-restart")
+    mdir = os.path.join(landing, "manifest")
+    with open(os.path.join(mdir, "before-restart.json")) as fh:
+        seq_before = json.loads(fh.readline())["seq"]
+
+    # simulate restart (fresh process floor) + NTP step backwards
+    monkeypatch.setattr(C, "_LAST_SEQ", 0)
+    monkeypatch.setattr(C.time, "time_ns", lambda: seq_before - 10 ** 9)
+    C.publish_snapshot(landing, src, drop_id="after-restart")
+    with open(os.path.join(mdir, "after-restart.json")) as fh:
+        seq_after = json.loads(fh.readline())["seq"]
+    assert seq_after > seq_before, \
+        f"post-restart seq {seq_after} not above published {seq_before}"
+    # stage files and junk in the manifest dir must not break seeding
+    monkeypatch.setattr(C, "_LAST_SEQ", 0)
+    with open(os.path.join(mdir, ".partial.json.tmp"), "w") as fh:
+        fh.write('{"seq": 99999999999999999999}')
+    with open(os.path.join(mdir, "junk.json"), "w") as fh:
+        fh.write("not json")
+    assert C._max_published_seq(mdir) == seq_after

@@ -364,3 +364,18 @@ def test_tally_stream_source_alterid_offsets(spark, tmp_path):
         assert run_once() == [("v-3", 8), ("v-4", 9)]
     finally:
         srv.shutdown()
+
+
+def test_tablespec_rejects_unknown_watermark_group():
+    """ADVICE r4: a directly-constructed TableSpec with a bogus group
+    must fail with the field named, not as an unexplained KeyError deep
+    inside incremental_sync_frames' by_group split."""
+    import pytest
+    from tally_database_loader_spark.sources.registry import TableSpec
+    spec = TableSpec("t", "Ledger", [], group="bogus")
+    with pytest.raises(ValueError, match="master.*transaction|group"):
+        spec.watermark_group()
+    # the two real groups and the derive-from-collection default still work
+    assert TableSpec("t", "Ledger", [], group="master").watermark_group() == "master"
+    assert TableSpec("t", "Voucher", [], group="transaction").watermark_group() == "transaction"
+    assert TableSpec("t", "Voucher.LedgerEntries", []).watermark_group() == "transaction"
