@@ -100,6 +100,14 @@ HEADLINE = [
     "bloom_membership",
     # round-4 addition (new slot, noted in the comparison table below)
     "semantic_dedup",
+    # round-5 additions (new slots): the chained near-dedup → semantic
+    # dedup pipeline (review r4 #6) and the two purchase reports whose
+    # gates completed 15/15 report coverage (review r4 #4)
+    "two_tier_dedup",
+    "semantic_dedup_capped",
+    "report_purchase_daily",
+    "report_purchase_monthly",
+    "report_sales_monthly",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state
@@ -119,6 +127,17 @@ HEADLINE = [
 #   cms_token_counts      1.20   0.80s   vectorized-twin win
 #   semantic_dedup        —      —      ~1.8s new r4 (SemDeDup: Lloyd fit
 #                                        + k-means-scoped cosine pruning)
+#   two_tier_dedup        —      —      new r5 (MinHash near-dedup →
+#                                        SemDeDup over the survivors,
+#                                        one chained plan)
+#   semantic_dedup_capped —      —      new r5 (hot-cluster guard path,
+#                                        value-hash oracle incl. the
+#                                        sub-bucket arithmetic)
+#   report_purchase_daily —      —      new r5 (15/15 report gates)
+#   report_purchase_monthly —    —      new r5
+#   report_sales_monthly  —      —      new r5 (rotated into the driver
+#                                        window alongside
+#                                        report_stock_voucher_view)
 #
 # 57 common queries: 47.0s (r2) → 34.2s (r3). The 60 queries common to
 # r3/r4 measured 40.2s (r3) → 36.7s (r4) on a quiet box. Keep this block

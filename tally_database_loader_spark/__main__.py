@@ -83,8 +83,9 @@ def _load(spark: SparkSession, cfg, frames: dict[str, DataFrame],
     loadpath = str(db.get("loadpath", "") or "output")
     counts: dict[str, int] = {}
     if tech == "parquet":
-        from .operators.incremental import ParquetStore
-        store = ParquetStore(loadpath)
+        from .operators.table_format import make_store
+        store = make_store(loadpath, spark=spark,
+                           fmt=str(db.get("format", "manifest") or "manifest"))
         for name, df in frames.items():
             _check_abort(aborted)
             t0 = time.perf_counter()
@@ -146,8 +147,11 @@ def run_import(spark: SparkSession, cfg, log,
             and db["technology"] == "parquet":
         import time as _t
 
-        from .operators.incremental import IncrementalSync, ParquetStore
-        store = ParquetStore(str(db.get("loadpath", "") or "output"))
+        from .operators.incremental import IncrementalSync
+        from .operators.table_format import make_store
+        store = make_store(str(db.get("loadpath", "") or "output"),
+                           spark=spark,
+                           fmt=str(db.get("format", "manifest") or "manifest"))
         eng = IncrementalSync(spark, store, specs)
         t0 = _t.perf_counter()
         # diff/merge over the already-synced tables FIRST — bootstrapping

@@ -17,6 +17,10 @@ from typing import Any
 DEFAULTS: dict[str, dict[str, Any]] = {
     "database": {
         "technology": "parquet",      # + mssql/mysql/postgres/csv/json/bigquery/adls
+        # table-format backend for technology=parquet:
+        # 'manifest' (zero-dependency versioned-parquet store, default)
+        # | 'delta' (Delta Lake — needs delta-spark on the classpath)
+        "format": "manifest",
         "server": "localhost",
         "port": 0,
         "schema": "tallydb",

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import TableSpec
 from .flatten import extract_all
+from .table_format import TableFormat
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -46,7 +47,7 @@ class ConcurrentWriteError(RuntimeError):
     Delta/Iceberg commit conflict."""
 
 
-class ParquetStore:
+class ParquetStore(TableFormat):
     """Versioned, hash-bucketed parquet target: each commit lands in
     ``{table}/v{n+1}``, laid out as ``__bucket=K`` partitions on a stable
     hash of the table key. Readers resolve the latest version.
@@ -460,7 +461,7 @@ class ParquetStore:
         return [t for t in os.listdir(self.root) if self._versions(t)]
 
 
-def sink_max_alterid(spark: SparkSession, store: ParquetStore,
+def sink_max_alterid(spark: SparkSession, store: TableFormat,
                      tables: list[str]) -> int:
     """Union-of-max probe over Primary tables (reference src/tally.mts:118-124:
     ``select max(coalesce(alterid,0)) from (select max(alterid) ... union all ...)``)."""
@@ -478,7 +479,7 @@ def sink_max_alterid(spark: SparkSession, store: ParquetStore,
 class IncrementalSync:
     """Drives full + incremental syncs of a spec set against a store."""
 
-    def __init__(self, spark: SparkSession, store: ParquetStore,
+    def __init__(self, spark: SparkSession, store: TableFormat,
                  specs: dict[str, TableSpec]):
         self.spark = spark
         self.store = store

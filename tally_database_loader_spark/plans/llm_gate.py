@@ -562,15 +562,18 @@ def _dd_kdist(u: str, c: str) -> str:
             "(a, b) -> a + b)")
 
 
-def _dd_lloyd(p: str, vec: str, n_lists: int, iters: int) -> str:
+def _dd_lloyd(p: str, vec: str, n_lists: int, iters: int,
+              src: str = "embeddings") -> str:
     """DuckDB replay of the exact-integer Lloyd chain (llm/similarity.py
     kmeans_cells) over ``vec`` (a list expression — the full embedding
     or a subvector slice for PQ), CTE-prefixed with ``p``. Emits
     ``{p}uq`` (quantized vectors), ``{p}c0..{p}c{iters}`` (codebooks)
     and ``{p}af`` (final cell assignment). Every step is integer
-    arithmetic, so the chain hash-matches with no tolerance."""
+    arithmetic, so the chain hash-matches with no tolerance. ``src``
+    lets a composed pipeline fit the chain over a filtered corpus CTE
+    (e.g. two_tier_dedup's near-dedup survivors)."""
     parts = [f"""
-{p}uq AS (SELECT vec_id, embedding, {_dd_uq(vec)} AS u FROM embeddings),
+{p}uq AS (SELECT vec_id, embedding, {_dd_uq(vec)} AS u FROM {src}),
 {p}c0 AS (SELECT rn - 1 AS cell, list_transform(u, x -> x * 64) AS c
         FROM (SELECT u, row_number() OVER (
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -705,6 +708,92 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import semantic_dedup
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.3, n_lists=8, iters=2)
+
+
+_DD_SD_CAP = 40
+_DD_SD_SUB = _dd_hex15("substr(md5('sd:' || CAST(kaf.vec_id AS VARCHAR)), "
+                       "1, 15)")
+
+_DD_SEMANTIC_DEDUP_CAPPED = f"""
+WITH {_dd_lloyd('k', 'embedding', 8, 2)},
+csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS c FROM kaf GROUP BY 1),
+sub AS (
+  SELECT kaf.vec_id, kaf.cell,
+         {_DD_SD_SUB} % ((csz.c + {_DD_SD_CAP} - 1) // {_DD_SD_CAP}) AS sb
+  FROM kaf JOIN csz USING (cell)),
+drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM sub a JOIN sub b ON a.cell = b.cell AND a.sb = b.sb
+                       AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_DD_SEMDEDUP_COS} > 0.3)
+SELECT kaf.vec_id, CAST(kaf.cell AS INT) AS cell
+FROM kaf LEFT JOIN drops ON drops.drop_id = kaf.vec_id
+WHERE drops.drop_id IS NULL
+"""
+
+
+@gate_query("semantic_dedup_capped", oracle=_DD_SEMANTIC_DEDUP_CAPPED)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-cluster-GUARDED SemDeDup path (review r4 #2;
+    llm/similarity.py semantic_dedup with ``cell_cap``): any k-means
+    cell past the cap splits into ceil(size/cap) keyed-md5 'sd:' hash
+    sub-buckets and the ε-pair join runs on (cell, sub) — pair count
+    bounded by construction, not by docstring advice. The oracle replays
+    the Lloyd chain, the per-cell sub-bucket arithmetic (hex15-folded
+    md5, the engine's hash_order), the bounded pair scan, and the
+    anti-join — so the guard itself is value-hash-verified, not just
+    pytest-bounded. At this cap the guard ENGAGES on the bench corpus
+    (500 rows / 8 cells ≈ 62 per cell > 40)."""
+    from ..llm.similarity import semantic_dedup
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, n_lists=8, iters=2,
+                          cell_cap=_DD_SD_CAP)
+
+
+_DD_TWO_TIER = f"""
+WITH nearpairs AS ({_DD_MINHASH}),
+ndrop AS (SELECT DISTINCT d2 AS doc_id FROM nearpairs),
+surv AS (SELECT e.vec_id, e.embedding
+         FROM embeddings e
+         LEFT JOIN ndrop ON ndrop.doc_id = e.vec_id
+         WHERE ndrop.doc_id IS NULL),
+{_dd_lloyd('k', 'embedding', 8, 2, src='surv')},
+drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM kaf a JOIN kaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN surv ea ON ea.vec_id = a.vec_id
+  JOIN surv eb ON eb.vec_id = b.vec_id
+  WHERE {_DD_SEMDEDUP_COS} > 0.3)
+SELECT kaf.vec_id, CAST(kaf.cell AS INT) AS cell
+FROM kaf LEFT JOIN drops ON drops.drop_id = kaf.vec_id
+WHERE drops.drop_id IS NULL
+"""
+
+
+@gate_query("two_tier_dedup", oracle=_DD_TWO_TIER)
+def two_tier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two dedup tiers CHAINED the way a real pipeline runs them
+    (review r4 #6): MinHash+LSH near-dedup over the text (llm/dedup.py
+    minhash_near_duplicates — catches near-copies cheaply) feeds its
+    survivors into SemDeDup semantic dedup over their embeddings
+    (llm/similarity.py semantic_dedup — prunes redundant-but-not-
+    identical regions). One lazy plan; the oracle replays the LSH
+    banding, the exact-Jaccard verification, the survivor anti-join,
+    the Lloyd fit OVER THE SURVIVOR SUBSET (seeds and codebooks differ
+    from the full-corpus fit — a tier-order deviation breaks the hash),
+    and the within-cell ε-drop. Output: ``vec_id, cell`` of documents
+    surviving BOTH tiers."""
+    from ..llm.dedup import minhash_near_duplicates
+    from ..llm.similarity import semantic_dedup
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                    k=16, bands=4, n=3, parity_hash=True)
+    ndrop = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    surv = e.join(ndrop, "vec_id", "left_anti").select("vec_id", "embedding")
+    return semantic_dedup(surv, threshold=0.3, n_lists=8, iters=2)
 
 
 def _dd_l2(a: str, b: str) -> str:

@@ -664,6 +664,73 @@ def report_sales_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.sales_monthly(tally_catalog(spark, sf_dir), FROM, TO))
 
 
+@gate_query("report_purchase_daily", oracle=f"""
+WITH {_CTES},
+eff AS (
+  SELECT v.date AS date, SUM(a.amount) AS amount
+  FROM trn_accounting a
+  JOIN trn_voucher v ON v.guid = a.guid
+  JOIN mst_ledger l ON a.ledger = l.name
+  JOIN mst_group g ON g.name = l.parent
+  WHERE g.primary_group = 'Purchase Accounts'
+    AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
+    AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
+  GROUP BY v.date
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(DATE '{FROM}', DATE '{TO}',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+)
+SELECT s.date,
+       CAST(CAST(COALESCE(-e.amount, 0) AS DECIMAL(17,2)) AS DOUBLE) AS amount
+FROM spine s LEFT JOIN eff e ON e.date = s.date
+""")
+def report_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL purchase-daily program (plans/tally_reports.py
+    purchase_daily; reference reports/mssql/purchase-daily.sql — unlike
+    sales-daily, amounts are NEGATED and order/inventory vouchers are
+    excluded, the asymmetry purchase-daily.sql:20-24 encodes)."""
+    return _money_to_double(
+        R.purchase_daily(tally_catalog(spark, sf_dir), FROM, TO))
+
+
+@gate_query("report_purchase_monthly", oracle=f"""
+WITH {_CTES},
+months AS (
+  SELECT DISTINCT CAST(EXTRACT(YEAR FROM d) AS INT) AS year,
+                  CAST(EXTRACT(MONTH FROM d) AS INT) AS month
+  FROM (SELECT CAST(unnest(generate_series(DATE '{FROM}', DATE '{TO}',
+                                           INTERVAL 1 DAY)) AS DATE) AS d)
+),
+eff AS (
+  SELECT CAST(EXTRACT(YEAR FROM v.date) AS INT) AS year,
+         CAST(EXTRACT(MONTH FROM v.date) AS INT) AS month,
+         SUM(a.amount) AS amount
+  FROM trn_accounting a
+  JOIN trn_voucher v ON v.guid = a.guid
+  JOIN mst_ledger l ON a.ledger = l.name
+  JOIN mst_group g ON g.name = l.parent
+  WHERE g.primary_group = 'Purchase Accounts'
+    AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
+    AND v.date BETWEEN DATE '{FROM}' AND DATE '{TO}'
+  GROUP BY 1, 2
+)
+SELECT m.year, m.month,
+       CAST(CAST(COALESCE(-e.amount, 0) AS DECIMAL(17,2)) AS DOUBLE) AS amount
+FROM months m LEFT JOIN eff e ON e.year = m.year AND e.month = m.month
+""")
+def report_purchase_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL purchase-monthly program (plans/tally_reports.py
+    purchase_monthly; reference reports/mssql/purchase-monthly.sql —
+    negated amounts, order/inventory vouchers excluded per
+    purchase-monthly.sql:24, the filter whose absence round 4 caught as
+    a real bug when the monthly total disagreed with the sum of
+    dailies). With both gates registered, all 15 reference reports have
+    driver-registry entries (group trees share one merged gate)."""
+    return _money_to_double(
+        R.purchase_monthly(tally_catalog(spark, sf_dir), FROM, TO))
+
+
 @gate_query("report_daily_cash_movement", oracle=f"""
 WITH {_CTES},
 mov AS (

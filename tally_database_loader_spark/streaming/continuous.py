@@ -38,7 +38,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.incremental import IncrementalSync, ParquetStore
+from ..operators.incremental import IncrementalSync, ParquetStore  # noqa: F401 (re-export)
+from ..operators.table_format import TableFormat
 from ..sources.registry import TableSpec
 
 _MANIFEST_SCHEMA = "drop_id string, seq long, roots array<string>, path string"
@@ -119,7 +120,7 @@ class ContinuousTallySync:
     merge. One query per store — micro-batch serialization is the
     reentrancy guard."""
 
-    def __init__(self, spark: SparkSession, store: ParquetStore,
+    def __init__(self, spark: SparkSession, store: TableFormat,
                  specs: dict[str, TableSpec], landing_dir: str,
                  checkpoint_dir: str):
         self.spark = spark

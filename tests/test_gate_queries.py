@@ -52,6 +52,10 @@ def test_driver_window_covers_all_families():
         # F11/F2 spine star, F13/F19 opening-row union) — 8 report_* rows
         "report_account_ledger", "report_daily_cash_movement",
         "report_accounting_voucher_view",
+        # round-5 curation: the 3-regime workflow dedup (F10) and the
+        # composite-key month join (F16/F2) now run on the real model —
+        # 10 report_* rows in the window
+        "report_stock_voucher_view", "report_sales_monthly",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

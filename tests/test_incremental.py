@@ -49,18 +49,37 @@ def _mutate(spark, src):
     return out
 
 
-@pytest.fixture(scope="module")
-def stores(spark, tmp_path_factory):
+def _backend_store(backend, path, spark):
+    """Construct one TableFormat backend (review r4 #3: the E-protocol
+    must converge on both the zero-dependency manifest store and a
+    battle-tested table format). The Delta leg is the documented
+    environment blocker: delta-spark's jars are not installable in this
+    container, so it importorskips here and runs wherever Delta is on
+    the Spark classpath."""
+    from tally_database_loader_spark.operators.table_format import make_store
+    if backend == "delta":
+        pytest.importorskip(
+            "delta", reason="delta-spark not installed (documented "
+                            "environment blocker; manifest store is the "
+                            "default backend)")
+    return make_store(path, spark=spark, fmt=backend)
+
+
+@pytest.fixture(scope="module", params=["manifest", "delta"])
+def stores(request, spark, tmp_path_factory):
+    backend = request.param
     specs = default_tables()
     src1 = tally_source(spark)
     src2 = _mutate(spark, src1)
 
-    inc_store = ParquetStore(str(tmp_path_factory.mktemp("inc")))
+    inc_store = _backend_store(backend, str(tmp_path_factory.mktemp("inc")),
+                               spark)
     inc = IncrementalSync(spark, inc_store, specs)
     inc.full_sync(src1)
     stats = inc.incremental_sync(src2)
 
-    full_store = ParquetStore(str(tmp_path_factory.mktemp("full")))
+    full_store = _backend_store(backend,
+                                str(tmp_path_factory.mktemp("full")), spark)
     full = IncrementalSync(spark, full_store, specs)
     full.full_sync(src2)
     return inc_store, full_store, stats, specs
@@ -115,6 +134,8 @@ def test_untouched_buckets_carried_forward_across_sync(spark, stores):
     directory must hold physical files only for the touched buckets."""
     import os
     inc_store, _, _, specs = stores
+    if not isinstance(inc_store, ParquetStore):
+        pytest.skip("manifest mechanics are backend-specific")
     carried = rewritten = 0
     for table in inc_store.tables():
         vs = inc_store._versions(table)
@@ -506,3 +527,32 @@ def test_live_slow_stage_not_swept_by_root_mtime(spark, tmp_path):
     os.utime(bucket, (old, old))
     store.vacuum("t", keep_last=1)
     assert not os.path.isdir(stage), "dead stage not reclaimed"
+
+
+def test_table_format_interface_and_delta_blocker(spark, tmp_path):
+    """Review r4 #3: the sink contract is a pluggable TableFormat.
+    ParquetStore implements it; DeltaStore either works (Delta on the
+    classpath) or fails AT CONSTRUCTION with the manifest fallback named
+    — never deep inside a sync."""
+    from tally_database_loader_spark.operators.table_format import (
+        DeltaStore, DeltaUnavailableError, TableFormat, make_store)
+    assert issubclass(ParquetStore, TableFormat)
+    st = make_store(str(tmp_path / "m"), spark=spark, fmt="manifest")
+    assert isinstance(st, ParquetStore)
+    with pytest.raises(ValueError, match="manifest.*delta|delta.*manifest"):
+        make_store(str(tmp_path / "x"), spark=spark, fmt="iceberg")
+    try:
+        import delta  # noqa: F401
+        have_delta = True
+    except ImportError:
+        have_delta = False
+    if have_delta:
+        ds = DeltaStore(str(tmp_path / "d"), spark)
+        df = _guid_df(spark, n=8)
+        ds.write(df, "t")
+        assert ds.exists("t") and ds.read(spark, "t").count() == 8
+    else:
+        with pytest.raises(DeltaUnavailableError, match="manifest"):
+            DeltaStore(str(tmp_path / "d"), spark)
+        with pytest.raises(DeltaUnavailableError, match="manifest"):
+            make_store(str(tmp_path / "d"), spark=spark, fmt="delta")

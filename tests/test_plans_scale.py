@@ -228,3 +228,53 @@ def test_round3_merged_suite_plan_shapes(spark):
     sim = _plan(spark, "similarity_topk_suite")
     assert "CartesianProduct" not in sim
     assert "Exchange SinglePartition" not in sim
+
+
+def test_bnlj_inventory_whitelisted(spark):
+    """Review r4 #5, as a checked invariant instead of verdict prose:
+    across EVERY headline plan there is no CartesianProduct, and every
+    BroadcastNestedLoopJoin's build side is one of the two adjudicated
+    benign shapes — (a) a 1-row scalar cross-join (the exact
+    side-by-side verification values in hll_token_distinct /
+    sketch_suite: benign at any scale) or (b) the explicit |Q|=8
+    query-set broadcast in the brute-force exact-kNN arms of
+    similarity_topk_suite / pq_adc_topk (linear in corpus,
+    embarrassingly parallel, the documented exact baseline beside the
+    LSH/IVF/PQ arms). Any new BNLJ — in a new query or a regressed plan
+    — fails here and must be either fixed or adjudicated into the
+    whitelist explicitly."""
+    import re
+    from bench import HEADLINE
+    BENIGN_SCALAR = {"hll_token_distinct": 1, "sketch_suite": 1}
+    BENIGN_QUERYSET = {"similarity_topk_suite": 3, "pq_adc_topk": 1}
+    found = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        n = plan.count("BroadcastNestedLoopJoin")
+        if n:
+            found[name] = (n, plan)
+    unexpected = sorted(set(found) - set(BENIGN_SCALAR) - set(BENIGN_QUERYSET))
+    assert not unexpected, \
+        f"BroadcastNestedLoopJoin outside the adjudicated whitelist: " \
+        f"{unexpected} — fix the plan or adjudicate it here"
+    for name, cap in BENIGN_QUERYSET.items():
+        if name not in found:
+            continue
+        n, plan = found[name]
+        assert n <= cap, f"{name}: {n} BNLJ nodes (adjudicated {cap})"
+        # the build side really is the explicit query set: its pushed
+        # vec_id < 8 filter must appear in the same plan
+        assert re.search(r"vec_id#\d+L? < 8", plan), \
+            f"{name}: BNLJ present but no |Q|=8 query-set filter"
+    for name, cap in BENIGN_SCALAR.items():
+        if name not in found:
+            continue
+        n, plan = found[name]
+        assert n <= cap, f"{name}: {n} BNLJ nodes (adjudicated {cap})"
+        # scalar verification cross-join: no join condition (Cross)
+        assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan \
+            or "BroadcastNestedLoopJoin BuildLeft, Cross" in plan, \
+            f"{name}: BNLJ is not the adjudicated scalar cross shape"
