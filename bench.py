@@ -105,6 +105,7 @@ HEADLINE = [
     # gates completed 15/15 report coverage (review r4 #4)
     "two_tier_dedup",
     "semantic_dedup_capped",
+    "ppm_decode_real",
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",
@@ -133,6 +134,8 @@ HEADLINE = [
 #   semantic_dedup_capped —      —      new r5 (hot-cluster guard path,
 #                                        value-hash oracle incl. the
 #                                        sub-bucket arithmetic)
+#   ppm_decode_real       —      —      new r5 (REAL image decoder under
+#                                        a value-hash oracle)
 #   report_purchase_daily —      —      new r5 (15/15 report gates)
 #   report_purchase_monthly —    —      new r5
 #   report_sales_monthly  —      —      new r5 (rotated into the driver

@@ -8,10 +8,13 @@ columns so downstream filters prune without touching bytes.
 Decoders come in two tiers:
 
 - **Real** for formats the standard library + numpy can parse — WAV
-  audio (``wave``), binary PPM (P6) and uncompressed 24-bit BMP images
-  — ``decode_audio_features`` / ``decode_image_features`` /
+  audio (``wave``), binary PPM (P6), uncompressed 24-bit BMP, and (new
+  round 5) PNG — whose only codec is DEFLATE, i.e. stdlib ``zlib``: a
+  full chunk/CRC/unfilter decoder (all five filter types, gray / RGB /
+  palette / alpha at bit depth 8) lives in ``_decode_png_bytes``.
+  ``decode_audio_features`` / ``decode_image_features`` /
   ``resize_ppm`` run genuine decode/resample math over Arrow batches.
-- **Stubbed** for formats that need native codecs (JPEG/PNG/MP4 —
+- **Stubbed** for formats that need native codecs (JPEG/WebP/MP4 —
   PIL/ffmpeg are not in this container): ``decode_image`` raises
   ``NotImplementedError`` by design, and the ``fake_*`` operators
   exercise the identical Spark plumbing — Arrow batches through
@@ -58,15 +61,16 @@ def payload_metadata(df: DataFrame, id_col: str, payload: Column) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Compressed-format image decode (JPEG/PNG/WebP) — requires
-    PIL/libvips, not present in this container. For PPM/BMP the REAL
-    ``_decode_image_bytes`` below handles the parse; the Spark plumbing
-    (decode_image_features / fake_decode_features) is identical either
-    way."""
+    """Transform-coded image decode (JPEG/WebP) — requires PIL/libvips,
+    not present in this container. PNG is NOT in this bucket (round 5):
+    its only codec dependency is DEFLATE, which is stdlib ``zlib``, so
+    ``_decode_png_bytes`` below decodes it for real; PPM/BMP likewise
+    decode natively. The Spark plumbing (decode_image_features /
+    fake_decode_features) is identical either way."""
     raise NotImplementedError(
-        "compressed image decoding requires PIL/libvips which are not "
-        "installed; PPM (P6) and uncompressed 24-bit BMP decode natively "
-        "via decode_image_features")
+        "JPEG/WebP decoding requires PIL/libvips which are not "
+        "installed; PNG, PPM (P6) and uncompressed 24-bit BMP decode "
+        "natively via decode_image_features")
 
 
 # ---------------------------------------------------------------------------
@@ -124,12 +128,132 @@ def _parse_ppm_header(b: bytes) -> tuple[int, int, int, int]:
     return tokens[0], tokens[1], tokens[2], i + 1  # +1: ws after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel in the raster (before palette expansion)
+_PNG_RASTER_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png_bytes(b: bytes) -> dict:
+    """REAL PNG decode, stdlib-only: chunk walk with CRC verification,
+    ``zlib`` DEFLATE of the concatenated IDATs, and per-row unfiltering
+    of all five PNG filter types (None/Sub/Up/Average/Paeth). Supported:
+    bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), non-interlaced — i.e. everything except
+    16-bit samples and Adam7, which raise loudly (NULL-feature row)
+    rather than decode wrong. Output matches the PPM/BMP record shape:
+    per-channel means (gray replicates across r/g/b; alpha excluded from
+    the means, like every thumbnailer's RGB statistics)."""
+    import zlib
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        crc, = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only); "
+                         "use PIL-backed decode")
+    if ctype_n not in _PNG_RASTER_CH or comp != 0 or filt != 0:
+        raise ValueError(f"PNG color type {ctype_n} / compression {comp} "
+                         "unsupported")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported without PIL")
+    if ctype_n == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = _PNG_RASTER_CH[ctype_n]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    # unfilter: each scanline = filter byte + stride bytes; Sub/Avg/Paeth
+    # reference the pixel bpp bytes to the left, Up/Avg/Paeth the prior
+    # unfiltered row (spec §6 — integer math, exact)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=y * (1 + stride) + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + prior[x]) >> 1)
+                else:                       # Paeth
+                    c0 = prior[x - ch] if x >= ch else 0
+                    p = a + prior[x] - c0
+                    pa, pb, pc = abs(p - a), abs(p - prior[x]), abs(p - c0)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = prior[x]
+                    else:
+                        pred = c0
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = cur
+        prior = cur
+    px = out.reshape(h, w, ch)
+    if ctype_n == 3:                        # palette indices → RGB
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[px[:, :, 0]]
+        channels = 3
+    elif ctype_n == 0:
+        rgb = np.repeat(px, 3, axis=2)
+        channels = 1
+    elif ctype_n == 4:                      # gray+alpha: means over gray
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        channels = 2
+    elif ctype_n == 6:                      # RGBA: alpha out of the means
+        rgb = px[:, :, :3]
+        channels = 4
+    else:                                   # 2: RGB
+        rgb = px
+        channels = 3
+    means = rgb.astype(np.float64).mean(axis=(0, 1))
+    return {"format": "png", "width": w, "height": h, "channels": channels,
+            "mean_r": float(means[0]), "mean_g": float(means[1]),
+            "mean_b": float(means[2])}
+
+
 def _decode_image_bytes(b: bytes) -> dict:
-    """Parse one image payload — REAL decode for the two formats whose
-    byte layout needs no codec: binary PPM (``P6``, raw RGB) and
+    """Parse one image payload — REAL decode for the three formats whose
+    codec needs nothing beyond the standard library: binary PPM (``P6``,
+    raw RGB), PNG (DEFLATE = stdlib zlib; see ``_decode_png_bytes``) and
     uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows
     padded to 4 bytes). Raises ValueError for other magics (JPEG/PNG
     need PIL — see decode_image)."""
+    if b[:8] == _PNG_SIG:
+        return _decode_png_bytes(b)
     if b[:2] == b"P6":
         w, h, maxval, i = _parse_ppm_header(b)
         if w <= 0 or h <= 0:
@@ -174,7 +298,7 @@ def _decode_image_bytes(b: bytes) -> dict:
         return {"format": "bmp", "width": w, "height": abs(h), "channels": 3,
                 "mean_r": float(means[2]), "mean_g": float(means[1]),
                 "mean_b": float(means[0])}
-    raise ValueError("unsupported image magic (JPEG/PNG need PIL; "
+    raise ValueError("unsupported image magic (JPEG/WebP need PIL; "
                      "see decode_image)")
 
 
@@ -203,8 +327,9 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "payload") -> DataFrame:
-    """REAL PPM/BMP decode over Arrow batches (dimensions + per-channel
-    means); other formats (or corrupt bytes) yield NULL-feature rows."""
+    """REAL PNG/PPM/BMP decode over Arrow batches (dimensions +
+    per-channel means); other formats (or corrupt bytes) yield
+    NULL-feature rows."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",

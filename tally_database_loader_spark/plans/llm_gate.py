@@ -428,6 +428,41 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
+@gate_query("ppm_decode_real", oracle="""
+WITH p AS (
+  SELECT doc_id, substr(rpad(text, 96, 'x'), 1, 96) AS s FROM documents
+),
+b AS (
+  SELECT doc_id, i, CAST(unicode(substr(s, i, 1)) AS DOUBLE) AS v
+  FROM p, generate_series(1, 96) t(i)
+)
+SELECT doc_id, 'ppm' AS format, 8 AS width, 4 AS height, 3 AS channels,
+       AVG(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS mean_r,
+       AVG(CASE WHEN (i - 1) % 3 = 1 THEN v END) AS mean_g,
+       AVG(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS mean_b
+FROM b GROUP BY doc_id
+""")
+def ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decoder under a value-hash oracle (round 5): each
+    document's first 96 ASCII bytes (x-padded) become the raster of a
+    genuine 8×4 binary PPM, decoded by the real `_decode_image_bytes`
+    parser (header scan, raster offset, channel split) — and the oracle
+    re-derives the per-channel means directly from the text bytes. The
+    means are EXACT doubles (integer sums of 32 values, division by a
+    power of two), so the hash has no tolerance. This upgrades the real-
+    decoder tier from pytest-only to driver-hash-verified; PNG/BMP/WAV
+    share the same `_decode_image_bytes`/mapInPandas path and stay
+    pytest-verified (their rasters aren't SQL-reconstructible —
+    DEFLATE/stride padding/RIFF)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("P6\n8 4\n255\n"),
+                          F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)),
+                 "utf-8").alias("payload"))
+    return mm.decode_image_features(payload, "doc_id", "payload")
+
+
 @gate_query("multimodal_suite", oracle=f"""
 SELECT 'decode' AS stage, doc_id,
        n_bytes AS i1, max_byte AS i2, width AS i3, height AS i4,
