@@ -99,6 +99,22 @@ class TableFormat(abc.ABC):
                 sort_col: str | None = None) -> int: ...
 
 
+def scoped_merge_source(df: DataFrame, touched_keys: DataFrame,
+                        key: str) -> DataFrame:
+    """Source relation for the scoped-commit MERGE: exactly one row per
+    distinct touched key, decorated with the key's new content from
+    ``df``; ``__gone`` is true when the key has no row in ``df`` (i.e.
+    it was deleted). Plain DataFrame logic — factored out of
+    ``DeltaStore.write_scoped`` so the merge-source semantics are
+    unit-testable without Delta on the classpath (the MERGE itself maps
+    each row to delete / update / insert by ``__gone`` and match)."""
+    tkey = touched_keys.columns[0]
+    touched = touched_keys.select(F.col(tkey).alias("__k")).distinct()
+    return (touched.join(df, touched["__k"] == df[key], "left")
+            .select("__k", df[key].isNull().alias("__gone"),
+                    *[df[c].alias(c) for c in df.columns]))
+
+
 class DeltaStore(TableFormat):
     """Delta Lake implementation of the sink contract: one Delta table
     per logical table under ``root``, keys = the table's first column
@@ -146,17 +162,7 @@ class DeltaStore(TableFormat):
             self.write(df, table)
             return -1
         key = self._key_of(df)
-        tkey = touched_keys.columns[0]
-        touched = touched_keys.select(
-            F.col(tkey).alias(key)).distinct()
-        # source = touched keys decorated with their new content; a key
-        # with no row in df means "this key was deleted"
-        src = (touched.alias("k")
-               .join(df.alias("n"), F.col("k." + key) == F.col("n." + key),
-                     "left")
-               .select(F.col("k." + key).alias("__k"),
-                       F.col("n." + key).isNull().alias("__gone"),
-                       *[F.col("n." + c).alias(c) for c in df.columns]))
+        src = scoped_merge_source(df, touched_keys, key)
         n_touched = src.count()
         sets = {c: f"s.{c}" for c in df.columns}
         (self._delta(table).alias("t")
@@ -190,11 +196,14 @@ class DeltaStore(TableFormat):
         return sorted(int(r["version"]) for r in rows)
 
     def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
-        # Delta's retention is time-based, not count-based; retain 0h is
-        # the "reclaim everything unreferenced now" analog of the
-        # manifest store's keep_last sweep. Returns [] (Delta does not
-        # report dropped version ids).
-        self._delta(table).vacuum(0.0)
+        # Delta's retention is time-based, not count-based: the default
+        # 7-day window is the safe analog of the manifest store's
+        # keep_last sweep (retain < 168h would need
+        # spark.databricks.delta.retentionDurationCheck.enabled=false —
+        # a deliberate operator decision, not something a library
+        # default should flip). Returns [] (Delta does not report
+        # dropped version ids).
+        self._delta(table).vacuum()
         return []
 
     def compact(self, spark: SparkSession, table: str,

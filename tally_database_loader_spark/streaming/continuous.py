@@ -45,6 +45,7 @@ from ..sources.registry import TableSpec
 _MANIFEST_SCHEMA = "drop_id string, seq long, roots array<string>, path string"
 
 _LAST_SEQ = 0  # process-local monotonicity floor for publish_snapshot
+_SEEDED_DIRS: set[str] = set()  # manifest dirs whose on-disk max was folded in
 
 
 def _max_published_seq(manifest_dir: str) -> int:
@@ -64,8 +65,9 @@ def _max_published_seq(manifest_dir: str) -> int:
         try:
             with open(os.path.join(manifest_dir, name),
                       encoding="utf-8") as fh:
-                seq = json.loads(fh.readline()).get("seq") or 0
-            best = max(best, int(seq))
+                line = json.loads(fh.readline())
+            seq = line.get("seq") if isinstance(line, dict) else None
+            best = max(best, int(seq or 0))
         except (OSError, ValueError):
             continue
     return best
@@ -96,12 +98,15 @@ def publish_snapshot(landing_dir: str, source_by_root: dict[str, DataFrame],
     # max(clock, prev+1): wall-clock alone is NOT monotonic (NTP steps /
     # VM slew could hand a later drop a smaller seq and re-create the
     # out-of-order merge this field prevents). The floor is
-    # process-local, so on the FIRST publish of a new producer process
-    # seed it from the manifests already on disk — a producer restart
-    # combined with a backwards clock step must not publish a newer
-    # drop with a smaller seq than an already-published one (ADVICE r4).
-    if _LAST_SEQ == 0:
-        _LAST_SEQ = _max_published_seq(manifest_dir)
+    # process-local, so on the first publish TO EACH LANDING DIR fold in
+    # the max seq already on disk — a producer restart combined with a
+    # backwards clock step must not publish a newer drop with a smaller
+    # seq than an already-published one (ADVICE r4; per-dir, not
+    # first-publish-only, so a producer feeding several landings seeds
+    # each one's floor too).
+    if manifest_dir not in _SEEDED_DIRS:
+        _LAST_SEQ = max(_LAST_SEQ, _max_published_seq(manifest_dir))
+        _SEEDED_DIRS.add(manifest_dir)
     _LAST_SEQ = max(time.time_ns(), _LAST_SEQ + 1)
     line = json.dumps({"drop_id": drop_id,
                        "seq": _LAST_SEQ,

@@ -556,3 +556,37 @@ def test_table_format_interface_and_delta_blocker(spark, tmp_path):
             DeltaStore(str(tmp_path / "d"), spark)
         with pytest.raises(DeltaUnavailableError, match="manifest"):
             make_store(str(tmp_path / "d"), spark=spark, fmt="delta")
+
+
+def test_scoped_merge_source_semantics(spark):
+    """DeltaStore's MERGE source, unit-checked without Delta: simulate
+    the merge's three arms (matched+__gone → delete, matched+present →
+    update, unmatched+present → insert) in plain Spark and assert the
+    result equals the write_scoped contract — rows for touched keys come
+    from df, rows outside the touched set survive untouched."""
+    from tally_database_loader_spark.operators.table_format import (
+        scoped_merge_source)
+    target = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "guid string, v int")
+    # new content: a modified, b deleted, e inserted; c/d untouched
+    df = spark.createDataFrame(
+        [("a", 10), ("c", 3), ("d", 4), ("e", 50)], "guid string, v int")
+    touched = spark.createDataFrame(
+        [("a",), ("b",), ("e",), ("e",)], "k string")  # dup key on purpose
+    src = scoped_merge_source(df, touched, "guid")
+    rows = {r["__k"]: r for r in src.collect()}
+    assert set(rows) == {"a", "b", "e"}, "one row per DISTINCT touched key"
+    assert rows["b"]["__gone"] and rows["b"]["guid"] is None
+    assert not rows["a"]["__gone"] and rows["a"]["v"] == 10
+    assert not rows["e"]["__gone"] and rows["e"]["v"] == 50
+    # simulate the MERGE arms
+    matched_del = {k for k, r in rows.items() if r["__gone"]}
+    upserts = {k: r["v"] for k, r in rows.items() if not r["__gone"]}
+    result = {r["guid"]: r["v"] for r in target.collect()
+              if r["guid"] not in matched_del and r["guid"] not in upserts}
+    result.update(upserts)
+    want = {r["guid"]: r["v"] for r in target.collect()}
+    for k in ("b",):
+        want.pop(k)
+    want.update({"a": 10, "e": 50})
+    assert result == want == {"a": 10, "c": 3, "d": 4, "e": 50}

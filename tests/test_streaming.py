@@ -486,23 +486,42 @@ def test_seq_floor_reseeds_from_disk_after_producer_restart(spark, tmp_path, mon
     landing = str(tmp_path / "landing")
     src = tally_source(spark)
     monkeypatch.setattr(C, "_LAST_SEQ", 0)
+    monkeypatch.setattr(C, "_SEEDED_DIRS", set())
     C.publish_snapshot(landing, src, drop_id="before-restart")
     mdir = os.path.join(landing, "manifest")
     with open(os.path.join(mdir, "before-restart.json")) as fh:
         seq_before = json.loads(fh.readline())["seq"]
 
-    # simulate restart (fresh process floor) + NTP step backwards
+    # simulate restart (fresh process floor + empty seed cache) + NTP
+    # step backwards
     monkeypatch.setattr(C, "_LAST_SEQ", 0)
+    monkeypatch.setattr(C, "_SEEDED_DIRS", set())
     monkeypatch.setattr(C.time, "time_ns", lambda: seq_before - 10 ** 9)
     C.publish_snapshot(landing, src, drop_id="after-restart")
     with open(os.path.join(mdir, "after-restart.json")) as fh:
         seq_after = json.loads(fh.readline())["seq"]
     assert seq_after > seq_before, \
         f"post-restart seq {seq_after} not above published {seq_before}"
-    # stage files and junk in the manifest dir must not break seeding
+    # stage files and junk in the manifest dir must not break seeding —
+    # including valid-JSON-but-not-an-object lines (AttributeError trap)
     monkeypatch.setattr(C, "_LAST_SEQ", 0)
     with open(os.path.join(mdir, ".partial.json.tmp"), "w") as fh:
         fh.write('{"seq": 99999999999999999999}')
     with open(os.path.join(mdir, "junk.json"), "w") as fh:
         fh.write("not json")
+    with open(os.path.join(mdir, "scalar.json"), "w") as fh:
+        fh.write("12345")
     assert C._max_published_seq(mdir) == seq_after
+    # a second landing dir seeds ITS OWN floor even mid-process (the
+    # _SEEDED_DIRS cache is per-dir, not first-publish-only)
+    landing2 = str(tmp_path / "landing2")
+    import json as _json
+    m2 = os.path.join(landing2, "manifest")
+    os.makedirs(m2)
+    high = seq_after + 10 ** 12
+    with open(os.path.join(m2, "pre.json"), "w") as fh:
+        fh.write(_json.dumps({"drop_id": "pre", "seq": high,
+                              "roots": [], "path": "x"}) + "\n")
+    C.publish_snapshot(landing2, src, drop_id="post")
+    with open(os.path.join(m2, "post.json")) as fh:
+        assert _json.loads(fh.readline())["seq"] > high
