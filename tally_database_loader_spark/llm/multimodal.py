@@ -9,13 +9,17 @@ Decoders come in two tiers:
 
 - **Real** for formats the standard library + numpy can parse — WAV
   audio (``wave``), binary PPM (P6), uncompressed 24-bit BMP, and (new
-  round 5) PNG — whose only codec is DEFLATE, i.e. stdlib ``zlib``: a
-  full chunk/CRC/unfilter decoder (all five filter types, gray / RGB /
-  palette / alpha at bit depth 8) lives in ``_decode_png_bytes``.
-  ``decode_audio_features`` / ``decode_image_features`` /
+  round 5) PNG and baseline JPEG. PNG's only codec is DEFLATE, i.e.
+  stdlib ``zlib``: a full chunk/CRC/unfilter decoder (all five filter
+  types, gray / RGB / palette / alpha at bit depth 8) lives in
+  ``_decode_png_bytes``. Baseline JPEG's math (huffman entropy decode,
+  dequantization, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB) is
+  pure numpy — ``llm/jpeg.py``, spec-checked against an independent
+  encoder. ``decode_audio_features`` / ``decode_image_features`` /
   ``resize_ppm`` run genuine decode/resample math over Arrow batches.
-- **Stubbed** for formats that need native codecs (JPEG/WebP/MP4 —
-  PIL/ffmpeg are not in this container): ``decode_image`` raises
+- **Stubbed** for formats that need native codecs (WebP / MP4 /
+  non-baseline JPEG modes — PIL/ffmpeg are not in this container):
+  ``decode_image`` raises
   ``NotImplementedError`` by design, and the ``fake_*`` operators
   exercise the identical Spark plumbing — Arrow batches through
   ``mapInPandas``, binary in, fixed-schema out — which is the part that
@@ -61,20 +65,23 @@ def payload_metadata(df: DataFrame, id_col: str, payload: Column) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Transform-coded image decode (JPEG/WebP) — requires PIL/libvips,
-    not present in this container. PNG is NOT in this bucket (round 5):
-    its only codec dependency is DEFLATE, which is stdlib ``zlib``, so
-    ``_decode_png_bytes`` below decodes it for real; PPM/BMP likewise
-    decode natively. The Spark plumbing (decode_image_features /
-    fake_decode_features) is identical either way."""
+    """Residual codec stub — by round 5 this covers only WebP and the
+    non-baseline JPEG modes (progressive/arithmetic/hierarchical), which
+    genuinely need libjpeg/libvips. Everything else decodes for REAL:
+    baseline JPEG (``llm/jpeg.py`` — huffman + dequant + IDCT in pure
+    numpy), PNG (stdlib zlib, ``_decode_png_bytes``), PPM, BMP. The
+    Spark plumbing (decode_image_features / fake_decode_features) is
+    identical either way."""
     raise NotImplementedError(
-        "JPEG/WebP decoding requires PIL/libvips which are not "
-        "installed; PNG, PPM (P6) and uncompressed 24-bit BMP decode "
-        "natively via decode_image_features")
+        "WebP and progressive/arithmetic JPEG require PIL/libvips which "
+        "are not installed; baseline JPEG, PNG, PPM (P6) and "
+        "uncompressed 24-bit BMP decode natively via "
+        "decode_image_features")
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders: WAV (stdlib wave), PPM P6 + uncompressed 24-bit BMP (numpy)
+# REAL decoders: WAV (stdlib wave), PPM P6 / BMP / PNG (numpy + zlib);
+# baseline JPEG lives in llm/jpeg.py
 # ---------------------------------------------------------------------------
 
 AUDIO_SCHEMA = ("doc_id bigint, sample_rate int, n_channels int, "
@@ -254,6 +261,11 @@ def _decode_image_bytes(b: bytes) -> dict:
     need PIL — see decode_image)."""
     if b[:8] == _PNG_SIG:
         return _decode_png_bytes(b)
+    if b[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg_bytes
+        rec = decode_jpeg_bytes(b)
+        rec.pop("pixels", None)            # record shape parity
+        return rec
     if b[:2] == b"P6":
         w, h, maxval, i = _parse_ppm_header(b)
         if w <= 0 or h <= 0:
@@ -387,9 +399,11 @@ def resize_ppm(df: DataFrame, width: int, height: int,
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Compressed-format image resize — requires PIL/libvips, not present
-    in this container. PPM payloads resize for real via ``resize_ppm``;
-    ``fake_resize`` exercises the same plumbing for everything else."""
+    """Compressed-format image RE-ENCODE after resize — requires
+    PIL/libvips (decode is real for baseline JPEG/PNG/PPM/BMP, but
+    re-encoding needs an encoder this container lacks). PPM payloads
+    resize for real via ``resize_ppm``; ``fake_resize`` exercises the
+    same plumbing for everything else."""
     raise NotImplementedError(
         "compressed image resizing requires PIL/libvips which are not "
         "installed; PPM resizes natively via resize_ppm")
