@@ -106,6 +106,7 @@ HEADLINE = [
     "two_tier_dedup",
     "semantic_dedup_capped",
     "ppm_decode_real",
+    "ppm_resize_real",
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",
@@ -136,6 +137,8 @@ HEADLINE = [
 #                                        sub-bucket arithmetic)
 #   ppm_decode_real       —      —      new r5 (REAL image decoder under
 #                                        a value-hash oracle)
+#   ppm_resize_real       —      —      new r5 (REAL universal resize,
+#                                        exact output-byte oracle)
 #   report_purchase_daily —      —      new r5 (15/15 report gates)
 #   report_purchase_monthly —    —      new r5
 #   report_sales_monthly  —      —      new r5 (rotated into the driver

@@ -15,10 +15,14 @@ Decoders come in two tiers:
   ``_decode_png_bytes``. Baseline JPEG's math (huffman entropy decode,
   dequantization, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB) is
   pure numpy — ``llm/jpeg.py``, spec-checked against an independent
-  encoder. ``decode_audio_features`` / ``decode_image_features`` /
-  ``resize_ppm`` run genuine decode/resample math over Arrow batches.
-- **Stubbed** for formats that need native codecs (WebP / MP4 /
-  non-baseline JPEG modes — PIL/ffmpeg are not in this container):
+  encoder. MP4's CONTAINER metadata (brand/duration/tracks/dims) is a
+  stdlib box walk — ``decode_video_metadata``. ``decode_audio_features``
+  / ``decode_image_features`` / ``resize_ppm`` / ``resize_images`` (all
+  decodable formats → nearest resample → P6 re-emit) run genuine
+  decode/resample math over Arrow batches.
+- **Stubbed** for the codec inner loops that genuinely need native
+  libraries (WebP, non-baseline JPEG modes, MP4 FRAME decode —
+  PIL/ffmpeg are not in this container):
   ``decode_image`` raises
   ``NotImplementedError`` by design, and the ``fake_*`` operators
   exercise the identical Spark plumbing — Arrow batches through
@@ -65,18 +69,20 @@ def payload_metadata(df: DataFrame, id_col: str, payload: Column) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Residual codec stub — by round 5 this covers only WebP and the
-    non-baseline JPEG modes (progressive/arithmetic/hierarchical), which
-    genuinely need libjpeg/libvips. Everything else decodes for REAL:
-    baseline JPEG (``llm/jpeg.py`` — huffman + dequant + IDCT in pure
-    numpy), PNG (stdlib zlib, ``_decode_png_bytes``), PPM, BMP. The
-    Spark plumbing (decode_image_features / fake_decode_features) is
-    identical either way."""
+    """Residual codec stub — by round 5 this covers only WebP, the
+    non-baseline JPEG modes (progressive/arithmetic/hierarchical) and
+    MP4 FRAME decode, which genuinely need libjpeg/libvips/ffmpeg.
+    Everything else parses for REAL: baseline JPEG (``llm/jpeg.py`` —
+    huffman + dequant + IDCT in pure numpy), PNG (stdlib zlib,
+    ``_decode_png_bytes``), PPM, BMP, MP4 container metadata
+    (``_decode_mp4_bytes``). The Spark plumbing (decode_image_features /
+    fake_decode_features) is identical either way."""
     raise NotImplementedError(
-        "WebP and progressive/arithmetic JPEG require PIL/libvips which "
-        "are not installed; baseline JPEG, PNG, PPM (P6) and "
-        "uncompressed 24-bit BMP decode natively via "
-        "decode_image_features")
+        "WebP, progressive/arithmetic JPEG and MP4 frame decode require "
+        "PIL/libvips/ffmpeg which are not installed; baseline JPEG, PNG, "
+        "PPM (P6), uncompressed 24-bit BMP and MP4 container metadata "
+        "decode natively via decode_image_features / "
+        "decode_video_metadata")
 
 
 # ---------------------------------------------------------------------------
@@ -94,8 +100,11 @@ IMAGE_SCHEMA = ("doc_id bigint, format string, width int, height int, "
 
 def _decode_wav_bytes(b: bytes) -> dict:
     """Parse one RIFF/WAV payload: container fields via the stdlib
-    ``wave`` reader, RMS over the PCM samples via numpy (16-bit signed /
-    8-bit unsigned, the two classic PCM widths)."""
+    ``wave`` reader, RMS over the PCM samples via numpy. All four
+    integer PCM widths decode for real — 8-bit unsigned, 16-bit signed,
+    24-bit packed (round 5: three-byte little-endian reassembled and
+    sign-extended in numpy) and 32-bit signed. Non-PCM encodings
+    (float/ALAW/µLAW) are rejected by ``wave`` itself → NULL row."""
     with wave.open(io.BytesIO(b)) as w:
         rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
         n = w.getnframes()
@@ -104,7 +113,15 @@ def _decode_wav_bytes(b: bytes) -> dict:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
     elif width == 1:
         samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
-    else:  # 24/32-bit: container parsed, samples not — rms must be NULL
+    elif width == 4:
+        samples = np.frombuffer(pcm, dtype="<i4").astype(np.float64)
+    elif width == 3:
+        u = np.frombuffer(pcm, dtype=np.uint8)
+        u = u[:len(u) - len(u) % 3].reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        samples = (v - ((v >= (1 << 23)).astype(np.int64) << 24)) \
+            .astype(np.float64)
+    else:  # width 0 or >4: malformed — rms must be NULL, never garbage
         samples = None
     rms = (None if samples is None
            else float(np.sqrt(np.mean(samples * samples))) if samples.size
@@ -249,22 +266,36 @@ def _decode_png_bytes(b: bytes) -> dict:
     means = rgb.astype(np.float64).mean(axis=(0, 1))
     return {"format": "png", "width": w, "height": h, "channels": channels,
             "mean_r": float(means[0]), "mean_g": float(means[1]),
-            "mean_b": float(means[2])}
+            "mean_b": float(means[2]),
+            "pixels": np.ascontiguousarray(rgb)}
 
 
 def _decode_image_bytes(b: bytes) -> dict:
-    """Parse one image payload — REAL decode for the three formats whose
-    codec needs nothing beyond the standard library: binary PPM (``P6``,
-    raw RGB), PNG (DEFLATE = stdlib zlib; see ``_decode_png_bytes``) and
-    uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows
-    padded to 4 bytes). Raises ValueError for other magics (JPEG/PNG
-    need PIL — see decode_image)."""
+    """Parse one image payload — the feature record (no pixel array).
+    Thin wrapper over ``_decode_image_pixels``."""
+    rec = _decode_image_pixels(b)
+    rec.pop("pixels", None)
+    return rec
+
+
+def _decode_image_pixels(b: bytes) -> dict:
+    """REAL decode for every format whose codec needs nothing beyond the
+    standard library + numpy: binary PPM (``P6``, raw RGB), PNG (DEFLATE
+    = stdlib zlib; see ``_decode_png_bytes``), baseline JPEG
+    (``llm/jpeg.py``) and uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB, bottom-up rows padded to 4 bytes). Returns the feature
+    record PLUS ``pixels`` — the decoded h×w×3 RGB uint8 raster (gray
+    replicated) — so resize/transcode operators share one decode path.
+    Raises ValueError for other magics (WebP/non-baseline JPEG need PIL
+    — see decode_image)."""
     if b[:8] == _PNG_SIG:
         return _decode_png_bytes(b)
     if b[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg_bytes
         rec = decode_jpeg_bytes(b)
-        rec.pop("pixels", None)            # record shape parity
+        px = rec["pixels"]
+        if px.shape[2] == 1:               # gray → replicated RGB raster
+            rec["pixels"] = np.repeat(px, 3, axis=2)
         return rec
     if b[:2] == b"P6":
         w, h, maxval, i = _parse_ppm_header(b)
@@ -281,11 +312,12 @@ def _decode_image_bytes(b: bytes) -> dict:
             # loud rejection of unsupported variants
             raise ValueError("PPM maxval != 255 unsupported (16-bit "
                              "samples); use PIL-backed decode")
-        px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
-        means = px.reshape(h, w, 3).mean(axis=(0, 1))
+        px = np.frombuffer(b, dtype=np.uint8,
+                           count=w * h * 3, offset=i).reshape(h, w, 3)
+        means = px.mean(axis=(0, 1))
         return {"format": "ppm", "width": w, "height": h, "channels": 3,
                 "mean_r": float(means[0]), "mean_g": float(means[1]),
-                "mean_b": float(means[2])}
+                "mean_b": float(means[2]), "pixels": px}
     if b[:2] == b"BM":
         off, = struct.unpack_from("<I", b, 10)
         w, h = struct.unpack_from("<ii", b, 18)
@@ -309,9 +341,10 @@ def _decode_image_bytes(b: bytes) -> dict:
         means = px.mean(axis=(0, 1))        # BGR on disk
         return {"format": "bmp", "width": w, "height": abs(h), "channels": 3,
                 "mean_r": float(means[2]), "mean_g": float(means[1]),
-                "mean_b": float(means[0])}
-    raise ValueError("unsupported image magic (JPEG/WebP need PIL; "
-                     "see decode_image)")
+                "mean_b": float(means[0]),
+                "pixels": np.ascontiguousarray(px[:, :, ::-1])}
+    raise ValueError("unsupported image magic (WebP/non-baseline JPEG "
+                     "need PIL; see decode_image)")
 
 
 def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
@@ -398,6 +431,47 @@ def resize_ppm(df: DataFrame, width: int, height: int,
         resize, schema="doc_id bigint, width int, height int, payload binary")
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL resize + transcode for EVERY decodable format (round 5):
+    PPM, PNG, BMP and baseline JPEG payloads decode to their RGB raster
+    (one shared path, ``_decode_image_pixels``), nearest-neighbor
+    resample, and re-emit as binary PPM — the one format this container
+    can also ENCODE (raw raster, no codec). This is the thumbnail /
+    normalize-for-vision-model stage of a multimodal pipeline run for
+    real end-to-end; undecodable or corrupt payloads pass through as
+    NULL, never task failures."""
+    if width < 1 or height < 1:
+        raise ValueError("resize dimensions must be positive")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode("ascii")
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = src = None
+                try:
+                    rec = _decode_image_pixels(bytes(payload))
+                    px = rec["pixels"]
+                    sh, sw = px.shape[:2]
+                    yi = (np.arange(height) * sh) // height
+                    xi = (np.arange(width) * sw) // width
+                    out = header + px[yi][:, xi].tobytes()
+                    src = rec["format"]
+                except Exception:
+                    out = src = None
+                rows.append({"doc_id": doc_id, "src_format": src,
+                             "width": width, "height": height,
+                             "payload": out})
+            yield pd.DataFrame(rows, columns=["doc_id", "src_format",
+                                              "width", "height", "payload"])
+
+    return df.mapInPandas(
+        resize, schema="doc_id bigint, src_format string, width int, "
+                       "height int, payload binary")
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Compressed-format image RE-ENCODE after resize — requires
     PIL/libvips (decode is real for baseline JPEG/PNG/PPM/BMP, but
@@ -438,6 +512,99 @@ def fake_resize(df: DataFrame, width: int, height: int,
 
     return df.mapInPandas(
         resize, schema="doc_id bigint, width int, height int, payload binary")
+
+
+VIDEO_SCHEMA = ("doc_id bigint, brand string, duration_s double, "
+                "n_tracks int, width double, height double")
+
+
+def _parse_mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO-BMFF box in
+    b[start:end]. Handles 64-bit largesize boxes; rejects malformed
+    sizes loudly."""
+    pos = start
+    while pos + 8 <= end:
+        size, = struct.unpack_from(">I", b, pos)
+        btype = b[pos + 4:pos + 8]
+        head = 8
+        if size == 1:                       # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size, = struct.unpack_from(">Q", b, pos + 8)
+            head = 16
+        elif size == 0:                     # box extends to end
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError(f"malformed MP4 box {btype!r} size {size}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _decode_mp4_bytes(b: bytes) -> dict:
+    """REAL MP4/MOV CONTAINER parse, stdlib-only (round 5): the ISO
+    base-media box structure needs no codec — walk ftyp/moov, read
+    mvhd's timescale+duration (version 0 and 1) and each trak/tkhd's
+    16.16 fixed-point width/height. Frame DECODE still needs ffmpeg and
+    stays stubbed; container metadata (duration, track count, display
+    dims) is what a 100 TB curation pipeline filters on before ever
+    paying for a decode. Corrupt/truncated boxes raise → NULL row."""
+    boxes = list(_parse_mp4_boxes(b, 0, len(b)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (missing leading ftyp)")
+    brand = b[boxes[0][1]:boxes[0][1] + 4].decode("ascii", "replace")
+    moov = next(((s, e) for t, s, e in boxes if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    duration_s = None
+    n_tracks = 0
+    width = height = None
+    for t, s, e in _parse_mp4_boxes(b, *moov):
+        if t == b"mvhd":
+            ver = b[s]
+            if ver == 1:
+                timescale, = struct.unpack_from(">I", b, s + 20)
+                duration, = struct.unpack_from(">Q", b, s + 24)
+            else:
+                timescale, = struct.unpack_from(">I", b, s + 12)
+                duration, = struct.unpack_from(">I", b, s + 16)
+            if timescale == 0:
+                raise ValueError("MP4 mvhd timescale 0")
+            duration_s = duration / timescale
+        elif t == b"trak":
+            n_tracks += 1
+            for t2, s2, e2 in _parse_mp4_boxes(b, s, e):
+                if t2 == b"tkhd":
+                    ver = b[s2]
+                    off = s2 + (88 if ver == 1 else 76)
+                    w16, h16 = struct.unpack_from(">II", b, off)
+                    if w16 and h16:        # audio tracks carry 0x0
+                        width = w16 / 65536.0
+                        height = h16 / 65536.0
+    if duration_s is None:
+        raise ValueError("MP4 moov missing mvhd")
+    return {"brand": brand, "duration_s": duration_s, "n_tracks": n_tracks,
+            "width": width, "height": height}
+
+
+def decode_video_metadata(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL MP4 container metadata over Arrow batches (brand, duration,
+    track count, display dims); corrupt payloads → NULL rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "brand", "duration_s", "n_tracks", "width",
+                "height"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rec = _decode_mp4_bytes(bytes(payload))
+                except Exception:
+                    rec = dict.fromkeys(cols[1:])
+                rows.append({"doc_id": doc_id, **rec})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(decode, schema=VIDEO_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,

@@ -463,6 +463,43 @@ def ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_features(payload, "doc_id", "payload")
 
 
+@gate_query("ppm_resize_real", oracle="""
+WITH p AS (
+  SELECT doc_id, substr(rpad(text, 96, 'x'), 1, 96) AS s FROM documents
+)
+SELECT doc_id, 'ppm' AS src_format, 4 AS width, 2 AS height,
+       md5('P6' || chr(10) || '4 2' || chr(10) || '255' || chr(10)
+           || substr(s, 1, 3)
+           || substr(s, 7, 3)
+           || substr(s, 13, 3)
+           || substr(s, 19, 3)
+           || substr(s, 49, 3)
+           || substr(s, 55, 3)
+           || substr(s, 61, 3)
+           || substr(s, 67, 3)) AS payload_md5
+FROM p
+""")
+def ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL universal resize under a value-hash oracle (round 5;
+    llm/multimodal.py resize_images): 8x4 PPM payloads built from
+    document bytes decode through the shared pixel path, nearest-
+    resample to 4x2, and re-emit as P6 — and the oracle re-derives the
+    EXACT output bytes by enumerating the nearest-neighbor source
+    positions as substr() picks over the same text (ASCII ⇒ chars ==
+    bytes ⇒ VARCHAR md5 == payload md5). PNG/BMP/JPEG share this decode
+    path and are pytest-verified (their rasters are not SQL-
+    reconstructible)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("P6\n8 4\n255\n"),
+                          F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)),
+                 "utf-8").alias("payload"))
+    out = mm.resize_images(payload, 4, 2)
+    return out.select("doc_id", "src_format", "width", "height",
+                      F.md5("payload").alias("payload_md5"))
+
+
 @gate_query("multimodal_suite", oracle=f"""
 SELECT 'decode' AS stage, doc_id,
        n_bytes AS i1, max_byte AS i2, width AS i3, height AS i4,

@@ -991,7 +991,7 @@ def test_real_ppm_bmp_decode_and_resize(spark):
     assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (10.0, 200.0, 30.0)
     assert (rows[2].format, rows[2].width, rows[2].height) == ("bmp", 5, 3)
     assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == (10.0, 200.0, 30.0)
-    assert rows[3].format is None              # PNG needs PIL — NULL row
+    assert rows[3].format is None  # truncated PNG signature — NULL row
     # legal-but-unsupported variants must surface NULL, never confident
     # garbage: 16-bit PPM (maxval 65535) and a 24-bit WAV RMS
     from tally_database_loader_spark.llm.multimodal import (
@@ -1000,15 +1000,33 @@ def test_real_ppm_bmp_decode_and_resize(spark):
         [(9, b"P6\n2 2\n65535\n" + b"\x00\x01" * 12)],
         "doc_id bigint, payload binary")
     assert decode_image_features(wide).collect()[0].format is None
-    w24 = _wav_bytes(n=10)
-    # splice sampwidth=3 into the fmt chunk (bytes 34-35 of a canonical
-    # PCM header) and triple the data length so wave accepts it
+    # 24-bit packed and 32-bit PCM now decode for REAL (round 5): build
+    # genuine payloads with the stdlib writer and check exact RMS
+    import io as _io
+    import wave as _wave
+    for width, vals in ((3, [-(1 << 23), (1 << 23) - 1, 0, 300000]),
+                        (4, [-(1 << 31), (1 << 31) - 1, 0, 70000000])):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(width)
+            wv.setframerate(16000)
+            frames = b"".join(
+                int(v).to_bytes(width, "little", signed=True) for v in vals)
+            wv.writeframes(frames)
+        rec = _decode_wav_bytes(buf.getvalue())
+        assert rec["sample_width"] == width and rec["n_frames"] == len(vals)
+        import math as _math
+        want = _math.sqrt(sum(float(v) ** 2 for v in vals) / len(vals))
+        assert rec["rms"] == want, f"width {width}: {rec['rms']} != {want}"
+    # width outside 1-4 still surfaces NULL rms, never garbage
     import struct as _s
-    w24 = bytearray(_wav_bytes(n=0))
-    w24[34:36] = _s.pack("<H", 24)  # bits per sample
+    wbad = bytearray(_wav_bytes(n=0))
+    wbad[32:34] = _s.pack("<H", 5)   # block align
+    wbad[34:36] = _s.pack("<H", 40)  # bits per sample -> width 5
     rec = None
     try:
-        rec = _decode_wav_bytes(bytes(w24))
+        rec = _decode_wav_bytes(bytes(wbad))
     except Exception:
         pass  # wave may reject the spliced header — also acceptable
     if rec is not None:
@@ -1435,3 +1453,112 @@ def test_real_png_decode_mixed_filters_roundtrip(spark):
             assert got == (want[0], want[1], want[2]), \
                 f"trial {trial} ct={ctype} filters={filters}"
         assert (rec["width"], rec["height"], rec["channels"]) == (w, h, ch)
+
+
+def test_resize_images_all_decodable_formats(spark):
+    """resize_images is the REAL universal thumbnail stage: PPM, PNG,
+    BMP and baseline JPEG all decode through one shared pixel path,
+    nearest-resample, and re-emit as valid P6 whose raster equals the
+    same resample applied to the known source pixels; undecodable
+    payloads pass through NULL."""
+    import numpy as np
+    from tests.test_jpeg import encode_jpeg, decode_jpeg_bytes
+    from tally_database_loader_spark.llm.multimodal import resize_images
+    h, w, th, tw = 10, 14, 4, 5
+    rgb = np.array([[[(x * 31 + y * 7) % 256, (x * 5 + y * 53) % 256,
+                      (x * 11 + y * 3) % 256]
+                     for x in range(w)] for y in range(h)], dtype=np.uint8)
+    ppm = (f"P6\n{w} {h}\n255\n".encode("ascii") + rgb.tobytes())
+    png = _png_bytes(rgb, filter_type=4)
+    bmp_uniform = _bmp_bytes(6, 3, (30, 200, 10))  # helper is uniform-color
+    jpg = encode_jpeg(rgb)
+    df = spark.createDataFrame(
+        [(1, ppm), (2, png), (3, bmp_uniform), (4, jpg), (5, b"garbage")],
+        "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in resize_images(df, tw, th).collect()}
+
+    def nn(px):
+        yi = (np.arange(th) * px.shape[0]) // th
+        xi = (np.arange(tw) * px.shape[1]) // tw
+        return px[yi][:, xi].tobytes()
+
+    header = f"P6\n{tw} {th}\n255\n".encode("ascii")
+    assert out[1].src_format == "ppm" \
+        and bytes(out[1].payload) == header + nn(rgb)
+    assert out[2].src_format == "png" \
+        and bytes(out[2].payload) == header + nn(rgb)
+    assert out[3].src_format == "bmp" \
+        and bytes(out[3].payload) == header + bytes((10, 200, 30)) * tw * th
+    jpx = decode_jpeg_bytes(jpg)["pixels"]
+    assert out[4].src_format == "jpeg" \
+        and bytes(out[4].payload) == header + nn(jpx)
+    assert out[5].src_format is None and out[5].payload is None
+
+
+def _mp4_box(btype, payload):
+    import struct as _s
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_bytes(duration=7.5, timescale=1000, tracks=((640, 360), (0, 0)),
+               version=0, largesize=False):
+    """Independent spec-side ISO-BMFF builder: ftyp + moov(mvhd, trak*
+    (tkhd)) with 16.16 fixed-point dims, v0/v1 field widths, optional
+    64-bit largesize framing on moov."""
+    import struct as _s
+    if version == 1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 \
+            + _s.pack(">I", timescale) \
+            + _s.pack(">Q", int(duration * timescale)) + b"\x00" * 80
+    else:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 \
+            + _s.pack(">I", timescale) \
+            + _s.pack(">I", int(duration * timescale)) + b"\x00" * 80
+    traks = b""
+    for w, h in tracks:
+        if version == 1:
+            tkhd = bytes([1, 0, 0, 0]) + b"\x00" * 84 \
+                + _s.pack(">II", int(w * 65536), int(h * 65536))
+        else:
+            tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 \
+                + _s.pack(">II", int(w * 65536), int(h * 65536))
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov_payload = _mp4_box(b"mvhd", mvhd) + traks
+    if largesize:
+        moov = _s.pack(">I", 1) + b"moov" \
+            + _s.pack(">Q", 16 + len(moov_payload)) + moov_payload
+    else:
+        moov = _mp4_box(b"moov", moov_payload)
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_real_mp4_container_metadata(spark):
+    """The MP4 CONTAINER parses for real (stdlib box walk — no codec
+    needed for duration/track/dims metadata, which is what a curation
+    pipeline filters on before paying for any frame decode): v0 and v1
+    mvhd/tkhd field widths, 16.16 fixed-point dims, audio tracks' 0x0
+    dims skipped, 64-bit largesize framing; corrupt boxes → NULL rows."""
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_mp4_bytes, decode_video_metadata)
+    v0 = _mp4_bytes(duration=7.5, tracks=((640, 360), (0, 0)))
+    rec = _decode_mp4_bytes(v0)
+    assert rec["brand"] == "isom" and rec["duration_s"] == 7.5
+    assert rec["n_tracks"] == 2 and (rec["width"], rec["height"]) == (640.0, 360.0)
+    v1 = _mp4_bytes(duration=3.25, timescale=48000, tracks=((1920, 1080),),
+                    version=1, largesize=True)
+    rec = _decode_mp4_bytes(v1)
+    assert rec["duration_s"] == 3.25 and rec["width"] == 1920.0
+    assert rec["n_tracks"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ftyp"):
+        _decode_mp4_bytes(b"\x00\x00\x00\x08free" + v0)
+    with _pytest.raises(ValueError, match="moov"):
+        _decode_mp4_bytes(v0[:24])           # ftyp only
+    with _pytest.raises(ValueError, match="malformed|truncated"):
+        _decode_mp4_bytes(v0[:-10])          # moov cut short
+    df = spark.createDataFrame(
+        [(1, v0), (2, b"not an mp4 at all")],
+        "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in decode_video_metadata(df).collect()}
+    assert rows[1].duration_s == 7.5 and rows[1].width == 640.0
+    assert rows[2].brand is None and rows[2].duration_s is None
