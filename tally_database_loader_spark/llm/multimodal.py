@@ -15,8 +15,10 @@ Decoders come in two tiers:
   ``_decode_png_bytes``. Baseline JPEG's math (huffman entropy decode,
   dequantization, 8×8 inverse DCT, chroma upsampling, YCbCr→RGB) is
   pure numpy — ``llm/jpeg.py``, spec-checked against an independent
-  encoder. MP4's CONTAINER metadata (brand/duration/tracks/dims) is a
-  stdlib box walk — ``decode_video_metadata``. ``decode_audio_features``
+  encoder. GIF's LZW is pure bit-twiddling — ``_decode_gif_bytes``
+  (variable-width LSB codes, interlacing, local color tables). MP4's
+  CONTAINER metadata (brand/duration/tracks/dims) is a stdlib box walk
+  — ``decode_video_metadata``. ``decode_audio_features``
   / ``decode_image_features`` / ``resize_ppm`` / ``resize_images`` (all
   decodable formats → nearest resample → P6 re-emit) run genuine
   decode/resample math over Arrow batches.
@@ -74,20 +76,20 @@ def decode_image(payload: bytes) -> object:
     MP4 FRAME decode, which genuinely need libjpeg/libvips/ffmpeg.
     Everything else parses for REAL: baseline JPEG (``llm/jpeg.py`` —
     huffman + dequant + IDCT in pure numpy), PNG (stdlib zlib,
-    ``_decode_png_bytes``), PPM, BMP, MP4 container metadata
+    ``_decode_png_bytes``), GIF (LZW), PPM, BMP, MP4 container metadata
     (``_decode_mp4_bytes``). The Spark plumbing (decode_image_features /
     fake_decode_features) is identical either way."""
     raise NotImplementedError(
         "WebP, progressive/arithmetic JPEG and MP4 frame decode require "
         "PIL/libvips/ffmpeg which are not installed; baseline JPEG, PNG, "
-        "PPM (P6), uncompressed 24-bit BMP and MP4 container metadata "
+        "GIF, PPM (P6), uncompressed 24-bit BMP and MP4 container metadata "
         "decode natively via decode_image_features / "
         "decode_video_metadata")
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders: WAV (stdlib wave), PPM P6 / BMP / PNG (numpy + zlib);
-# baseline JPEG lives in llm/jpeg.py
+# REAL decoders: WAV (stdlib wave), PPM P6 / BMP / PNG / GIF (numpy +
+# zlib + LZW); baseline JPEG lives in llm/jpeg.py
 # ---------------------------------------------------------------------------
 
 AUDIO_SCHEMA = ("doc_id bigint, sample_rate int, n_channels int, "
@@ -278,6 +280,130 @@ def _decode_image_bytes(b: bytes) -> dict:
     return rec
 
 
+def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, clear/EOI codes, dict
+    grows to 12 bits then freezes until the next clear (GIF89a App.F)."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"GIF LZW min code size {min_code} invalid")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("GIF LZW first code not a literal")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:        # the KwKwK case
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("GIF LZW code out of sequence")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("GIF LZW stream ended without EOI")
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_bytes(b: bytes) -> dict:
+    """REAL GIF decode, stdlib-only (round 5): header + logical screen
+    descriptor, global/local color tables, extension-block skipping, the
+    first image descriptor's LZW-compressed index stream (App. F
+    variable-width LSB-first codes, clear/EOI, the KwKwK case), and
+    Adam-less GIF 4-pass interlacing. Animated GIFs decode their FIRST
+    frame (the thumbnailer convention). Malformed streams raise →
+    NULL-feature row."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:                  # trailer
+            break
+        if block == 0x21:                  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02X}")
+        left, top, w, h, ipack = struct.unpack_from("<HHHHB", b, pos + 1)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+        pos += 10
+        ct = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            ct = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                               offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF index stream short of w*h pixels")
+        arr = np.asarray(idx[:w * h], dtype=np.int64).reshape(h, w)
+        if ipack & 0x40:                   # interlaced: 4-pass row order
+            rows = [r for start, step in _GIF_INTERLACE
+                    for r in range(start, h, step)]
+            un = np.zeros_like(arr)
+            un[rows] = arr[np.arange(h)]
+            arr = un
+        if int(arr.max()) >= len(ct):
+            raise ValueError("GIF pixel index out of color-table range")
+        rgb = ct[arr]
+        means = rgb.astype(np.float64).mean(axis=(0, 1))
+        return {"format": "gif", "width": int(w), "height": int(h),
+                "channels": 3, "mean_r": float(means[0]),
+                "mean_g": float(means[1]), "mean_b": float(means[2]),
+                "pixels": np.ascontiguousarray(rgb)}
+    raise ValueError("GIF has no image descriptor")
+
+
 def _decode_image_pixels(b: bytes) -> dict:
     """REAL decode for every format whose codec needs nothing beyond the
     standard library + numpy: binary PPM (``P6``, raw RGB), PNG (DEFLATE
@@ -290,6 +416,8 @@ def _decode_image_pixels(b: bytes) -> dict:
     — see decode_image)."""
     if b[:8] == _PNG_SIG:
         return _decode_png_bytes(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_bytes(b)
     if b[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg_bytes
         rec = decode_jpeg_bytes(b)
