@@ -185,6 +185,10 @@ def decode_jpeg_bytes(b: bytes) -> dict:
                 raise ValueError(f"JPEG precision {prec} unsupported")
             if h == 0 or w == 0:
                 raise ValueError(f"degenerate JPEG dimensions {w}x{h}")
+            if w * h > (1 << 26):
+                # a flipped SOF byte must not become a multi-GB plane
+                # allocation before the entropy data can contradict it
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

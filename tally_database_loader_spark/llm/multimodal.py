@@ -154,6 +154,12 @@ def _parse_ppm_header(b: bytes) -> tuple[int, int, int, int]:
     return tokens[0], tokens[1], tokens[2], i + 1  # +1: ws after maxval
 
 
+# claimed-dimension cap shared by the compressed-format decoders: a
+# flipped header byte must not turn into a multi-GB allocation before
+# the (bounded) payload data can contradict it. 2^26 pixels = 67 MP —
+# far past any training-corpus image; past it we NULL, never allocate.
+MAX_PIXELS = 1 << 26
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel in the raster (before palette expansion)
 _PNG_RASTER_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -205,8 +211,11 @@ def _decode_png_bytes(b: bytes) -> dict:
         raise ValueError("Adam7-interlaced PNG unsupported without PIL")
     if ctype_n == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     ch = _PNG_RASTER_CH[ctype_n]
-    raw = zlib.decompress(b"".join(idat))
+    expected = h * (1 + w * ch)
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG raster size mismatch")
@@ -280,9 +289,14 @@ def _decode_image_bytes(b: bytes) -> dict:
     return rec
 
 
-def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code: int,
+                    max_pixels: int | None = None) -> list[int]:
     """GIF-variant LZW: LSB-first bit packing, clear/EOI codes, dict
-    grows to 12 bits then freezes until the next clear (GIF89a App.F)."""
+    grows to 12 bits then freezes until the next clear (GIF89a App.F).
+    ``max_pixels`` early-stops once enough indices exist for the frame —
+    a malformed stream must not expand into an unbounded list (LZW's
+    worst case is ~4096× the input; the frame size bounds what any
+    well-formed stream can need)."""
     if not 2 <= min_code <= 8:
         raise ValueError(f"GIF LZW min code size {min_code} invalid")
     clear, eoi = 1 << min_code, (1 << min_code) + 1
@@ -310,6 +324,8 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
                 prev = None
                 continue
             if code == eoi:
+                return out
+            if max_pixels is not None and len(out) >= max_pixels:
                 return out
             if prev is None:
                 if code >= clear:
@@ -367,6 +383,8 @@ def _decode_gif_bytes(b: bytes) -> dict:
         left, top, w, h, ipack = struct.unpack_from("<HHHHB", b, pos + 1)
         if w <= 0 or h <= 0:
             raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+        if w * h > MAX_PIXELS:
+            raise ValueError(f"implausible GIF dimensions {w}x{h}")
         pos += 10
         ct = gct
         if ipack & 0x80:
@@ -383,7 +401,7 @@ def _decode_gif_bytes(b: bytes) -> dict:
             ln = b[pos]
             data += b[pos + 1:pos + 1 + ln]
             pos += 1 + ln
-        idx = _gif_lzw_decode(bytes(data), min_code)
+        idx = _gif_lzw_decode(bytes(data), min_code, max_pixels=w * h)
         if len(idx) < w * h:
             raise ValueError("GIF index stream short of w*h pixels")
         arr = np.asarray(idx[:w * h], dtype=np.int64).reshape(h, w)

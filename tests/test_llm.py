@@ -1677,3 +1677,59 @@ def test_real_gif_decode(spark):
     xi = (np.arange(5) * 13) // 5
     assert out.src_format == "gif"
     assert bytes(out.payload) == b"P6\n5 4\n255\n" + want[yi][:, xi].tobytes()
+
+
+def test_decoder_fuzz_never_hangs_never_garbage():
+    """The NULL-row contract under hostile bytes: seeded mutations
+    (truncation, byte flips, splices) of valid JPEG/PNG/GIF/BMP/PPM/WAV/
+    MP4 payloads must either decode to a well-formed record or raise —
+    quickly, with bounded memory (claimed-dimension caps + LZW
+    early-stop guard against decompression bombs) — never hang, crash
+    the interpreter, or return the wrong shape."""
+    import numpy as np
+    from tests.test_jpeg import encode_jpeg
+    from tally_database_loader_spark.llm import multimodal as mm
+    rng = np.random.RandomState(20250816)
+    rgb = rng.randint(0, 256, size=(9, 12, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(9, 12))
+    palette = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]],
+                       dtype=np.uint8)
+    image_payloads = [
+        encode_jpeg(rgb),
+        _png_bytes(rgb, filter_type=3),
+        _gif_bytes(idx, palette),
+        _bmp_bytes(7, 5, (30, 200, 10)),
+        _ppm_bytes(6, 4, (10, 200, 30)),
+    ]
+    other = [(_wav_bytes(n=50), mm._decode_wav_bytes),
+             (_mp4_bytes(), mm._decode_mp4_bytes)]
+
+    def mutate(b):
+        m = bytearray(b)
+        op = rng.randint(3)
+        if op == 0 and len(m) > 4:                       # truncate
+            m = m[:int(rng.randint(1, len(m)))]
+        elif op == 1:                                    # flip bytes
+            for _ in range(int(rng.randint(1, 4))):
+                m[int(rng.randint(len(m)))] = int(rng.randint(256))
+        else:                                            # splice
+            at = int(rng.randint(len(m)))
+            m[at:at] = bytes(rng.randint(0, 256, size=7).astype(np.uint8))
+        return bytes(m)
+
+    img_keys = {"format", "width", "height", "channels",
+                "mean_r", "mean_g", "mean_b"}
+    for payload in image_payloads:
+        for _ in range(120):
+            try:
+                rec = mm._decode_image_bytes(mutate(payload))
+            except Exception:
+                continue                                 # NULL row path
+            assert img_keys <= set(rec), rec
+            assert 0 < rec["width"] * rec["height"] <= mm.MAX_PIXELS
+    for payload, fn in other:
+        for _ in range(120):
+            try:
+                fn(mutate(payload))
+            except Exception:
+                continue
