@@ -209,3 +209,80 @@ def test_ln_fixed_cross_engine_exhaustive(spark):
         + dd_ln_fixed("SELECT range AS v FROM range(1, 1048577)")
         + ")").fetchone()
     assert tuple(d) == want
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1,
+                   max_size=3),
+    cap=st.integers(min_value=3, max_value=20),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semantic_cell_cap_properties(spark, sizes, cap):
+    """Round-5 hot-cluster guard, property-checked: for ANY corpus shape
+    and cap, (a) the pair stage is bounded — every (cell, sub) bucket
+    stays within a small constant of the cap (keyed-md5 splits are
+    near-uniform), (b) the uncapped survivor set is a subset of the
+    capped one (capping only ever compares FEWER pairs), and (c) the
+    guard is a no-op when no cell exceeds the cap."""
+    from pyspark.sql import functions as F
+    from tally_database_loader_spark.llm.similarity import (semantic_cells,
+                                                            semantic_dedup)
+    rows, vid = [], 0
+    for gi, n in enumerate(sizes):
+        for _ in range(n):
+            # one tight direction per group → groups tend to share cells
+            rows.append((vid, [1.0 + gi, 0.5 * gi, 1.0, 0.0 + vid * 1e-7]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, key = semantic_cells(e, n_lists=2, iters=1, cell_cap=cap)
+    counts = [r.c for r in assigned.groupBy(*key)
+              .agg(F.count(F.lit(1)).alias("c")).collect()]
+    if key == ["cell"]:
+        assert all(c <= cap for c in counts), "guard skipped past-cap cell"
+    else:
+        # hash sub-buckets: expected size ≤ cap; allow 3x + 8 slack for
+        # small-sample hash variance (the bound that matters is that no
+        # bucket is ever ~quadratic, i.e. anywhere near the corpus size)
+        assert all(c <= 3 * cap + 8 for c in counts), counts
+    kept_capped = {r.vec_id for r in semantic_dedup(
+        e, threshold=0.99, n_lists=2, iters=1, cell_cap=cap).collect()}
+    kept_plain = {r.vec_id for r in semantic_dedup(
+        e, threshold=0.99, n_lists=2, iters=1).collect()}
+    assert kept_plain <= kept_capped
+
+
+@given(
+    target=st.dictionaries(st.integers(0, 12), st.integers(0, 99),
+                           min_size=0, max_size=8),
+    new=st.dictionaries(st.integers(0, 12), st.integers(0, 99),
+                        min_size=0, max_size=8),
+    touched=st.sets(st.integers(0, 12), min_size=0, max_size=8),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scoped_merge_source_contract(spark, target, new, touched):
+    """Round-5 DeltaStore merge source, property-checked against the
+    write_scoped contract for ANY (target, new-content, touched) shape:
+    simulating the MERGE arms over the source must yield exactly
+    {untouched target rows} ∪ {new rows for touched keys}."""
+    from tally_database_loader_spark.operators.table_format import (
+        scoped_merge_source)
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(new.items())] or [(None, None)],
+        "guid int, v int").filter("guid is not null")
+    tdf = spark.createDataFrame(
+        [(k,) for k in sorted(touched)] or [(None,)],
+        "k int").filter("k is not null")
+    src = {r["__k"]: r for r in scoped_merge_source(df, tdf, "guid").collect()}
+    assert set(src) == touched
+    deletes = {k for k, r in src.items() if r["__gone"]}
+    upserts = {k: r["v"] for k, r in src.items() if not r["__gone"]}
+    assert deletes == {k for k in touched if k not in new}
+    assert upserts == {k: new[k] for k in touched if k in new}
+    result = {k: v for k, v in target.items()
+              if k not in deletes and k not in upserts}
+    result.update(upserts)
+    want = {k: v for k, v in target.items() if k not in touched}
+    want.update({k: new[k] for k in touched if k in new})
+    assert result == want
