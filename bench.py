@@ -107,6 +107,7 @@ HEADLINE = [
     "semantic_dedup_capped",
     "ppm_decode_real",
     "ppm_resize_real",
+    "bpe_train",
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",
@@ -139,6 +140,8 @@ HEADLINE = [
 #                                        a value-hash oracle)
 #   ppm_resize_real       —      —      new r5 (REAL universal resize,
 #                                        exact output-byte oracle)
+#   bpe_train             —      —      new r5 (full k=3 BPE training
+#                                        loop, recursive-fold oracle)
 #   report_purchase_daily —      —      new r5 (15/15 report gates)
 #   report_purchase_monthly —    —      new r5
 #   report_sales_monthly  —      —      new r5 (rotated into the driver

@@ -183,6 +183,72 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
                  .limit(top_k))
 
 
+def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 3,
+              min_count: int = 2) -> DataFrame:
+    """Train ``k`` BPE merges at corpus scale (Sennrich et al. 2016) —
+    the full greedy tokenizer-training loop, not just one iteration's
+    candidate table (``bpe_pair_counts``): at each step count adjacent
+    symbol pairs over the vocabulary, adopt the most frequent (ties →
+    lexicographic (left, right) — deterministic), and rewrite every
+    word's symbol sequence by greedy leftmost non-overlapping merging.
+    Stops early when no pair reaches ``min_count``.
+
+    Scale shape — the classic BPE trick: the corpus is scanned ONCE for
+    the word-frequency vocabulary; every iteration after that is
+    O(vocabulary), independent of corpus size (pair explode + one
+    partial-agg'd groupBy + a map-side fold rewrite). Each step's winner
+    is a 1-row driver probe (same probe-then-parameterize shape as
+    BM25); ``localCheckpoint`` trims the per-iteration lineage so step
+    ``s`` costs one vocabulary pass, not ``s`` of them.
+
+    The merge rewrite is a left fold (``F.aggregate``): append each
+    symbol unless the accumulator tail is ``left`` and the symbol is
+    ``right`` — which IS greedy leftmost non-overlapping ("aaa" with
+    pair (a,a) → [aa, a], because the merged tail "aa" no longer equals
+    "a"). The DuckDB oracle replays the identical fold as a recursive
+    CTE per word, so the full k-step chain is value-hash-checked like
+    the k-means Lloyd chain.
+
+    Output: ``step, lhs, rhs, n_pairs`` — the learned merge table
+    (≤ k rows; driver-side by construction, one row per probe)."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    spark = docs.sparkSession
+    words = (docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wc")))
+    ln = F.length("w")
+    chars = F.transform(F.sequence(F.lit(1), ln),
+                        lambda i: F.col("w").substr(i, F.lit(1)))
+    cur = words.select("wc", chars.alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        two = cur.filter(F.size("syms") >= 2)
+        pair = F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        top = (two.select("wc", F.explode(pair).alias("p"))
+                  .groupBy("p.a", "p.b")
+                  .agg(F.sum("wc").cast("long").alias("n_pairs"))
+                  .orderBy(F.desc("n_pairs"), "a", "b")
+                  .limit(1).collect())
+        if not top or top[0]["n_pairs"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n_pairs"])
+        merges.append((step, a, b, n))
+        fold = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b))))
+             .otherwise(F.concat(acc, F.array(x))))
+        cur = cur.select("wc", fold.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, n_pairs long")
+
+
 def dsir_importance(docs: DataFrame, target: Column,
                     n_buckets: int = 4096, add_k: int = 1,
                     id_col: str = "doc_id",

@@ -2483,6 +2483,65 @@ def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, "text", top_k=100)
 
 
+def _dd_bpe_train(k: int, min_count: int = 2) -> str:
+    """DuckDB replay of the full BPE training loop (llm/lm.py bpe_train):
+    per step, a pair-count CTE over the current symbol sequences, the
+    deterministic winner (count desc, then (lhs, rhs)), and the greedy
+    leftmost merge replayed as a RECURSIVE per-word left fold with the
+    identical accumulator rule. A step whose best pair misses
+    ``min_count`` selects no row and leaves the vocabulary unchanged —
+    matching the engine's early stop."""
+    parts = [f"""
+bwords AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_DD_TOKENS}) AS t FROM documents) GROUP BY 1),
+bv0 AS (SELECT wc, string_split(w, '') AS syms FROM bwords)"""]
+    sel = []
+    for s in range(1, k + 1):
+        prev = f"bv{s - 1}"
+        parts.append(f"""
+bc{s} AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS n_pairs
+  FROM (SELECT wc, unnest([{{'a': syms[i], 'b': syms[i + 1]}}
+                           for i in range(1, len(syms))]) AS p
+        FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+bt{s} AS (SELECT a, b, n_pairs FROM bc{s}
+          WHERE n_pairs >= {min_count}
+          ORDER BY n_pairs DESC, a, b LIMIT 1),
+bf{s} AS (
+  SELECT v.wc, v.syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+  FROM {prev} v
+  UNION ALL
+  SELECT f.wc, f.syms, f.i + 1,
+         CASE WHEN len(f.acc) > 0 AND t.a IS NOT NULL
+                   AND f.acc[-1] = t.a AND f.syms[f.i] = t.b
+              THEN f.acc[1:len(f.acc) - 1] || [t.a || t.b]
+              ELSE f.acc || [f.syms[f.i]] END
+  FROM bf{s} f LEFT JOIN bt{s} t ON TRUE
+  WHERE f.i <= len(f.syms)),
+bv{s} AS (SELECT wc, acc AS syms FROM bf{s} WHERE i = len(syms) + 1)""")
+        sel.append(f"SELECT {s} AS step, a AS lhs, b AS rhs, n_pairs "
+                   f"FROM bt{s}")
+    return ("WITH RECURSIVE " + ",".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sel))
+
+
+@gate_query("bpe_train", oracle=_dd_bpe_train(3))
+def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer-training loop (llm/lm.py bpe_train): k=3
+    greedy merges over the corpus vocabulary, each step's winner a
+    deterministic 1-row probe and each rewrite a map-side left fold —
+    and the oracle replays every step (pair counts → winner → recursive
+    per-word fold), so the whole iterative chain is value-hash-checked
+    the way the k-means Lloyd chain is. O(vocabulary) per step
+    regardless of corpus size."""
+    from ..llm.lm import bpe_train
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_train(d, "text", k=3)
+
+
 # split fractions shared by the Spark gate and the rendered oracle bounds —
 # the bounds come from the SAME split_bounds() derivation group_split
 # compares hash buckets against, so the two cannot drift.

@@ -1733,3 +1733,27 @@ def test_decoder_fuzz_never_hangs_never_garbage():
                 fn(mutate(payload))
             except Exception:
                 continue
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """bpe_train learns the textbook greedy merges: highest-count pair
+    first (ties lexicographic), later steps count MERGED symbols, and
+    the rewrite is leftmost non-overlapping (aaa + (a,a) -> [aa, a] —
+    the merged tail does not re-match)."""
+    from tally_database_loader_spark.llm.lm import bpe_train
+    #  corpus: 'abab' x3, 'aaa' x2  ->  step1: (a,b) 6 > (b,a) 3 ...
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "aaa aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, k=3).collect()]
+    # step1 candidates: (a,b)=6 [2 per 'abab' x3], (b,a)=3, (a,a)=4
+    # [2 per 'aaa' via overlap COUNTING (positions), x2]
+    assert got[0] == (1, "a", "b", 6)
+    # after merging 'ab': 'abab' -> [ab, ab]; 'aaa' unchanged [a,a,a]
+    # step2 candidates: (ab,ab)=3, (a,a)=4 -> (a,a) wins
+    assert got[1] == (2, "a", "a", 4)
+    # after merging 'aa': 'aaa' -> [aa, a] (GREEDY: not [a, aa])
+    # step3: (ab,ab)=3 vs (aa,a)=2 -> (ab,ab)
+    assert got[2] == (3, "ab", "ab", 3)
+    # early stop: a corpus with no repeating pair at min_count
+    tiny = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert bpe_train(tiny, k=5, min_count=2).count() == 0
