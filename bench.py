@@ -151,6 +151,14 @@ HEADLINE = [
 # 57 common queries: 47.0s (r2) → 34.2s (r3). The 60 queries common to
 # r3/r4 measured 40.2s (r3) → 36.7s (r4) on a quiet box. Keep this block
 # updated when a slot is added or a methodology-affecting change lands.
+#
+# Round-5 variance note: this box carries intermittent background load
+# (uptime load-avg 7-8 with no local processes); identical round-5 code
+# measured 42.8s..58s total across runs. On the 61 queries common with
+# r4 the QUIET-box time was 38.2s vs r4's 41.7s (0.92x — round 5 is
+# slightly faster while adding the guard/broadcast hardening); deltas
+# under ~30% on individual sub-second slots here are load noise, not
+# plan changes (domain_cap, untouched all round, doubled under load).
 
 
 def main() -> None:
