@@ -1757,3 +1757,54 @@ def test_bpe_train_greedy_merge_semantics(spark):
     # early stop: a corpus with no repeating pair at min_count
     tiny = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
     assert bpe_train(tiny, k=5, min_count=2).count() == 0
+
+
+def test_two_tier_dedup_semantics_on_crafted_corpus(spark):
+    """The composed pipeline's SEMANTICS, independent of the gate's
+    hash (a conceptual bug mirrored into the oracle would still
+    hash-match): tier 1 drops the higher-id member of each text
+    near-dup pair; tier 2 then drops embedding-similar survivors within
+    a cluster. Crafted corpus: docs 0/1 are near-identical text (tier-1
+    pair), docs 2/3 have near-identical embeddings but different text
+    (tier-2 pair), doc 4 is unrelated."""
+    import numpy as np
+    from tally_database_loader_spark.llm.dedup import minhash_near_duplicates
+    from tally_database_loader_spark.llm.similarity import semantic_dedup
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the miller grinds the grain beside the river") 
+    texts = [
+        (0, base + " one"),
+        (1, base + " two"),                 # near-dup of 0 (minhash tier)
+        (2, "completely different words about ships and harbors at dawn "
+            "with seagulls crying over the grey water forever"),
+        (3, "unrelated text on mountain trails and alpine meadows in "
+            "summer light with marmots whistling from the rocks"),
+        (4, "a third topic entirely regarding clockwork automata and "
+            "brass gears ticking in the horologist's workshop"),
+    ]
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.001],          # tier-2 pair with 3
+        3: [0.0, 0.0, 1.0, 0.002],
+        4: [0.5, 0.5, -0.5, 0.0],
+    }
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    e = spark.createDataFrame([(i, v) for i, v in sorted(vecs.items())],
+                              "vec_id long, embedding array<double>")
+    pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                    k=16, bands=4, n=3, parity_hash=True)
+    got_pairs = {(r.d1, r.d2) for r in pairs.collect()}
+    assert (0, 1) in got_pairs, "tier-1 near-dup pair not detected"
+    assert all(p == (0, 1) for p in got_pairs), got_pairs
+    import pyspark.sql.functions as F
+    ndrop = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    surv = e.join(ndrop, "vec_id", "left_anti").select("vec_id", "embedding")
+    kept = {r.vec_id for r in
+            semantic_dedup(surv, threshold=0.9, n_lists=2, iters=2).collect()}
+    assert 1 not in kept, "tier-1 loser leaked into tier 2"
+    assert 0 in kept and 4 in kept
+    # tier 2 keeps exactly one of the embedding twins (the lower id),
+    # PROVIDED the 2-cell fit put them in one cell — they are identical
+    # up to 1e-3, so any sane assignment does; assert it explicitly
+    assert 2 in kept and 3 not in kept, kept
