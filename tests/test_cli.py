@@ -379,3 +379,35 @@ def test_gui_applies_cli_overrides(spark, setup, tmp_path):
     # the CLI override redirected the sink away from the config's csv
     assert ParquetStore(str(tmp_path / "clistore")).read(
         spark, "mst_unit").count() == 2
+
+
+def test_cli_format_knob_selects_backend(spark, setup, tmp_path):
+    """Round-5 database.format knob end-to-end through the CLI: the
+    default ('manifest') syncs through ParquetStore; 'delta' either
+    works (Delta on the classpath) or fails AT CONFIG TIME with the
+    manifest fallback named — never deep inside a sync; an unknown
+    format is a named ValueError."""
+    _, cfgpath = setup
+    counts = main(["--config", str(cfgpath),
+                   "--database-technology", "parquet",
+                   "--database-format", "manifest",
+                   "--database-loadpath", str(tmp_path / "m")], spark=spark)
+    assert counts == {"mst_unit": 2}
+    try:
+        import delta  # noqa: F401
+        have_delta = True
+    except ImportError:
+        have_delta = False
+    if not have_delta:
+        from tally_database_loader_spark.operators.table_format import (
+            DeltaUnavailableError)
+        with pytest.raises(DeltaUnavailableError, match="manifest"):
+            main(["--config", str(cfgpath),
+                  "--database-technology", "parquet",
+                  "--database-format", "delta",
+                  "--database-loadpath", str(tmp_path / "d")], spark=spark)
+    with pytest.raises(ValueError, match="manifest.*delta|delta.*manifest"):
+        main(["--config", str(cfgpath),
+              "--database-technology", "parquet",
+              "--database-format", "iceberg",
+              "--database-loadpath", str(tmp_path / "x")], spark=spark)
