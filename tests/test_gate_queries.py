@@ -34,7 +34,6 @@ def test_driver_window_covers_all_families():
     must_have = [
         "renumber_join_update", "report_trial_balance",
         "report_profit_loss", "text_profile",
-        "simhash_parity",
         "similarity_topk_suite", "incremental_dedup", "pack_sequences",
         "benchmark_contamination", "domain_cap",
         # round-2 suites (several families per slot)
@@ -56,6 +55,11 @@ def test_driver_window_covers_all_families():
         # composite-key month join (F16/F2) now run on the real model —
         # 10 report_* rows in the window
         "report_stock_voucher_view", "report_sales_monthly",
+        # round-6 curation: the four round-5 flagships now carry driver
+        # rows (VERDICT r5 #1) — guarded SemDeDup, the two-tier dedup
+        # composition, the full BPE training loop, the real-decoder gate
+        "semantic_dedup_capped", "two_tier_dedup", "bpe_train",
+        "ppm_decode_real",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"
