@@ -89,13 +89,21 @@ HEADLINE = [
     "curation_pipeline",
     "ivf_kmeans_topk",
     "cluster_balanced_sample",
-    "hll_token_distinct",
+    # round-6 (VERDICT r5 #8): the two slots whose gate plans are
+    # dominated by oracle-side EXACT verification arms (corpus-wide
+    # COUNT(DISTINCT), exact top-k counts, exact membership joins) now
+    # bench their production-only twins (plans/bench_plans.py) — the
+    # sketch alone, which is what a deployment runs. The gates are
+    # unchanged and stay driver-hash-checked; the renamed slots start a
+    # fresh comparison series (tools_bench_compare.py reports them as
+    # added/removed, not as regressions).
+    "hll_token_distinct_prod",
     "weighted_sample",
     "cms_token_counts",
     # round-3 driver-window suites (the standalone components above stay
     # for round-over-round comparability; the suites time the actual
     # driver CORRECTNESS rows)
-    "sketch_suite",
+    "sketch_suite_prod",
     "multimodal_suite",
     "bloom_membership",
     # round-4 addition (new slot, noted in the comparison table below)
@@ -152,18 +160,30 @@ HEADLINE = [
 # r3/r4 measured 40.2s (r3) → 36.7s (r4) on a quiet box. Keep this block
 # updated when a slot is added or a methodology-affecting change lands.
 #
-# Round-5 variance note: this box carries intermittent background load
-# (uptime load-avg 7-8 with no local processes); identical round-5 code
-# measured 42.8s..58s total across runs. On the 61 queries common with
-# r4 the QUIET-box time was 38.2s vs r4's 41.7s (0.92x — round 5 is
-# slightly faster while adding the guard/broadcast hardening); deltas
-# under ~30% on individual sub-second slots here are load noise, not
-# plan changes (domain_cap, untouched all round, doubled under load).
+# Round-6 protocol change (VERDICT r5 #2): the round-5 "quiet-box 38.2s"
+# note did not reproduce (the judge measured 45.0s/45.5s vs r4's 41.7s
+# on the 61 common queries — round 5 WAS ~1.08x slower, retracted) and
+# its raw log was never committed. From round 6 on:
+#   * every query is timed SPARK_GRAFT_BENCH_RUNS times (default 3)
+#     after one untimed warm pass; the reported per-query number is the
+#     MEDIAN, the headline total is the sum of medians, and the printed
+#     JSON carries the per-pass totals under "runs";
+#   * the full per-query-per-run raw data (plus load averages before and
+#     after) is written to bench_logs/raw-<utc>.json — commit it next to
+#     BENCH_rN.json; no performance claim without a committed log;
+#   * round-over-round comparison is computed by tools_bench_compare.py
+#     (common-query totals + per-query deltas), never hand-written prose.
 
 
 def main() -> None:
     from tally_database_loader_spark.plans import gate
+    from tally_database_loader_spark.plans.bench_plans import BENCH_PLANS
     from tally_database_loader_spark.session import get_spark
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    load_before = os.getloadavg()
+    plans = dict(gate.QUERIES)
+    plans.update(BENCH_PLANS)
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers so per-query numbers measure the plans
@@ -180,34 +200,62 @@ def main() -> None:
     for df in tally_catalog(spark, SF_DIR).values():
         df.count()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
-        if name not in gate.QUERIES:
+        if name not in plans:
             continue
-        df = gate.QUERIES[name](spark, SF_DIR)
+        df = plans[name](spark, SF_DIR)
         # steady-state timing: one untimed warm execution compiles the
-        # whole-stage-codegen classes, then the timed run measures the
+        # whole-stage-codegen classes, then the timed runs measure the
         # PLAN rather than first-execution JIT (the dedup_exact note
         # above: ~1.6s compile vs ~0.2s steady-state — which query paid
         # the compile depended on list ordering, making round-over-round
         # deltas noise). limit(0) can't warm anything — the optimizer
         # folds it to an empty relation — so the warm pass runs in full.
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        times = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        raw[name] = times
+
+    # per-query MEDIAN; headline total = sum of medians; per-pass totals
+    # ride along so load spikes during a single pass are visible
+    per_query = {n: sorted(t)[len(t) // 2] for n, t in raw.items()}
+    total = sum(per_query.values())
+    pass_totals = [round(sum(t[i] for t in raw.values()), 3)
+                   for i in range(n_runs)]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    load_after = os.getloadavg()
+    log_path = None
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_logs"), exist_ok=True)
+        log_path = os.path.join(
+            "bench_logs",
+            time.strftime("raw-%Y%m%dT%H%M%SZ.json", time.gmtime()))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               log_path), "w") as fh:
+            json.dump({
+                "sf_dir": SF_DIR, "n_runs": n_runs,
+                "loadavg_before": load_before, "loadavg_after": load_after,
+                "per_query_runs": raw, "pass_totals": pass_totals,
+            }, fh, indent=1)
+    except OSError:
+        log_path = None  # read-only checkout: still print the one line
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "protocol": f"median-of-{n_runs}",
+        "runs": pass_totals,
+        "loadavg": [round(x, 2) for x in load_after],
+        "raw_log": log_path,
     }))
     spark.stop()
 

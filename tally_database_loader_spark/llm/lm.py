@@ -30,8 +30,6 @@ kept set bit-reproducible in SQL.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -330,8 +328,21 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     and a document survives iff ``hash(doc_id) mod 2^20 < threshold`` —
     every quantity integer (√ and floor are IEEE-exact), so any SQL
     engine reproduces the identical kept set. Output: ``grp, doc_id``
-    of survivors. Group count is assumed dimension-sized (the collect
-    is one row per group — same probe-then-parameterize shape as BM25).
+    of survivors.
+
+    The whole computation is ONE lazy plan (review r5 #3 — no driver
+    collect, no dimension-sized-groups assumption): group sizes are one
+    aggregation, the two corpus totals (``N``, ``W``) are a second
+    1-row aggregation re-entering on a constant-key broadcast hash
+    join, the threshold is a per-group Decimal(38,0) expression —
+    scale-0 decimals are exact 128-bit integers, so
+    ``2^20·keep_num·N·w_g`` cannot overflow int64 the way a LONG
+    multiply would beyond ~40k docs — and ``div`` is Spark's integral
+    divide (all terms positive, so truncation == floor). Thresholds
+    then re-enter the plan as a broadcast-joined ``(grp, thr)``
+    dimension, never a per-group when-chain: a 10k-domain corpus would
+    otherwise build a 10k-deep CASE expression and choke the analyzer
+    long before data volume matters (review r4 #1).
     """
     if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
         raise ValueError("keep fraction must be in (0, 1]")
@@ -342,22 +353,33 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
     base = docs.select(F.col(group_col).alias("grp_out"), key.alias("grp"),
                        F.col(id_col).alias("doc_id"))
-    rows = base.groupBy("grp").agg(F.count("*").alias("n")).collect()
-    n_total = sum(r["n"] for r in rows)
-    w = {r["grp"]: int(math.floor(math.sqrt(r["n"]) * _H)) for r in rows}
-    w_total = sum(w.values())
-    thresholds = {
-        r["grp"]: min(_H, (_H * keep_num * n_total * w[r["grp"]])
-                      // (keep_den * w_total * r["n"]))
-        for r in rows}
-    # thresholds re-enter the plan as a broadcast-joined (grp, thr)
-    # dimension, not a per-group when-chain: a 10k-domain corpus would
-    # otherwise build a 10k-deep CASE expression and choke the analyzer
-    # long before data volume matters (review r4 #1).
-    spark = docs.sparkSession
-    thr_df = spark.createDataFrame(
-        [(g, thresholds[g]) for g in sorted(thresholds)],
-        "grp string, __tr_thr long")
+    # w_g = floor(sqrt(n_g)·2^20): sqrt is correctly rounded IEEE in
+    # every engine, ·2^20 is an exact power-of-two scaling — identical
+    # to the oracle's floor(sqrt(CAST(n AS DOUBLE)) * 1048576)
+    wq = (base.groupBy("grp").agg(F.count("*").alias("__tr_n"))
+              .withColumn("__tr_w",
+                          F.floor(F.sqrt(F.col("__tr_n").cast("double"))
+                                  * F.lit(float(_H))).cast("long")))
+    tot = wq.agg(F.sum("__tr_n").cast("long").alias("__tr_nn"),
+                 F.sum("__tr_w").cast("long").alias("__tr_ww"))
+    dec = "decimal(38,0)"
+    # 1-row totals re-enter as a broadcast cross-join (the benign scalar
+    # BNLJ shape adjudicated in test_plans_scale.py's inventory) onto
+    # the group-level table — never onto the corpus-level one
+    thr_df = (
+        wq.crossJoin(F.broadcast(tot))
+          .withColumn("__tr_num",
+                      F.lit(_H * keep_num).cast(dec)
+                      * F.col("__tr_nn").cast(dec)
+                      * F.col("__tr_w").cast(dec))
+          .withColumn("__tr_den",
+                      F.lit(keep_den).cast(dec)
+                      * F.col("__tr_ww").cast(dec)
+                      * F.col("__tr_n").cast(dec))
+          .select("grp",
+                  F.least(F.lit(_H).cast("long"),
+                          F.expr("__tr_num div __tr_den"))
+                   .alias("__tr_thr")))
     # 'tr:' salt — the resample draw must be independent of domain_cap's
     # pick order and batch_layout's shard (review r4: per-operator hash
     # streams, the 'ws:'/'cms0:'/'bf0:' convention)

@@ -97,8 +97,19 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     ``(m·(ln_fixed(m) − ln_fixed(v_zero))) div 2^30`` via
     functions/fixmath.py — no libm/JVM ``ln`` whose 1-ulp divergence
     at the floor boundary could break a cross-engine value hash
-    (ADVICE r2). Relative error ≈ 1.04/√(2^b) (~3.2% at b=10)."""
-    from ..functions.fixmath import LN_SCALE, ln_fixed, ln_fixed_py
+    (ADVICE r2). Relative error ≈ 1.04/√(2^b) (~3.2% at b=10).
+
+    ``ln_fixed(v_zero)`` enters as a broadcast-joined 2^b-row LOOKUP of
+    the identical ``ln_fixed_py`` integers, not as the inline
+    comparison-fold + series expression: the arithmetic form's
+    DAG-shared subtrees (z² feeds every series term, each term feeds
+    the next) cost Catalyst ~1.5s of re-optimization on EVERY action
+    over a plan that folds to one row — measured round 6, the dominant
+    cost of the whole hll bench slot. The lookup's domain is exactly
+    ``v_zero ∈ [0, m] ≤ 2048`` keys, values bit-identical, and the
+    per-row arithmetic form stays in weighted_sample where the domain
+    is 2^20."""
+    from ..functions.fixmath import LN_SCALE, ln_fixed_py
     m = 1 << b
     regs = hll_registers(df, col, b)
     # Empty registers contribute closed-form — rho 0, indicator 2^51 each
@@ -120,17 +131,22 @@ def hll_distinct(df: DataFrame, col: str, b: int = 10) -> DataFrame:
              * F.lit(float(1 << 51)) / F.col("s").cast("double"))
     small = (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
     # linear counting in exact int64: ln(m/V) = (lnf(m) - lnf(V))/2^30
-    # with lnf(V) ≥ 0 and m·diff ≤ 2^11·2^34 — no overflow; greatest(V,1)
-    # keeps ln_fixed in-domain on the (unused) v_zero=0 branch
-    lnf_diff = (F.lit(ln_fixed_py(m))
-                - ln_fixed(F.greatest(F.col("v_zero"), F.lit(1))))
+    # with lnf(V) ≥ 0 and m·diff ≤ 2^11·2^34 — no overflow. lnf(V)
+    # broadcast-joins from the ≤ 2^b-row lookup (the v_zero=0 key maps
+    # to lnf(1), matching the old greatest(V, 1) in-domain clamp on the
+    # unused branch — the `small` guard already excludes it).
+    lnf_lookup = df.sparkSession.createDataFrame(
+        [(v, ln_fixed_py(max(v, 1))) for v in range(m + 1)],
+        "v_zero int, __lnf long")
+    lnf_diff = F.lit(ln_fixed_py(m)) - F.col("__lnf")
     est_lc = F.call_function("div", F.lit(m).cast("long") * lnf_diff,
                              F.lit(LN_SCALE).cast("long"))
     est = F.when(small, est_lc).otherwise(F.floor(e_raw).cast("long"))
-    return folded.select(F.lit(m).cast("int").alias("m"),
-                         F.col("v_zero").cast("int").alias("v_zero"),
-                         F.col("s").cast("long").alias("s"),
-                         est.cast("long").alias("estimate"))
+    return (folded.join(F.broadcast(lnf_lookup), "v_zero")
+                  .select(F.lit(m).cast("int").alias("m"),
+                          F.col("v_zero").cast("int").alias("v_zero"),
+                          F.col("s").cast("long").alias("s"),
+                          est.cast("long").alias("estimate")))
 
 
 def _cms_buckets(col: str, d: int, w: int):

@@ -1172,7 +1172,12 @@ def test_temperature_resample_thresholds_broadcast_at_5000_groups(spark):
     web-corpus domain cardinality (10k+) a when-chain chokes the
     analyzer long before data volume matters. 5,000 groups must build,
     run, and keep the resample's flattening semantics."""
+    import inspect
+
     from tally_database_loader_spark.llm.lm import temperature_resample
+    # review r5 #3: the threshold COMPUTATION is in-plan too — no driver
+    # collect anywhere in the operator, no dimension-sized-groups caveat
+    assert ".collect()" not in inspect.getsource(temperature_resample)
     n_groups = 5000
     rows = [(f"g{i:05d}", i * 7 + j) for i in range(n_groups)
             for j in range(3 if i else 300)]  # g00000 is the hot group

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison, computed — never hand-written
+(VERDICT r5 "Next round" #2).
+
+Usage:  python tools_bench_compare.py BENCH_r05.json BENCH_r06.json [--thr 0.3]
+
+Reads two bench JSON records (the driver's BENCH_rN.json or bench.py's
+printed line saved to a file), restricts to the COMMON query set, and
+prints a machine-made report: common-query totals, the ratio, slots
+added/removed, and every per-query delta beyond the threshold (default
+±30%, below which sub-second slots are load noise — adjudicated in
+VERDICT r5). Exit code is always 0; this is a reporting tool, not a
+gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        rec = json.load(fh)
+    if "queries" not in rec and "tail" in rec:
+        # the driver's BENCH_rN.json wraps bench.py stdout in "tail" —
+        # pull the last {"metric": ...} line out of it
+        tail = rec["tail"]
+        start = tail.rfind('{"metric"')
+        if start < 0:
+            raise SystemExit(f"{path}: no bench JSON line in 'tail'")
+        dec = json.JSONDecoder()
+        rec, _ = dec.raw_decode(tail[start:])
+    return dict(rec["queries"]), rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--thr", type=float, default=0.3,
+                    help="report per-query deltas beyond this fraction")
+    args = ap.parse_args()
+
+    qa, ra = load(args.old)
+    qb, rb = load(args.new)
+    common = sorted(set(qa) & set(qb))
+    added = sorted(set(qb) - set(qa))
+    removed = sorted(set(qa) - set(qb))
+
+    ta = sum(qa[n] for n in common)
+    tb = sum(qb[n] for n in common)
+    print(f"common queries : {len(common)}")
+    print(f"old total      : {ta:8.2f}s  ({args.old},"
+          f" protocol={ra.get('protocol', 'single-run')})")
+    print(f"new total      : {tb:8.2f}s  ({args.new},"
+          f" protocol={rb.get('protocol', 'single-run')})")
+    print(f"ratio new/old  : {tb / ta:8.3f}x" if ta else "ratio: n/a")
+    if rb.get("runs"):
+        print(f"new pass totals: {rb['runs']} (loadavg {rb.get('loadavg')})")
+    if added:
+        print(f"added slots    : {', '.join(added)}"
+              f"  (+{sum(qb[n] for n in added):.2f}s, outside the ratio)")
+    if removed:
+        print(f"removed slots  : {', '.join(removed)}")
+
+    moved = [(n, qa[n], qb[n]) for n in common
+             if max(qa[n], qb[n]) > 0
+             and abs(qb[n] - qa[n]) / max(qa[n], 0.001) > args.thr
+             and abs(qb[n] - qa[n]) > 0.05]
+    if moved:
+        print(f"\nper-query deltas beyond ±{args.thr:.0%} (and >50ms):")
+        for n, a, b in sorted(moved, key=lambda t: -(abs(t[2] - t[1]))):
+            print(f"  {n:32s} {a:7.2f}s -> {b:7.2f}s  ({b / max(a, 0.001):5.2f}x)")
+    else:
+        print(f"\nno per-query delta beyond ±{args.thr:.0%}")
+
+
+if __name__ == "__main__":
+    main()
