@@ -71,19 +71,21 @@ def payload_metadata(df: DataFrame, id_col: str, payload: Column) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Residual codec stub — by round 5 this covers only WebP, the
-    non-baseline JPEG modes (progressive/arithmetic/hierarchical) and
-    MP4 FRAME decode, which genuinely need libjpeg/libvips/ffmpeg.
-    Everything else parses for REAL: baseline JPEG (``llm/jpeg.py`` —
-    huffman + dequant + IDCT in pure numpy), PNG (stdlib zlib,
-    ``_decode_png_bytes``), GIF (LZW), PPM, BMP, MP4 container metadata
-    (``_decode_mp4_bytes``). The Spark plumbing (decode_image_features /
-    fake_decode_features) is identical either way."""
+    """Residual codec stub — by round 6 this covers only WebP,
+    arithmetic-coded JPEG and MP4 FRAME decode, which genuinely need
+    libvips/ffmpeg (VP8 prediction loops / the MQ arithmetic coder /
+    H.264). Everything else parses for REAL: baseline AND progressive
+    huffman JPEG (``llm/jpeg.py`` — huffman + dequant + IDCT in pure
+    numpy, SOF0/SOF2, multi-scan, spectral selection + successive
+    approximation), PNG (stdlib zlib, ``_decode_png_bytes``), GIF
+    (LZW), PPM, BMP, MP4 container metadata (``_decode_mp4_bytes``).
+    The Spark plumbing (decode_image_features / fake_decode_features)
+    is identical either way."""
     raise NotImplementedError(
-        "WebP, progressive/arithmetic JPEG and MP4 frame decode require "
-        "PIL/libvips/ffmpeg which are not installed; baseline JPEG, PNG, "
-        "GIF, PPM (P6), uncompressed 24-bit BMP and MP4 container metadata "
-        "decode natively via decode_image_features / "
+        "WebP, arithmetic-coded JPEG and MP4 frame decode require "
+        "PIL/libvips/ffmpeg which are not installed; baseline+progressive "
+        "JPEG, PNG, GIF, PPM (P6), uncompressed 24-bit BMP and MP4 "
+        "container metadata decode natively via decode_image_features / "
         "decode_video_metadata")
 
 
@@ -165,16 +167,69 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_RASTER_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo the five PNG row filters over one (sub-)image: each scanline
+    = filter byte + stride bytes; Sub/Avg/Paeth reference the pixel
+    ``bpp`` BYTES to the left (2 bytes/sample at depth 16), Up/Avg/Paeth
+    the prior unfiltered row (spec §6 — integer math, exact)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[offset + y * (1 + stride)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=offset + y * (1 + stride) + 1
+                             ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + prior[x]) >> 1)
+                else:                       # Paeth
+                    c0 = prior[x - bpp] if x >= bpp else 0
+                    p = a + prior[x] - c0
+                    pa, pb, pc = abs(p - a), abs(p - prior[x]), abs(p - c0)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = prior[x]
+                    else:
+                        pred = c0
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = cur
+        prior = cur
+    return out
+
+
 def _decode_png_bytes(b: bytes) -> dict:
     """REAL PNG decode, stdlib-only: chunk walk with CRC verification,
     ``zlib`` DEFLATE of the concatenated IDATs, and per-row unfiltering
     of all five PNG filter types (None/Sub/Up/Average/Paeth). Supported:
-    bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4
-    (gray+alpha), 6 (RGBA), non-interlaced — i.e. everything except
-    16-bit samples and Adam7, which raise loudly (NULL-feature row)
-    rather than decode wrong. Output matches the PPM/BMP record shape:
-    per-channel means (gray replicates across r/g/b; alpha excluded from
-    the means, like every thumbnailer's RGB statistics)."""
+    bit depths 8 and 16 (16-bit samples fold to their high byte — the
+    PIL ``I;16 → L`` convention — AFTER exact byte-level unfiltering),
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6
+    (RGBA), sequential AND Adam7-interlaced (each of the 7 passes is
+    its own independently filtered sub-image scattered back on the
+    pass grid — round 6, review r5 #5). Sub-byte depths (1/2/4) raise
+    loudly (NULL-feature row) rather than decode wrong. Output matches
+    the PPM/BMP record shape: per-channel means (gray replicates across
+    r/g/b; alpha excluded from the means, like every thumbnailer's RGB
+    statistics)."""
     import zlib
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -201,62 +256,53 @@ def _decode_png_bytes(b: bytes) -> dict:
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} unsupported (8 only); "
+    if depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} unsupported (8/16 only); "
                          "use PIL-backed decode")
     if ctype_n not in _PNG_RASTER_CH or comp != 0 or filt != 0:
         raise ValueError(f"PNG color type {ctype_n} / compression {comp} "
                          "unsupported")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG unsupported without PIL")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if ctype_n == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    if ctype_n == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not legal")
     if w * h > MAX_PIXELS:
         raise ValueError(f"implausible PNG dimensions {w}x{h}")
     ch = _PNG_RASTER_CH[ctype_n]
-    expected = h * (1 + w * ch)
-    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG raster size mismatch")
-    # unfilter: each scanline = filter byte + stride bytes; Sub/Avg/Paeth
-    # reference the pixel bpp bytes to the left, Up/Avg/Paeth the prior
-    # unfiltered row (spec §6 — integer math, exact)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                             offset=y * (1 + stride) + 1).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:
-            cur = (line + prior) & 0xFF
-        elif f in (1, 3, 4):
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                if f == 1:
-                    v = line[x] + a
-                elif f == 3:
-                    v = line[x] + ((a + prior[x]) >> 1)
-                else:                       # Paeth
-                    c0 = prior[x - ch] if x >= ch else 0
-                    p = a + prior[x] - c0
-                    pa, pb, pc = abs(p - a), abs(p - prior[x]), abs(p - c0)
-                    if pa <= pb and pa <= pc:
-                        pred = a
-                    elif pb <= pc:
-                        pred = prior[x]
-                    else:
-                        pred = c0
-                    v = line[x] + pred
-                cur[x] = v & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        out[y] = cur
-        prior = cur
-    px = out.reshape(h, w, ch)
+    bpp = ch * (depth // 8)
+
+    def to_px8(sub: np.ndarray, sh: int, sw: int) -> np.ndarray:
+        # 16-bit big-endian samples fold to the high byte (= first byte)
+        if depth == 8:
+            return sub.reshape(sh, sw, ch)
+        return np.ascontiguousarray(sub.reshape(sh, sw, ch, 2)[..., 0])
+
+    if interlace == 0:
+        stride = w * bpp
+        expected = h * (1 + stride)
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+        if len(raw) != expected:
+            raise ValueError("PNG raster size mismatch")
+        px = to_px8(_png_unfilter(raw, 0, h, stride, bpp), h, w)
+    else:
+        passes = [(x0, y0, dx, dy,
+                   -(-(w - x0) // dx), -(-(h - y0) // dy))
+                  for (x0, y0, dx, dy) in _ADAM7]
+        expected = sum(ph * (1 + pw * bpp)
+                       for (_, _, _, _, pw, ph) in passes if pw and ph)
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+        if len(raw) != expected:
+            raise ValueError("PNG raster size mismatch")
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        offset = 0
+        for (x0, y0, dx, dy, pw, ph) in passes:
+            if pw == 0 or ph == 0:
+                continue
+            sub = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+            offset += ph * (1 + pw * bpp)
+            px[y0::dy, x0::dx] = to_px8(sub, ph, pw)
     if ctype_n == 3:                        # palette indices → RGB
         if int(px.max()) >= len(plte):
             raise ValueError("PNG palette index out of range")
@@ -356,11 +402,20 @@ def _decode_gif_bytes(b: bytes) -> dict:
     first image descriptor's LZW-compressed index stream (App. F
     variable-width LSB-first codes, clear/EOI, the KwKwK case), and
     Adam-less GIF 4-pass interlacing. Animated GIFs decode their FIRST
-    frame (the thumbnailer convention). Malformed streams raise →
+    frame (the thumbnailer convention); a first frame that is a
+    SUB-RECTANGLE of the logical screen (common in optimized animated
+    GIFs) composites onto a background-color canvas and the record
+    reports the SCREEN dimensions — never frame-only stats passed off
+    as the whole image (ADVICE r5). Malformed streams (frame outside
+    the screen, short index stream, bad indices) raise →
     NULL-feature row."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    if sw <= 0 or sh <= 0:
+        raise ValueError(f"degenerate GIF screen {sw}x{sh}")
+    if sw * sh > MAX_PIXELS:
+        raise ValueError(f"implausible GIF screen {sw}x{sh}")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -383,8 +438,8 @@ def _decode_gif_bytes(b: bytes) -> dict:
         left, top, w, h, ipack = struct.unpack_from("<HHHHB", b, pos + 1)
         if w <= 0 or h <= 0:
             raise ValueError(f"degenerate GIF dimensions {w}x{h}")
-        if w * h > MAX_PIXELS:
-            raise ValueError(f"implausible GIF dimensions {w}x{h}")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
         pos += 10
         ct = gct
         if ipack & 0x80:
@@ -414,8 +469,18 @@ def _decode_gif_bytes(b: bytes) -> dict:
         if int(arr.max()) >= len(ct):
             raise ValueError("GIF pixel index out of color-table range")
         rgb = ct[arr]
+        if (left, top, w, h) != (0, 0, sw, sh):
+            # sub-rectangle first frame: composite onto the logical
+            # screen filled with the background color (spec: the
+            # background color index paints uncovered canvas)
+            fill = (gct[bg] if gct is not None and bg < len(gct)
+                    else np.zeros(3, dtype=np.uint8))
+            canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+            canvas[:, :] = fill
+            canvas[top:top + h, left:left + w] = rgb
+            rgb = canvas
         means = rgb.astype(np.float64).mean(axis=(0, 1))
-        return {"format": "gif", "width": int(w), "height": int(h),
+        return {"format": "gif", "width": int(sw), "height": int(sh),
                 "channels": 3, "mean_r": float(means[0]),
                 "mean_g": float(means[1]), "mean_b": float(means[2]),
                 "pixels": np.ascontiguousarray(rgb)}
@@ -425,12 +490,13 @@ def _decode_gif_bytes(b: bytes) -> dict:
 def _decode_image_pixels(b: bytes) -> dict:
     """REAL decode for every format whose codec needs nothing beyond the
     standard library + numpy: binary PPM (``P6``, raw RGB), PNG (DEFLATE
-    = stdlib zlib; see ``_decode_png_bytes``), baseline JPEG
+    = stdlib zlib; 16-bit + Adam7 included; see ``_decode_png_bytes``),
+    GIF (``_decode_gif_bytes``), baseline + progressive huffman JPEG
     (``llm/jpeg.py``) and uncompressed 24-bit BMP (BITMAPINFOHEADER,
     BI_RGB, bottom-up rows padded to 4 bytes). Returns the feature
     record PLUS ``pixels`` — the decoded h×w×3 RGB uint8 raster (gray
     replicated) — so resize/transcode operators share one decode path.
-    Raises ValueError for other magics (WebP/non-baseline JPEG need PIL
+    Raises ValueError for other magics (WebP/arithmetic JPEG need PIL
     — see decode_image)."""
     if b[:8] == _PNG_SIG:
         return _decode_png_bytes(b)
@@ -518,9 +584,11 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "payload") -> DataFrame:
-    """REAL PNG/PPM/BMP decode over Arrow batches (dimensions +
-    per-channel means); other formats (or corrupt bytes) yield
-    NULL-feature rows."""
+    """REAL image decode over Arrow batches (dimensions + per-channel
+    means) for every format ``_decode_image_pixels`` handles: PNG
+    (incl. 16-bit + Adam7), GIF, baseline+progressive JPEG, PPM (P6)
+    and uncompressed 24-bit BMP; other formats (or corrupt bytes)
+    yield NULL-feature rows."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",

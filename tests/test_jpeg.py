@@ -250,6 +250,338 @@ def encode_jpeg(px, subsample=1, restart_interval=0):
     return bytes(out)
 
 
+# --- progressive / multi-scan serializers (round 6) --------------------------
+#
+# The decoder's progressive path is validated by RE-SERIALIZATION: the
+# same quantized coefficients the baseline encoder produces are emitted
+# as a multi-scan SOF2 stream (interleaved DC first, banded AC first
+# with EOB runs, DC refinement, AC refinement with correction bits —
+# T.81 G.1.2), so progressive decode must equal baseline decode
+# BIT-FOR-BIT — a far stronger oracle than an error bound.
+
+def _prep_comps(px, subsample=1):
+    """Component planes + per-block quantized zigzag coefficients,
+    identical math to encode_jpeg."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "q": QL, "tq": 0,
+                  "plane": px.astype(np.float64), "td": 0}]
+    else:
+        f = px.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        s = subsample
+        cbd = cb[::s, ::s].copy() if s > 1 else cb
+        crd = cr[::s, ::s].copy() if s > 1 else cr
+        comps = [
+            {"id": 1, "h": s, "v": s, "q": QL, "tq": 0, "plane": y, "td": 0},
+            {"id": 2, "h": 1, "v": 1, "q": QC, "tq": 1, "plane": cbd,
+             "td": 1},
+            {"id": 3, "h": 1, "v": 1, "q": QC, "tq": 1, "plane": crd,
+             "td": 1}]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        ph, pw = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        p = c["plane"]
+        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                   mode="edge")
+        by, bx = mcus_y * c["v"], mcus_x * c["h"]
+        zz = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = p[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
+                zz[yb, xb] = np.round(
+                    fdct2(blk - 128.0) / c["q"]).astype(int).reshape(-1)[ZZ]
+        c["zz"] = zz
+        # non-interleaved (single-component-scan) block grid
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["nbx"], c["nby"] = -(-cw // 8), -(-ch // 8)
+    return comps, hmax, vmax, mcus_x, mcus_y, h, w
+
+
+def _headers(comps, h, w, sof_marker):
+    out = bytearray(b"\xff\xd8")
+    gray = len(comps) == 1
+    dqt = bytes([0x00]) + bytes(int(QL.reshape(-1)[ZZ[i]]) for i in range(64))
+    if not gray:
+        dqt += bytes([0x01]) + bytes(int(QC.reshape(-1)[ZZ[i]])
+                                     for i in range(64))
+    out += _seg(0xDB, dqt)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _flat_table(symbols):
+    """Canonical all-length-8 huffman table over a fixed symbol set —
+    trivially valid (< 255 codes, all-ones unused) and legal for an
+    encoder to choose; exercises the decoder's generic DHT path."""
+    syms = sorted(set(symbols))
+    assert len(syms) < 255
+    counts = [0] * 16
+    counts[7] = len(syms)
+    return counts, syms
+
+
+_AC_FIRST_SYMS = ([(r << 4) | s for r in range(16) for s in range(1, 11)]
+                  + [0xF0] + [r << 4 for r in range(15)])
+_AC_REFINE_SYMS = ([(r << 4) | 1 for r in range(16)]
+                   + [0xF0] + [r << 4 for r in range(15)])
+AC_FIRST_TBL = _flat_table(_AC_FIRST_SYMS)
+AC_REFINE_TBL = _flat_table(_AC_REFINE_SYMS)
+
+
+def _sos(scan_comps, tds, tas, ss, se, ah, al):
+    sos = bytes([len(scan_comps)])
+    for c, td, ta in zip(scan_comps, tds, tas):
+        sos += bytes([c["id"], (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, sos)
+
+
+def _emit_dc_first(comps, mcus_x, mcus_y, al):
+    bw = _BitWriter()
+    codes = [_codes(*(DC_L if c["td"] == 0 else DC_C)) for c in comps]
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + by,
+                                         mx * c["h"] + bx, 0])
+                        v = dc >> al          # arithmetic shift (T.81 DC)
+                        t, bits = _mag(v - pred[ci])
+                        pred[ci] = v
+                        ln, code = codes[ci][t]
+                        bw.write(ln, code)
+                        bw.write(t, bits)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_dc_refine(comps, mcus_x, mcus_y, al):
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + by,
+                                         mx * c["h"] + bx, 0])
+                        bw.write(1, (dc >> al) & 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_ac_first(c, ss, se, al):
+    bw = _BitWriter()
+    codes = _codes(*AC_FIRST_TBL)
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        nbits = eobrun.bit_length() - 1
+        ln, code = codes[nbits << 4]
+        bw.write(ln, code)
+        if nbits:
+            bw.write(nbits, eobrun & ((1 << nbits) - 1))
+        eobrun = 0
+
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            zz = c["zz"][by, bx]
+            r = 0
+            any_nz = False
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    ln, code = codes[0xF0]
+                    bw.write(ln, code)
+                    r -= 16
+                s, bits = _mag(t if v > 0 else -t)
+                ln, code = codes[(r << 4) | s]
+                bw.write(ln, code)
+                bw.write(s, bits)
+                r = 0
+                any_nz = True
+            if r > 0 or not any_nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_ac_refine(c, ss, se, al):
+    """T.81 G.1.2.3 (mirrors the libjpeg encoder structure): newly
+    nonzero coefficients emit (run, 1) + a sign bit; already-nonzero
+    ones buffer correction bits that flush after the next symbol; EOB
+    runs carry their buffered bits."""
+    bw = _BitWriter()
+    codes = _codes(*AC_REFINE_TBL)
+    eobrun = 0
+    be_buf: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, be_buf
+        if eobrun == 0:
+            return
+        nbits = eobrun.bit_length() - 1
+        ln, code = codes[nbits << 4]
+        bw.write(ln, code)
+        if nbits:
+            bw.write(nbits, eobrun & ((1 << nbits) - 1))
+        for bit in be_buf:
+            bw.write(1, bit)
+        eobrun = 0
+        be_buf = []
+
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            zz = c["zz"][by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            r = 0
+            br_buf: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eob()
+                    ln, code = codes[0xF0]
+                    bw.write(ln, code)
+                    r -= 16
+                    for bit in br_buf:
+                        bw.write(1, bit)
+                    br_buf = []
+                if t > 1:                  # history coefficient
+                    br_buf.append(t & 1)
+                    continue
+                flush_eob()
+                ln, code = codes[(r << 4) | 1]
+                bw.write(ln, code)
+                bw.write(1, 0 if int(zz[k]) < 0 else 1)
+                for bit in br_buf:
+                    bw.write(1, bit)
+                br_buf = []
+                r = 0
+            if r > 0 or br_buf:
+                eobrun += 1
+                be_buf += br_buf
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg_progressive(px, subsample=1, bands=((1, 5), (6, 63)),
+                            drop_last_scan=False):
+    """Progressive (SOF2) re-serialization of the baseline-quantized
+    coefficients: interleaved DC first at Al=1, per-component banded AC
+    first at Al=1, DC refinement, per-component banded AC refinements
+    to Al=0. ``drop_last_scan`` emits an INCOMPLETE file (for the
+    loud-rejection test)."""
+    comps, hmax, vmax, mcus_x, mcus_y, h, w = _prep_comps(px, subsample)
+    out = _headers(comps, h, w, 0xC2)
+    dht = _dht(0, 0, DC_L) + _dht(1, 0, AC_FIRST_TBL) \
+        + _dht(1, 1, AC_REFINE_TBL)
+    if len(comps) > 1:
+        dht += _dht(0, 1, DC_C)
+    out += _seg(0xC4, dht)
+    scans = []
+    tds = [c["td"] for c in comps]
+    scans.append((_sos(comps, tds, [0] * len(comps), 0, 0, 0, 1),
+                  _emit_dc_first(comps, mcus_x, mcus_y, 1)))
+    for c in comps:
+        for (ss, se) in bands:
+            scans.append((_sos([c], [0], [0], ss, se, 0, 1),
+                          _emit_ac_first(c, ss, se, 1)))
+    scans.append((_sos(comps, tds, [0] * len(comps), 0, 0, 1, 0),
+                  _emit_dc_refine(comps, mcus_x, mcus_y, 0)))
+    for c in comps:
+        for (ss, se) in bands:
+            scans.append((_sos([c], [0], [1], ss, se, 1, 0),
+                          _emit_ac_refine(c, ss, se, 0)))
+    if drop_last_scan:
+        scans = scans[:-1]
+    for hdr, data in scans:
+        out += hdr + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan_baseline(px, subsample=1):
+    """Legal baseline SOF0 with one NON-INTERLEAVED scan per component
+    (ADVICE r5: such files previously decoded as grayscale from the Y
+    scan alone)."""
+    comps, hmax, vmax, mcus_x, mcus_y, h, w = _prep_comps(px, subsample)
+    out = _headers(comps, h, w, 0xC0)
+    dht = _dht(0, 0, DC_L) + _dht(1, 0, AC_L)
+    if len(comps) > 1:
+        dht += _dht(0, 1, DC_C) + _dht(1, 1, AC_C)
+    out += _seg(0xC4, dht)
+    for c in comps:
+        dc_codes = _codes(*(DC_L if c["td"] == 0 else DC_C))
+        ac_codes = _codes(*(AC_L if c["td"] == 0 else AC_C))
+        out += _sos([c], [c["td"]], [c["td"]], 0, 63, 0, 0)
+        bw = _BitWriter()
+        pred = 0
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                zz = c["zz"][by, bx]
+                t, bits = _mag(int(zz[0]) - pred)
+                pred = int(zz[0])
+                ln, code = dc_codes[t]
+                bw.write(ln, code)
+                bw.write(t, bits)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.write(ln, code)
+                        run -= 16
+                    s, bits = _mag(v)
+                    ln, code = ac_codes[(run << 4) | s]
+                    bw.write(ln, code)
+                    bw.write(s, bits)
+                    run = 0
+                if run:
+                    ln, code = ac_codes[0x00]
+                    bw.write(ln, code)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- tests ------------------------------------------------------------------
 
 def test_dct_pair_inverse_and_analytic():
@@ -327,17 +659,98 @@ def test_jpeg_restart_markers_do_not_change_pixels():
 def test_jpeg_rejections_are_loud():
     px = _smooth(16, 16)
     good = encode_jpeg(px)
-    # progressive: flip SOF0 marker to SOF2
+    # flipping SOF0 → SOF2 leaves a baseline full-spectrum scan header,
+    # which is illegal in a progressive frame — loud, not wrong
     prog = bytearray(good)
     prog[good.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF0"):
+    with pytest.raises(ValueError, match="spectral"):
         decode_jpeg_bytes(bytes(prog))
+    # arithmetic coding (SOF9) still rejects by name
+    arith = bytearray(good)
+    arith[good.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_bytes(bytes(arith))
     with pytest.raises(ValueError, match="truncated|desync|SOS"):
         decode_jpeg_bytes(good[:40])
     with pytest.raises(ValueError):
         decode_jpeg_bytes(good[:-30])       # entropy stream cut short
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_bytes(b"not a jpeg")
+
+
+def test_jpeg_progressive_decode_equals_baseline_bit_for_bit():
+    """The SOF2 oracle: the progressive re-serialization carries the
+    SAME quantized coefficients, so decode must match the baseline
+    decode exactly — gray, 4:4:4 color and 4:2:0 color (where the
+    non-interleaved AC block grid is narrower than the interleaved
+    one: 22px wide at h=2 → nbx 3 vs bx 4)."""
+    cases = [(_smooth(33, 26), 1), (_smooth(24, 31, ch=3), 1),
+             (_smooth(35, 22, ch=3, seed=11), 2)]
+    for px, ss in cases:
+        base = decode_jpeg_bytes(encode_jpeg(px, subsample=ss))
+        prog = decode_jpeg_bytes(encode_jpeg_progressive(px, subsample=ss))
+        assert np.array_equal(base["pixels"], prog["pixels"])
+        assert (base["mean_r"], base["mean_g"], base["mean_b"]) == \
+               (prog["mean_r"], prog["mean_g"], prog["mean_b"])
+
+
+def test_jpeg_progressive_eobrun_and_band_shapes():
+    # constant image: every AC-first scan is one maximal EOB run
+    flat = np.full((40, 33), 200, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_bytes(encode_jpeg_progressive(flat))["pixels"],
+        decode_jpeg_bytes(encode_jpeg(flat))["pixels"])
+    # single whole-spectrum AC band + a finer 4-band split decode the same
+    px = _smooth(17, 29, ch=3, seed=21)
+    base = decode_jpeg_bytes(encode_jpeg(px))
+    for bands in (((1, 63),), ((1, 2), (3, 9), (10, 35), (36, 63))):
+        got = decode_jpeg_bytes(encode_jpeg_progressive(px, bands=bands))
+        assert np.array_equal(base["pixels"], got["pixels"]), bands
+
+
+def test_jpeg_progressive_incomplete_rejects():
+    """A progressive stream whose last refinement never arrives
+    (truncated crawl payload) must reject loudly, not render
+    plausible-but-wrong magnitudes."""
+    px = _smooth(16, 16, ch=3, seed=4)
+    with pytest.raises(ValueError, match="incomplete"):
+        decode_jpeg_bytes(encode_jpeg_progressive(px, drop_last_scan=True))
+
+
+def test_jpeg_multiscan_baseline_decodes_all_components():
+    """ADVICE r5: a legal baseline file with three single-component
+    scans previously returned grayscale built from the Y scan alone —
+    now it must decode identically to the interleaved encoding."""
+    px = _smooth(35, 22, ch=3, seed=9)
+    multi = decode_jpeg_bytes(encode_jpeg_multiscan_baseline(px,
+                                                             subsample=2))
+    inter = decode_jpeg_bytes(encode_jpeg(px, subsample=2))
+    assert multi["channels"] == 3
+    assert np.array_equal(multi["pixels"], inter["pixels"])
+    # gray single-scan via the same non-interleaved path
+    g = _smooth(19, 23)
+    assert np.array_equal(
+        decode_jpeg_bytes(encode_jpeg_multiscan_baseline(g))["pixels"],
+        decode_jpeg_bytes(encode_jpeg(g))["pixels"])
+
+
+def test_jpeg_header_bomb_rejects_before_allocation():
+    """ADVICE r5: a few-hundred-byte payload whose SOF claims 3
+    components near the pixel cap must reject on the TOTAL sample
+    budget before any plane/coefficient store allocates (the old
+    float64 planes staged ~1.6 GB per task ahead of the first entropy
+    check)."""
+    import resource
+    sof = bytes([8]) + struct.pack(">HH", 5000, 5000) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])       # 4:4:4 → 75M samples > 2^26
+    bomb = b"\xff\xd8" + _seg(0xC0, sof) + b"\xff\xd9"
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="component layout"):
+        decode_jpeg_bytes(bomb)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert after - before < 64 * 1024, \
+        f"rejection allocated {(after - before) / 1024:.0f} MB"  # KiB on linux
 
 
 def test_jpeg_through_spark_decode_features(spark):

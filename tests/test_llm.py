@@ -1308,42 +1308,66 @@ def _png_bytes(px, color_type=2, filter_type=0, depth=8, interlace=0,
     """Independent spec-side PNG encoder for decoder tests: applies the
     FORWARD filter per RFC 2083 §6 (so the decoder's unfiltering is
     checked against the spec, not against itself), zlib-compresses, and
-    emits signature + CRC'd chunks. ``px`` is an (h, w, ch) uint8 array
-    whose raster matches ``color_type``."""
+    emits signature + CRC'd chunks. ``px`` is an (h, w, ch) array —
+    uint8 at depth 8, uint16 (big-endian samples) at depth 16 — whose
+    raster matches ``color_type``; ``interlace=1`` emits the seven
+    Adam7 passes, each filtered as its own sub-image."""
     import struct
     import zlib
     import numpy as np
     h, w, ch = px.shape
-    raw = bytearray()
-    prior = np.zeros(w * ch, dtype=np.int32)
+    bpp = ch * (depth // 8)
     filters = ([filter_type] * h if isinstance(filter_type, int)
                else list(filter_type))
-    for y in range(h):
-        filter_type = filters[y]
-        line = px[y].reshape(-1).astype(np.int32)
-        raw.append(filter_type)
-        if filter_type == 0:
-            enc = line
-        elif filter_type == 2:
-            enc = (line - prior) & 0xFF
+
+    def filter_sub(sub):
+        sh, sw = sub.shape[:2]
+        if depth == 8:
+            lines = sub.reshape(sh, sw * ch).astype(np.int32)
         else:
-            enc = np.zeros(w * ch, dtype=np.int32)
-            for x in range(w * ch):
-                a = line[x - ch] if x >= ch else 0
-                if filter_type == 1:
-                    enc[x] = (line[x] - a) & 0xFF
-                elif filter_type == 3:
-                    enc[x] = (line[x] - ((a + prior[x]) >> 1)) & 0xFF
-                else:  # 4: Paeth
-                    b0 = prior[x]
-                    c0 = prior[x - ch] if x >= ch else 0
-                    p = a + b0 - c0
-                    pa, pb, pc = abs(p - a), abs(p - b0), abs(p - c0)
-                    pred = a if (pa <= pb and pa <= pc) else \
-                        (b0 if pb <= pc else c0)
-                    enc[x] = (line[x] - pred) & 0xFF
-        raw.extend(int(v) for v in enc)
-        prior = line
+            lines = np.frombuffer(
+                sub.astype(">u2").tobytes(), dtype=np.uint8
+            ).reshape(sh, sw * bpp).astype(np.int32)
+        raw = bytearray()
+        prior = np.zeros(sw * bpp, dtype=np.int32)
+        for y in range(sh):
+            ft = filters[y % len(filters)]
+            line = lines[y]
+            raw.append(ft)
+            if ft == 0:
+                enc = line
+            elif ft == 2:
+                enc = (line - prior) & 0xFF
+            else:
+                enc = np.zeros(sw * bpp, dtype=np.int32)
+                for x in range(sw * bpp):
+                    a = line[x - bpp] if x >= bpp else 0
+                    if ft == 1:
+                        enc[x] = (line[x] - a) & 0xFF
+                    elif ft == 3:
+                        enc[x] = (line[x] - ((a + prior[x]) >> 1)) & 0xFF
+                    else:  # 4: Paeth
+                        b0 = prior[x]
+                        c0 = prior[x - bpp] if x >= bpp else 0
+                        p = a + b0 - c0
+                        pa, pb, pc = abs(p - a), abs(p - b0), abs(p - c0)
+                        pred = a if (pa <= pb and pa <= pc) else \
+                            (b0 if pb <= pc else c0)
+                        enc[x] = (line[x] - pred) & 0xFF
+            raw.extend(int(v) for v in enc)
+            prior = line
+        return raw
+
+    if interlace == 0:
+        raw = filter_sub(px)
+    else:
+        raw = bytearray()
+        for (x0, y0, dx, dy) in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)):
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_sub(sub)
 
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
@@ -1365,8 +1389,9 @@ def test_real_png_decode_all_filters(spark):
     0-4 a spec-side forward-filtered encoding round-trips to the exact
     known pixels' channel means; gray / palette / alpha color types map
     to the documented channel semantics; corrupt CRCs, truncated
-    rasters, 16-bit depth and Adam7 reject loudly (NULL rows in Spark),
-    never decode wrong."""
+    rasters and sub-byte depths reject loudly (NULL rows in Spark),
+    never decode wrong. (16-bit and Adam7 decode for real since round
+    6 — see test_real_png_adam7_and_16bit.)"""
     import numpy as np
     from tally_database_loader_spark.llm.multimodal import (
         _decode_image_bytes, decode_image_features)
@@ -1416,10 +1441,15 @@ def test_real_png_decode_all_filters(spark):
     bad_crc[ihdr_end + 8 + 2] ^= 0x01
     with pytest.raises(ValueError, match="CRC"):
         _decode_image_bytes(bytes(bad_crc))
+    # sub-byte depths stay loud rejections (round 6 lifted 16-bit/Adam7)
+    bad_depth = bytearray(good)
+    import struct as _st
+    import zlib as _zl
+    bad_depth[8 + 8 + 8] = 4                 # IHDR depth byte
+    bad_depth[8 + 8 + 13:8 + 8 + 17] = _st.pack(
+        ">I", _zl.crc32(bytes(bad_depth[8 + 4:8 + 8 + 13])) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="depth"):
-        _decode_image_bytes(_png_bytes(rgb, depth=16))
-    with pytest.raises(ValueError, match="Adam7"):
-        _decode_image_bytes(_png_bytes(rgb, interlace=1))
+        _decode_image_bytes(bytes(bad_depth))
     with pytest.raises(ValueError, match="degenerate"):
         _decode_image_bytes(_png_bytes(np.zeros((0, 3, 3), dtype=np.uint8)))
     # Spark plumbing: good PNG decodes, corrupt PNG -> NULL-feature row
@@ -1458,6 +1488,47 @@ def test_real_png_decode_mixed_filters_roundtrip(spark):
             assert got == (want[0], want[1], want[2]), \
                 f"trial {trial} ct={ctype} filters={filters}"
         assert (rec["width"], rec["height"], rec["channels"]) == (w, h, ch)
+
+
+def test_real_png_adam7_and_16bit():
+    """Review r5 #5: Adam7 and depth-16 decode for real. The interlaced
+    encoding must decode IDENTICALLY to the sequential one (same
+    pixels, different wire layout) across sizes that exercise empty and
+    partial passes (w or h < 8); 16-bit samples unfilter at the byte
+    level (bpp=2·ch left-offset) and fold to their high byte; the
+    combination (16-bit + Adam7) round-trips too."""
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_image_bytes)
+    rng = np.random.RandomState(20260815)
+    # Adam7 == sequential, random per-row filters, assorted color types
+    for (h, w, ctype, ch) in [(3, 5, 2, 3), (16, 16, 0, 1), (9, 21, 6, 4),
+                              (1, 1, 2, 3), (7, 2, 4, 2), (8, 13, 2, 3)]:
+        px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        filters = [int(f) for f in rng.randint(0, 5, size=h)]
+        seq = _decode_image_bytes(_png_bytes(px, color_type=ctype,
+                                             filter_type=filters))
+        il = _decode_image_bytes(_png_bytes(px, color_type=ctype,
+                                            filter_type=filters,
+                                            interlace=1))
+        assert seq == il, f"{h}x{w} ct={ctype}"
+        assert il["width"] == w and il["height"] == h
+    # 16-bit: decoded means equal the high-byte raster means exactly
+    for interlace in (0, 1):
+        px16 = rng.randint(0, 1 << 16, size=(6, 11, 3)).astype(np.uint16)
+        rec = _decode_image_bytes(_png_bytes(px16, depth=16,
+                                             filter_type=[0, 1, 2, 3, 4, 1],
+                                             interlace=interlace))
+        want = (px16 >> 8).astype(np.float64).mean(axis=(0, 1))
+        assert (rec["mean_r"], rec["mean_g"], rec["mean_b"]) == \
+               (want[0], want[1], want[2]), f"interlace={interlace}"
+    # 16-bit gray+alpha: alpha out of the means, high-byte gray in
+    ga16 = rng.randint(0, 1 << 16, size=(5, 4, 2)).astype(np.uint16)
+    rec = _decode_image_bytes(_png_bytes(ga16, color_type=4, depth=16,
+                                         filter_type=4))
+    want = (ga16[:, :, 0] >> 8).astype(np.float64).mean()
+    assert rec["channels"] == 2
+    assert rec["mean_r"] == rec["mean_g"] == rec["mean_b"] == want
 
 
 def test_resize_images_all_decodable_formats(spark):
@@ -1570,7 +1641,7 @@ def test_real_mp4_container_metadata(spark):
 
 
 def _gif_bytes(idx, palette, interlace=False, local_ct=False,
-               with_extension=True):
+               with_extension=True, screen=None, offset=(0, 0), bg=0):
     """Independent spec-side GIF89a builder: literal-code LZW (every
     pixel emitted as its own code, mirroring the decoder's dictionary
     growth for width bumps and emitting CLEAR before the table freezes),
@@ -1622,9 +1693,10 @@ def _gif_bytes(idx, palette, interlace=False, local_ct=False,
         bytes([min(255, len(data) - i)]) + bytes(data[i:i + 255])
         for i in range(0, len(data), 255)) + b"\x00"
 
-    out = b"GIF89a" + _s.pack("<HHBBB", w, h,
+    sw, sh = screen if screen is not None else (w, h)
+    out = b"GIF89a" + _s.pack("<HHBBB", sw, sh,
                               0 if local_ct else (0x80 | (ctbits - 1)),
-                              0, 0)
+                              bg, 0)
     if not local_ct:
         out += ct
     if with_extension:
@@ -1632,7 +1704,7 @@ def _gif_bytes(idx, palette, interlace=False, local_ct=False,
     ipack = (0x80 | (ctbits - 1)) if local_ct else 0
     if interlace:
         ipack |= 0x40
-    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, ipack)
+    out += b"\x2c" + _s.pack("<HHHHB", offset[0], offset[1], w, h, ipack)
     if local_ct:
         out += ct
     out += bytes([min_code]) + blocks + b"\x3b"
@@ -1684,6 +1756,38 @@ def test_real_gif_decode(spark):
     assert bytes(out.payload) == b"P6\n5 4\n255\n" + want[yi][:, xi].tobytes()
 
 
+def test_real_gif_subrectangle_frame_composites():
+    """ADVICE r5: an optimized animated GIF's first frame may be a
+    sub-rectangle of the logical screen — the record must report the
+    SCREEN dims with the frame composited over the background color,
+    never frame-only stats passed off as the whole image; a frame
+    exceeding the screen rejects loudly."""
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_image_pixels)
+    palette = np.array([[10, 20, 30], [200, 100, 50], [5, 5, 5],
+                        [250, 240, 230]], dtype=np.uint8)
+    idx = np.array([[0, 2, 3], [3, 2, 0]], dtype=np.uint8)     # 2x3 frame
+    rec = _decode_image_pixels(_gif_bytes(idx, palette, screen=(7, 5),
+                                          offset=(2, 1), bg=1))
+    assert (rec["width"], rec["height"]) == (7, 5)
+    want = np.empty((5, 7, 3), dtype=np.uint8)
+    want[:, :] = palette[1]                                    # background
+    want[1:3, 2:5] = palette[idx]
+    assert np.array_equal(rec["pixels"], want)
+    m = want.astype(np.float64).mean(axis=(0, 1))
+    assert (rec["mean_r"], rec["mean_g"], rec["mean_b"]) == \
+           (m[0], m[1], m[2])
+    # full-coverage frame: identical record to the screen-less encoding
+    full = _decode_image_pixels(_gif_bytes(idx, palette))
+    assert (full["width"], full["height"]) == (3, 2)
+    # frame poking past the screen is corrupt, not croppable
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exceeds the logical screen"):
+        _decode_image_pixels(_gif_bytes(idx, palette, screen=(4, 2),
+                                        offset=(2, 1)))
+
+
 def test_decoder_fuzz_never_hangs_never_garbage():
     """The NULL-row contract under hostile bytes: seeded mutations
     (truncation, byte flips, splices) of valid JPEG/PNG/GIF/BMP/PPM/WAV/
@@ -1692,7 +1796,7 @@ def test_decoder_fuzz_never_hangs_never_garbage():
     early-stop guard against decompression bombs) — never hang, crash
     the interpreter, or return the wrong shape."""
     import numpy as np
-    from tests.test_jpeg import encode_jpeg
+    from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
     from tally_database_loader_spark.llm import multimodal as mm
     rng = np.random.RandomState(20250816)
     rgb = rng.randint(0, 256, size=(9, 12, 3)).astype(np.uint8)
@@ -1701,6 +1805,7 @@ def test_decoder_fuzz_never_hangs_never_garbage():
                        dtype=np.uint8)
     image_payloads = [
         encode_jpeg(rgb),
+        encode_jpeg_progressive(rgb),    # round 6: SOF2 scan machinery
         _png_bytes(rgb, filter_type=3),
         _gif_bytes(idx, palette),
         _bmp_bytes(7, 5, (30, 200, 10)),
