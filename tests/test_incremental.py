@@ -590,3 +590,135 @@ def test_scoped_merge_source_semantics(spark):
         want.pop(k)
     want.update({"a": 10, "e": 50})
     assert result == want == {"a": 10, "c": 3, "d": 4, "e": 50}
+
+
+def test_delta_write_scoped_emits_the_exact_merge_triple(spark, tmp_path,
+                                                         monkeypatch):
+    """Review r5 #6: the Delta jars are not installable here, so the
+    MERGE the real ``DeltaStore.write_scoped`` emits has never executed.
+    This drives the REAL write_scoped code against a shape-asserting
+    fake ``delta.tables.DeltaTable``: the fake records the merge
+    condition and the whenMatchedDelete / whenMatchedUpdate /
+    whenNotMatchedInsert triple, REFUSES to execute anything but that
+    exact shape, applies the recorded semantics, and the resulting
+    table must equal ParquetStore.write_scoped on the same inputs —
+    cross-backend convergence without Delta on the classpath."""
+    import os
+    import re
+    import sys
+    import types
+
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.operators.table_format import DeltaStore
+
+    class _FakeMergeBuilder:
+        def __init__(self, tbl, source, cond):
+            self.tbl, self.source, self.cond = tbl, source, cond
+            self.calls = []
+
+        def whenMatchedDelete(self, condition=None):
+            self.calls.append(("whenMatchedDelete", condition, None))
+            return self
+
+        def whenMatchedUpdate(self, condition=None, set=None):
+            self.calls.append(("whenMatchedUpdate", condition, dict(set)))
+            return self
+
+        def whenNotMatchedInsert(self, condition=None, values=None):
+            self.calls.append(("whenNotMatchedInsert", condition,
+                               dict(values)))
+            return self
+
+        def execute(self):
+            m = re.fullmatch(r"t\.(\w+) = s\.__k", self.cond)
+            if m is None:
+                raise NotImplementedError(f"merge condition {self.cond!r}")
+            key = m.group(1)
+            target = self.tbl.spark.read.parquet(self.tbl.path)
+            sets = {c: f"s.{c}" for c in target.columns}
+            if self.calls != [
+                ("whenMatchedDelete", "s.__gone", None),
+                ("whenMatchedUpdate", "NOT s.__gone", sets),
+                ("whenNotMatchedInsert", "NOT s.__gone", sets),
+            ]:
+                raise NotImplementedError(
+                    f"unexpected merge clause shape: {self.calls}")
+            # the recorded triple's semantics: matched rows leave the
+            # target (delete or full-column update), source rows with
+            # NOT __gone re-enter (update ∪ insert), unmatched target
+            # rows survive untouched
+            src = self.source
+            keep = target.join(src.select("__k").distinct(),
+                               target[key] == F.col("__k"), "left_anti")
+            add = src.filter(~F.col("__gone")).select(
+                *[F.col(c) for c in target.columns])
+            rows = keep.unionByName(add).collect()
+            out = self.tbl.spark.createDataFrame(rows, target.schema)
+            out.write.mode("overwrite").parquet(self.tbl.path + ".next")
+            import shutil
+            shutil.rmtree(self.tbl.path)
+            shutil.move(self.tbl.path + ".next", self.tbl.path)
+
+    class _FakeDeltaTable:
+        merges: list = []
+
+        def __init__(self, spark_, path):
+            self.spark, self.path = spark_, path
+
+        @classmethod
+        def forPath(cls, spark_, path):
+            return cls(spark_, path)
+
+        @staticmethod
+        def isDeltaTable(spark_, path):
+            return os.path.isdir(path)
+
+        def alias(self, a):
+            return self
+
+        def merge(self, source, cond):
+            b = _FakeMergeBuilder(self, source, cond)
+            _FakeDeltaTable.merges.append(b)
+            return b
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+    # snapshot writes use the delta datasource (not available without the
+    # jars); the MERGE path under test is write_scoped, so snapshots fall
+    # back to plain parquet at the same path
+    monkeypatch.setattr(
+        DeltaStore, "write",
+        lambda self, df, table: df.write.mode("overwrite")
+                                  .parquet(self._path(table)))
+
+    store = DeltaStore(str(tmp_path / "delta"), spark)
+    schema = "guid string, alterid long, val string"
+    base = spark.createDataFrame(
+        [("g1", 1, "a"), ("g2", 2, "b"), ("g3", 3, "c"), ("g4", 4, "d")],
+        schema)
+    store.write(base, "t")
+    # g2 modified, g3 deleted, g5 inserted; g1/g4 untouched
+    new = spark.createDataFrame(
+        [("g1", 1, "a"), ("g2", 20, "B"), ("g4", 4, "d"), ("g5", 5, "e")],
+        schema)
+    touched = spark.createDataFrame([("g2",), ("g3",), ("g5",)],
+                                    "guid string")
+    assert store.write_scoped(new, "t", touched) == 3
+    assert len(_FakeDeltaTable.merges) == 1   # one transaction
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(str(tmp_path / "delta" / "t")).collect())
+    # same inputs through the manifest backend: identical content
+    ps = ParquetStore(str(tmp_path / "manifest"))
+    ps.write(base, "t")
+    ps.write_scoped(new, "t", touched)
+    want = sorted(tuple(r) for r in ps.read(spark, "t").collect())
+    assert got == want == [("g1", 1, "a"), ("g2", 20, "B"),
+                           ("g4", 4, "d"), ("g5", 5, "e")]
+    # first-write fallback: scoped commit on a missing table snapshots
+    assert store.write_scoped(new, "t2", touched) == -1
+    assert len(_FakeDeltaTable.merges) == 1   # no merge for the snapshot
