@@ -71,22 +71,24 @@ def payload_metadata(df: DataFrame, id_col: str, payload: Column) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Residual codec stub — by round 6 this covers only WebP,
-    arithmetic-coded JPEG and MP4 FRAME decode, which genuinely need
-    libvips/ffmpeg (VP8 prediction loops / the MQ arithmetic coder /
-    H.264). Everything else parses for REAL: baseline AND progressive
-    huffman JPEG (``llm/jpeg.py`` — huffman + dequant + IDCT in pure
-    numpy, SOF0/SOF2, multi-scan, spectral selection + successive
-    approximation), PNG (stdlib zlib, ``_decode_png_bytes``), GIF
-    (LZW), PPM, BMP, MP4 container metadata (``_decode_mp4_bytes``).
-    The Spark plumbing (decode_image_features / fake_decode_features)
-    is identical either way."""
+    """Residual codec stub — by round 6 this covers only LOSSY WebP
+    (VP8), arithmetic-coded JPEG and MP4 FRAME decode, which genuinely
+    need libvips/ffmpeg (VP8 intra-prediction loops / the MQ arithmetic
+    coder / H.264). Everything else parses for REAL: baseline AND
+    progressive huffman JPEG (``llm/jpeg.py`` — huffman + dequant +
+    IDCT in pure numpy, SOF0/SOF2, multi-scan, spectral selection +
+    successive approximation), LOSSLESS WebP (``llm/webp.py`` — VP8L
+    prefix codes, LZ77, color cache, all four transforms), PNG (stdlib
+    zlib, incl. 16-bit + Adam7), GIF (LZW), PPM, BMP, MP4 container
+    metadata (``_decode_mp4_bytes``). The Spark plumbing
+    (decode_image_features / fake_decode_features) is identical either
+    way."""
     raise NotImplementedError(
-        "WebP, arithmetic-coded JPEG and MP4 frame decode require "
-        "PIL/libvips/ffmpeg which are not installed; baseline+progressive "
-        "JPEG, PNG, GIF, PPM (P6), uncompressed 24-bit BMP and MP4 "
-        "container metadata decode natively via decode_image_features / "
-        "decode_video_metadata")
+        "lossy (VP8) WebP, arithmetic-coded JPEG and MP4 frame decode "
+        "require PIL/libvips/ffmpeg which are not installed; "
+        "baseline+progressive JPEG, lossless (VP8L) WebP, PNG, GIF, PPM "
+        "(P6), uncompressed 24-bit BMP and MP4 container metadata decode "
+        "natively via decode_image_features / decode_video_metadata")
 
 
 # ---------------------------------------------------------------------------
@@ -491,15 +493,19 @@ def _decode_image_pixels(b: bytes) -> dict:
     """REAL decode for every format whose codec needs nothing beyond the
     standard library + numpy: binary PPM (``P6``, raw RGB), PNG (DEFLATE
     = stdlib zlib; 16-bit + Adam7 included; see ``_decode_png_bytes``),
-    GIF (``_decode_gif_bytes``), baseline + progressive huffman JPEG
-    (``llm/jpeg.py``) and uncompressed 24-bit BMP (BITMAPINFOHEADER,
-    BI_RGB, bottom-up rows padded to 4 bytes). Returns the feature
-    record PLUS ``pixels`` — the decoded h×w×3 RGB uint8 raster (gray
-    replicated) — so resize/transcode operators share one decode path.
-    Raises ValueError for other magics (WebP/arithmetic JPEG need PIL
-    — see decode_image)."""
+    lossless WebP (``llm/webp.py``), GIF (``_decode_gif_bytes``),
+    baseline + progressive huffman JPEG (``llm/jpeg.py``) and
+    uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows
+    padded to 4 bytes). Returns the feature record PLUS ``pixels`` —
+    the decoded h×w×3 RGB uint8 raster (gray replicated) — so
+    resize/transcode operators share one decode path. Raises ValueError
+    for other magics (lossy WebP/arithmetic JPEG need PIL — see
+    decode_image)."""
     if b[:8] == _PNG_SIG:
         return _decode_png_bytes(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp_bytes
+        return decode_webp_bytes(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif_bytes(b)
     if b[:3] == b"\xff\xd8\xff":

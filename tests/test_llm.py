@@ -1803,6 +1803,8 @@ def test_decoder_fuzz_never_hangs_never_garbage():
     idx = rng.randint(0, 4, size=(9, 12))
     palette = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]],
                        dtype=np.uint8)
+    from tests.test_webp import encode_webp_lossless
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)])
     image_payloads = [
         encode_jpeg(rgb),
         encode_jpeg_progressive(rgb),    # round 6: SOF2 scan machinery
@@ -1810,6 +1812,7 @@ def test_decoder_fuzz_never_hangs_never_garbage():
         _gif_bytes(idx, palette),
         _bmp_bytes(7, 5, (30, 200, 10)),
         _ppm_bytes(6, 4, (10, 200, 30)),
+        encode_webp_lossless(rgba, cache_bits=3, lz77=True),  # round 6
     ]
     other = [(_wav_bytes(n=50), mm._decode_wav_bytes),
              (_mp4_bytes(), mm._decode_mp4_bytes)]

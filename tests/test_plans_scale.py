@@ -121,11 +121,18 @@ def test_new_gate_plan_shapes(spark):
     tr = _plan(spark, "temperature_resample")
     # r5: per-group keep-thresholds enter as a broadcast-joined (grp,
     # thr) dimension — a 10k-domain corpus must not build a 10k-deep
-    # CASE (review r4 #1). No shuffle exchange: the only Exchange is
-    # the threshold broadcast itself.
+    # CASE (review r4 #1). r6: the threshold COMPUTATION moved in-plan
+    # (review r5 #3), so the plan legitimately carries the group-count
+    # aggregation shuffle (bounded by group cardinality, partial-agg'd)
+    # and the 1-row (N, W) totals fold — a SinglePartition exchange
+    # over GROUP-level rows, the benign scalar shape — but the
+    # CORPUS-level side still only broadcast-joins, never shuffles.
     assert "BroadcastHashJoin" in tr and "SortMergeJoin" not in tr
-    assert "Exchange hashpartitioning" not in tr
-    assert "Exchange SinglePartition" not in tr
+    assert "CaseWhen" not in tr
+    assert tr.count("HashAggregate") >= 4   # partial+final counts+totals
+    # the corpus scan feeds the broadcast join directly: no
+    # hashpartitioning exchange keyed on doc_id anywhere
+    assert "hashpartitioning(doc_id" not in tr
     lm = _plan(spark, "unigram_lm_score")
     # the vocabulary-sized model table joins broadcast; the final
     # docs ⟕ per-doc-scores join is corpus × corpus and may legitimately
@@ -181,15 +188,24 @@ def test_sketch_and_sampling_plan_shapes(spark):
 
 def test_round2_suite_plan_shapes(spark):
     """The round-2 merged suites and layout gates keep scale-correct
-    shapes: selection is map-side (its only join is the broadcast of the
-    dimension-sized per-group threshold table), the batch layout's only
-    exchange partitions by shard (never a single partition), the
-    token-stats top-k plans as TakeOrderedAndProject, and the bigram LM
-    joins its model broadcast."""
+    shapes: selection's corpus-level side only broadcast-joins (the
+    per-group threshold table computes in-plan since r6 — its 1-row
+    totals fold is the benign group-level SinglePartition, like the
+    sketch scalar folds), the batch layout's only exchange partitions
+    by shard (never a single partition), the token-stats top-k plans as
+    TakeOrderedAndProject, and the bigram LM joins its model
+    broadcast."""
     sel = _plan(spark, "selection_suite")
     assert "SortMergeJoin" not in sel
-    assert "Exchange SinglePartition" not in sel
     assert "CartesianProduct" not in sel
+    assert "CaseWhen" not in sel
+    # the only SinglePartition folds are the resample's (N, W) totals
+    # over GROUP-level rows — never a corpus-level funnel
+    for seg in sel.split("Exchange SinglePartition")[1:]:
+        assert "partial_sum(__tr_n" in seg[:600], \
+            "SinglePartition fold over something other than the " \
+            "group-level resample totals"
+    assert "BroadcastHashJoin" in sel
     bl = _plan(spark, "batch_layout")
     assert "Exchange SinglePartition" not in bl
     assert "Join" not in bl
