@@ -104,17 +104,65 @@ IMAGE_SCHEMA = ("doc_id bigint, format string, width int, height int, "
                 "channels int, mean_r double, mean_g double, mean_b double")
 
 
+def _decode_wav_float(b: bytes) -> dict:
+    """IEEE-float WAV (format tag 3, 32/64-bit) — the common DAW/ML
+    export the stdlib ``wave`` reader rejects: direct RIFF chunk walk
+    (fmt + data, odd sizes padded). RMS is in the payload's native
+    float units (nominal [-1, 1]), integer PCM RMS stays in raw sample
+    units — documented asymmetry, both exact."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        chunk = b[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    wtag, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if wtag != 3:
+        raise ValueError(f"WAV format tag {wtag} unsupported (PCM via "
+                         "stdlib wave; 3=IEEE float here)")
+    if bits not in (32, 64) or nch < 1 or rate < 1:
+        raise ValueError("malformed float WAV header")
+    width = bits // 8
+    usable = len(data) - len(data) % width
+    samples = np.frombuffer(data, dtype=f"<f{width}",
+                            count=usable // width).astype(np.float64)
+    if not np.isfinite(samples).all():
+        raise ValueError("float WAV contains non-finite samples")
+    n = len(data) // (width * nch)
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size \
+        else 0.0
+    return {"sample_rate": rate, "n_channels": nch, "sample_width": width,
+            "n_frames": n, "duration_s": n / rate, "rms": rms}
+
+
 def _decode_wav_bytes(b: bytes) -> dict:
     """Parse one RIFF/WAV payload: container fields via the stdlib
     ``wave`` reader, RMS over the PCM samples via numpy. All four
     integer PCM widths decode for real — 8-bit unsigned, 16-bit signed,
     24-bit packed (round 5: three-byte little-endian reassembled and
-    sign-extended in numpy) and 32-bit signed. Non-PCM encodings
-    (float/ALAW/µLAW) are rejected by ``wave`` itself → NULL row."""
-    with wave.open(io.BytesIO(b)) as w:
-        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        n = w.getnframes()
-        pcm = w.readframes(n)
+    sign-extended in numpy) and 32-bit signed — plus 32/64-bit IEEE
+    FLOAT (round 6: format tag 3 via ``_decode_wav_float``; ``wave``
+    itself rejects it). ALAW/µLAW remain rejected → NULL row."""
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            rate, nch = w.getframerate(), w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            pcm = w.readframes(n)
+    except wave.Error as exc:
+        if "unknown format: 3" in str(exc):
+            return _decode_wav_float(b)
+        raise
     if width == 2:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
     elif width == 1:

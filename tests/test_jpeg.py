@@ -348,12 +348,51 @@ def _sos(scan_comps, tds, tas, ss, se, ah, al):
     return _seg(0xDA, sos)
 
 
-def _emit_dc_first(comps, mcus_x, mcus_y, al):
-    bw = _BitWriter()
+class _RestartingWriter:
+    """Bit writer segmented by restart markers: every ``ri`` units the
+    entropy bits flush (1-padded) and an RSTn cycles in — mirroring the
+    decoder's per-MCU/per-block restart counting in every scan kind."""
+
+    def __init__(self, ri):
+        self.ri = ri
+        self.bw = _BitWriter()
+        self.chunks = []
+        self.done = 0
+        self.rst = 0
+
+    def at_boundary(self):
+        return self.ri and self.done and self.done % self.ri == 0
+
+    def unit(self):
+        """Call at the START of each MCU/block; returns True when a
+        restart boundary was emitted (callers reset preds/EOB runs)."""
+        boundary = self.at_boundary()
+        if boundary:
+            self.bw.flush()
+            self.chunks.append(bytes(self.bw.out))
+            self.chunks.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+            self.rst += 1
+            self.bw = _BitWriter()
+        self.done += 1
+        return bool(boundary)
+
+    def write(self, n, v):
+        self.bw.write(n, v)
+
+    def bytes(self):
+        self.bw.flush()
+        self.chunks.append(bytes(self.bw.out))
+        return b"".join(self.chunks)
+
+
+def _emit_dc_first(comps, mcus_x, mcus_y, al, ri=0):
+    bw = _RestartingWriter(ri)
     codes = [_codes(*(DC_L if c["td"] == 0 else DC_C)) for c in comps]
     pred = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if bw.unit():
+                pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -365,26 +404,25 @@ def _emit_dc_first(comps, mcus_x, mcus_y, al):
                         ln, code = codes[ci][t]
                         bw.write(ln, code)
                         bw.write(t, bits)
-    bw.flush()
-    return bytes(bw.out)
+    return bw.bytes()
 
 
-def _emit_dc_refine(comps, mcus_x, mcus_y, al):
-    bw = _BitWriter()
+def _emit_dc_refine(comps, mcus_x, mcus_y, al, ri=0):
+    bw = _RestartingWriter(ri)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            bw.unit()
             for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         dc = int(c["zz"][my * c["v"] + by,
                                          mx * c["h"] + bx, 0])
                         bw.write(1, (dc >> al) & 1)
-    bw.flush()
-    return bytes(bw.out)
+    return bw.bytes()
 
 
-def _emit_ac_first(c, ss, se, al):
-    bw = _BitWriter()
+def _emit_ac_first(c, ss, se, al, ri=0):
+    bw = _RestartingWriter(ri)
     codes = _codes(*AC_FIRST_TBL)
     eobrun = 0
 
@@ -401,6 +439,9 @@ def _emit_ac_first(c, ss, se, al):
 
     for by in range(c["nby"]):
         for bx in range(c["nbx"]):
+            if bw.at_boundary():
+                flush_eob()                # an EOB run cannot span RSTn
+            bw.unit()
             zz = c["zz"][by, bx]
             r = 0
             any_nz = False
@@ -426,16 +467,15 @@ def _emit_ac_first(c, ss, se, al):
                 if eobrun == 0x7FFF:
                     flush_eob()
     flush_eob()
-    bw.flush()
-    return bytes(bw.out)
+    return bw.bytes()
 
 
-def _emit_ac_refine(c, ss, se, al):
+def _emit_ac_refine(c, ss, se, al, ri=0):
     """T.81 G.1.2.3 (mirrors the libjpeg encoder structure): newly
     nonzero coefficients emit (run, 1) + a sign bit; already-nonzero
     ones buffer correction bits that flush after the next symbol; EOB
     runs carry their buffered bits."""
-    bw = _BitWriter()
+    bw = _RestartingWriter(ri)
     codes = _codes(*AC_REFINE_TBL)
     eobrun = 0
     be_buf: list[int] = []
@@ -456,6 +496,9 @@ def _emit_ac_refine(c, ss, se, al):
 
     for by in range(c["nby"]):
         for bx in range(c["nbx"]):
+            if bw.at_boundary():
+                flush_eob()                # buffered bits flush with it
+            bw.unit()
             zz = c["zz"][by, bx]
             absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             eob = ss - 1
@@ -494,12 +537,11 @@ def _emit_ac_refine(c, ss, se, al):
                 if eobrun == 0x7FFF:
                     flush_eob()
     flush_eob()
-    bw.flush()
-    return bytes(bw.out)
+    return bw.bytes()
 
 
 def encode_jpeg_progressive(px, subsample=1, bands=((1, 5), (6, 63)),
-                            drop_last_scan=False):
+                            drop_last_scan=False, restart_interval=0):
     """Progressive (SOF2) re-serialization of the baseline-quantized
     coefficients: interleaved DC first at Al=1, per-component banded AC
     first at Al=1, DC refinement, per-component banded AC refinements
@@ -512,20 +554,23 @@ def encode_jpeg_progressive(px, subsample=1, bands=((1, 5), (6, 63)),
     if len(comps) > 1:
         dht += _dht(0, 1, DC_C)
     out += _seg(0xC4, dht)
+    ri = restart_interval
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
     scans = []
     tds = [c["td"] for c in comps]
     scans.append((_sos(comps, tds, [0] * len(comps), 0, 0, 0, 1),
-                  _emit_dc_first(comps, mcus_x, mcus_y, 1)))
+                  _emit_dc_first(comps, mcus_x, mcus_y, 1, ri)))
     for c in comps:
         for (ss, se) in bands:
             scans.append((_sos([c], [0], [0], ss, se, 0, 1),
-                          _emit_ac_first(c, ss, se, 1)))
+                          _emit_ac_first(c, ss, se, 1, ri)))
     scans.append((_sos(comps, tds, [0] * len(comps), 0, 0, 1, 0),
-                  _emit_dc_refine(comps, mcus_x, mcus_y, 0)))
+                  _emit_dc_refine(comps, mcus_x, mcus_y, 0, ri)))
     for c in comps:
         for (ss, se) in bands:
             scans.append((_sos([c], [0], [1], ss, se, 1, 0),
-                          _emit_ac_refine(c, ss, se, 0)))
+                          _emit_ac_refine(c, ss, se, 0, ri)))
     if drop_last_scan:
         scans = scans[:-1]
     for hdr, data in scans:
@@ -706,6 +751,21 @@ def test_jpeg_progressive_eobrun_and_band_shapes():
     for bands in (((1, 63),), ((1, 2), (3, 9), (10, 35), (36, 63))):
         got = decode_jpeg_bytes(encode_jpeg_progressive(px, bands=bands))
         assert np.array_equal(base["pixels"], got["pixels"]), bands
+
+
+def test_jpeg_progressive_restart_markers():
+    """Restart intervals inside progressive scans: RSTn boundaries
+    reset the DC predictors AND the EOB-run/correction-bit state in
+    every scan kind (DC first/refine, AC first/refine) — decode must
+    still equal the baseline decode exactly."""
+    for px, ss in [(_smooth(35, 22, ch=3, seed=13), 2),
+                   (_smooth(21, 17), 1)]:
+        base = decode_jpeg_bytes(encode_jpeg(px, subsample=ss))
+        for ri in (1, 2, 5):
+            got = decode_jpeg_bytes(encode_jpeg_progressive(
+                px, subsample=ss, restart_interval=ri))
+            assert np.array_equal(base["pixels"], got["pixels"]), \
+                f"ri={ri} subsample={ss}"
 
 
 def test_jpeg_progressive_incomplete_rejects():

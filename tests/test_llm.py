@@ -974,6 +974,49 @@ def test_real_wav_decode(spark):
     assert rows[2].sample_rate is None and rows[2].rms is None
 
 
+def _float_wav_bytes(samples, rate=16000, nch=1, bits=32, tag=3):
+    """Hand-built RIFF for IEEE-float WAV (the stdlib writer cannot
+    emit format tag 3)."""
+    import struct as _s
+
+    import numpy as np
+    data = np.asarray(samples, dtype=f"<f{bits // 8}").tobytes()
+    fmt = _s.pack("<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+                  nch * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_real_wav_float_pcm_decode(spark):
+    """Round 6: IEEE-float WAV (format tag 3 — the common DAW/ML export
+    the stdlib ``wave`` reader rejects) decodes for real at 32 AND 64
+    bits: exact RMS in native float units, container fields from the
+    RIFF walk; NaN payloads and unknown format tags reject → NULL."""
+    import math
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_wav_bytes, decode_audio_features)
+    vals = [0.5, -0.25, 0.125, -1.0, 0.75, 0.0]
+    for bits in (32, 64):
+        rec = _decode_wav_bytes(_float_wav_bytes(vals, bits=bits, nch=2))
+        assert rec["sample_width"] == bits // 8 and rec["n_channels"] == 2
+        assert rec["n_frames"] == len(vals) // 2
+        want = math.sqrt(sum(float(np.float32(v) if bits == 32 else v) ** 2
+                             for v in vals) / len(vals))
+        assert abs(rec["rms"] - want) < 1e-12
+    # NULL-row discipline through Spark: NaN samples and µLAW tags
+    df = spark.createDataFrame(
+        [(1, _float_wav_bytes(vals)),
+         (2, _float_wav_bytes([float("nan"), 0.0])),
+         (3, _float_wav_bytes(vals, tag=7))],      # µLAW
+        "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in decode_audio_features(df).collect()}
+    assert rows[1].rms is not None
+    assert rows[2].rms is None and rows[3].rms is None
+
+
 def test_real_ppm_bmp_decode_and_resize(spark):
     """decode_image_features really parses PPM P6 and uncompressed 24-bit
     BMP (dimensions + per-channel means, BMP's BGR order and 4-byte row
