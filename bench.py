@@ -116,6 +116,8 @@ HEADLINE = [
     "ppm_decode_real",
     "ppm_resize_real",
     "bpe_train",
+    # round-6 addition (new slot): the train→encode tokenizer chain
+    "bpe_encode",
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",

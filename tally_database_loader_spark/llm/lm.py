@@ -247,6 +247,65 @@ def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 3,
         merges, "step int, lhs string, rhs string, n_pairs long")
 
 
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text",
+               checkpoint_every: int = 8) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train`` output order) to
+    the corpus — per-document token counts under the REAL trained
+    tokenizer, completing the train→encode story (the whitespace/regex
+    token counts elsewhere are pre-tokenizer approximations).
+
+    Scale shape — the same vocabulary trick as training: the fold work
+    runs over DISTINCT words only (O(vocabulary) regardless of corpus
+    size; each merge is the identical greedy leftmost ``F.aggregate``
+    left fold as ``bpe_train``, so train and encode CANNOT disagree on
+    merge semantics), then the word → symbol-count map equi-joins back
+    onto the per-document word stream (AQE broadcasts it when the
+    vocabulary is small; at web scale it is a plain shuffle join on
+    uniform word keys) and aggregates map-side. Every
+    ``checkpoint_every`` merges the vocabulary DataFrame
+    localCheckpoints so a large merge table does not stack k fold
+    expressions into one analyzer tree (the bpe_train lineage lesson).
+
+    Output: ``doc_id, n_words, n_bpe_tokens`` — one row per input
+    document (zero-token documents kept with zeros)."""
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(_tokens(F.col(text_col))).alias("w"))
+    ln = F.length("w")
+    chars = F.transform(F.sequence(F.lit(1), ln),
+                        lambda i: F.col("w").substr(i, F.lit(1)))
+    vocab = words.select("w").distinct().withColumn("__syms", chars)
+
+    def merge_fold(a: str, b: str):
+        # a two-arg lambda per PySpark's higher-order introspection;
+        # (a, b) captured by closure
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(x)))
+        return F.aggregate("__syms", F.array().cast("array<string>"), step)
+
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn("__syms", merge_fold(a, b))
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            vocab = vocab.localCheckpoint()
+    wlen = vocab.select("w", F.size("__syms").cast("long").alias("__n"))
+    per_doc = (words.join(wlen, "w")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                         F.sum("__n").cast("long").alias("n_bpe_tokens")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+                .join(per_doc, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_words", F.lit(0)).cast("long")
+                         .alias("n_words"),
+                        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                         .alias("n_bpe_tokens")))
+
+
 def dsir_importance(docs: DataFrame, target: Column,
                     n_buckets: int = 4096, add_k: int = 1,
                     id_col: str = "doc_id",

@@ -2483,20 +2483,20 @@ def bpe_pair_counts_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, "text", top_k=100)
 
 
-def _dd_bpe_train(k: int, min_count: int = 2) -> str:
-    """DuckDB replay of the full BPE training loop (llm/lm.py bpe_train):
-    per step, a pair-count CTE over the current symbol sequences, the
+def _dd_bpe_parts(k: int, min_count: int = 2) -> list[str]:
+    """The shared CTE chain of the BPE oracles (train + encode): per
+    step, a pair-count CTE over the current symbol sequences, the
     deterministic winner (count desc, then (lhs, rhs)), and the greedy
     leftmost merge replayed as a RECURSIVE per-word left fold with the
     identical accumulator rule. A step whose best pair misses
     ``min_count`` selects no row and leaves the vocabulary unchanged —
-    matching the engine's early stop."""
+    matching the engine's early stop. ``w`` rides along so the encode
+    oracle can map words to their final symbol counts."""
     parts = [f"""
 bwords AS (
   SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
   FROM (SELECT unnest({_DD_TOKENS}) AS t FROM documents) GROUP BY 1),
-bv0 AS (SELECT wc, string_split(w, '') AS syms FROM bwords)"""]
-    sel = []
+bv0 AS (SELECT w, wc, string_split(w, '') AS syms FROM bwords)"""]
     for s in range(1, k + 1):
         prev = f"bv{s - 1}"
         parts.append(f"""
@@ -2510,21 +2510,46 @@ bt{s} AS (SELECT a, b, n_pairs FROM bc{s}
           WHERE n_pairs >= {min_count}
           ORDER BY n_pairs DESC, a, b LIMIT 1),
 bf{s} AS (
-  SELECT v.wc, v.syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+  SELECT v.w, v.wc, v.syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
   FROM {prev} v
   UNION ALL
-  SELECT f.wc, f.syms, f.i + 1,
+  SELECT f.w, f.wc, f.syms, f.i + 1,
          CASE WHEN len(f.acc) > 0 AND t.a IS NOT NULL
                    AND f.acc[-1] = t.a AND f.syms[f.i] = t.b
               THEN f.acc[1:len(f.acc) - 1] || [t.a || t.b]
               ELSE f.acc || [f.syms[f.i]] END
   FROM bf{s} f LEFT JOIN bt{s} t ON TRUE
   WHERE f.i <= len(f.syms)),
-bv{s} AS (SELECT wc, acc AS syms FROM bf{s} WHERE i = len(syms) + 1)""")
-        sel.append(f"SELECT {s} AS step, a AS lhs, b AS rhs, n_pairs "
-                   f"FROM bt{s}")
+bv{s} AS (SELECT w, wc, acc AS syms FROM bf{s} WHERE i = len(syms) + 1)""")
+    return parts
+
+
+def _dd_bpe_train(k: int, min_count: int = 2) -> str:
+    """DuckDB replay of the full BPE training loop (llm/lm.py
+    bpe_train); see ``_dd_bpe_parts``."""
+    parts = _dd_bpe_parts(k, min_count)
+    sel = [f"SELECT {s} AS step, a AS lhs, b AS rhs, n_pairs FROM bt{s}"
+           for s in range(1, k + 1)]
     return ("WITH RECURSIVE " + ",".join(parts) + "\n"
             + "\nUNION ALL\n".join(sel))
+
+
+def _dd_bpe_encode(k: int, min_count: int = 2) -> str:
+    """DuckDB replay of bpe_train → bpe_encode (llm/lm.py): the same
+    recursive merge chain, then each word's FINAL symbol count joins
+    back onto the per-document word stream — per-doc counts under the
+    learned tokenizer, zero-token documents kept with zeros."""
+    parts = _dd_bpe_parts(k, min_count)
+    return ("WITH RECURSIVE " + ",".join(parts) + f""",
+benc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n FROM bv{k}),
+bdw AS (SELECT d.doc_id, unnest({_DD_TOKENS}) AS w FROM documents d),
+bagg AS (
+  SELECT bdw.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+         CAST(SUM(benc.n) AS BIGINT) AS nt
+  FROM bdw JOIN benc USING (w) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(bagg.nw, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(bagg.nt, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN bagg ON bagg.doc_id = d.doc_id""")
 
 
 @gate_query("bpe_train", oracle=_dd_bpe_train(3))
@@ -2540,6 +2565,24 @@ def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return bpe_train(d, "text", k=3)
+
+
+@gate_query("bpe_encode", oracle=_dd_bpe_encode(3))
+def bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train k=3 merges, then ENCODE the corpus with them (llm/lm.py
+    bpe_encode, round 6) — per-document word + token counts under the
+    real learned tokenizer, the train→apply chain a tokenization
+    pipeline actually runs. The merge table is a ≤ k-row probe
+    (probe-then-parameterize); encoding folds run over DISTINCT words
+    (O(vocabulary)) and join back onto the per-doc word stream. The
+    oracle replays the full train chain AND the encode join, so a
+    drift in either tier breaks the hash."""
+    from ..llm.lm import bpe_encode, bpe_train
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(d, "text", k=3).collect()]
+    return bpe_encode(load_table(spark, sf_dir, "documents"), merges)
 
 
 # split fractions shared by the Spark gate and the rendered oracle bounds —

@@ -1891,6 +1891,38 @@ def test_decoder_fuzz_never_hangs_never_garbage():
                 continue
 
 
+def test_bpe_encode_applies_learned_merges(spark):
+    """Round 6: bpe_encode applies the trained merge table with the
+    IDENTICAL greedy leftmost fold — 'abab' under [(a,b)] becomes
+    [ab, ab] (2 tokens), 'aaa' under [(a,a)] becomes [aa, a] (greedy,
+    not [a, aa]); zero-token docs survive with zeros; and the chained
+    train→encode path over the bench corpus matches its oracle (the
+    gate replay covers that)."""
+    from tally_database_loader_spark.llm.lm import bpe_encode, bpe_train
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "aaa aaa"), (3, "zq"), (4, "")],
+        "doc_id long, text string")
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, k=3).collect()]
+    assert merges[:2] == [("a", "b"), ("a", "a")]
+    rows = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # doc1: 3 words 'abab' -> [ab, ab] after merge1; merge3 = (ab, ab)
+    # (6 pairs in the train corpus) -> [abab], 1 token per word
+    assert merges[2] == ("ab", "ab")
+    assert (rows[1].n_words, rows[1].n_bpe_tokens) == (3, 3)
+    # doc2: 'aaa' -> [aa, a] (greedy leftmost), 2 tokens per word
+    assert (rows[2].n_words, rows[2].n_bpe_tokens) == (2, 4)
+    # doc3: no merge applies -> character count
+    assert (rows[3].n_words, rows[3].n_bpe_tokens) == (1, 2)
+    # doc4: zero tokens, kept with zeros
+    assert (rows[4].n_words, rows[4].n_bpe_tokens) == (0, 0)
+    # checkpoint_every does not change results
+    rows2 = {r.doc_id: r for r in
+             bpe_encode(docs, merges, checkpoint_every=1).collect()}
+    assert {k: (v.n_words, v.n_bpe_tokens) for k, v in rows.items()} == \
+           {k: (v.n_words, v.n_bpe_tokens) for k, v in rows2.items()}
+
+
 def test_bpe_train_greedy_merge_semantics(spark):
     """bpe_train learns the textbook greedy merges: highest-count pair
     first (ties lexicographic), later steps count MERGED symbols, and
