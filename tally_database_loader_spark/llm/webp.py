@@ -530,25 +530,81 @@ def decode_vp8l_payload(b: bytes) -> dict:
             "pixels": np.ascontiguousarray(rgb)}
 
 
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _decode_anmf(payload: bytes, canvas: tuple[int, int] | None) -> dict:
+    """First animation frame (the thumbnailer convention, like GIF).
+    The frame header is 16 bytes (x/2, y/2, w-1, h-1 as 24-bit LE,
+    duration, flags), then the frame's own image sub-chunks. Only a
+    FULL-CANVAS lossless first frame decodes; a sub-rectangle first
+    frame rejects loudly — compositing it would need the ANIM
+    background color, and a wrong fill is exactly the
+    plausible-but-wrong output this tier never emits."""
+    if len(payload) < 16:
+        raise ValueError("truncated WebP ANMF header")
+    fx, fy = 2 * _u24(payload, 0), 2 * _u24(payload, 3)
+    fw, fh = _u24(payload, 6) + 1, _u24(payload, 9) + 1
+    pos = 16
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        sub = payload[pos + 8:pos + 8 + size]
+        if len(sub) != size:
+            raise ValueError("truncated WebP ANMF sub-chunk")
+        if tag == b"VP8L":
+            if (fx, fy) != (0, 0) or (canvas is not None
+                                      and (fw, fh) != canvas):
+                raise ValueError(
+                    "animated WebP first frame is a sub-rectangle of "
+                    "the canvas — compositing needs the player "
+                    "background; rejected rather than decoded wrong")
+            rec = decode_vp8l_payload(sub)
+            if (rec["width"], rec["height"]) != (fw, fh):
+                raise ValueError("WebP ANMF frame size mismatch")
+            return rec
+        if tag == b"VP8 ":
+            raise ValueError("lossy WebP (VP8) needs libwebp/libvips — "
+                             "only the lossless (VP8L) profile decodes "
+                             "natively")
+        pos += 8 + size + (size & 1)        # ALPH etc.: skip
+    raise ValueError("WebP ANMF frame has no VP8L data")
+
+
 def decode_webp_bytes(b: bytes) -> dict:
     """Decode one WebP payload: RIFF walk → VP8L (lossless) decode.
+    Extended (VP8X) containers walk through to the still VP8L image or
+    the FIRST animation frame (full-canvas lossless frames only).
     Lossy VP8 rejects loudly with the required codec named — NULL
     row, never wrong pixels."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     pos = 12
+    canvas = None
     while pos + 8 <= len(b):
         tag = b[pos:pos + 4]
         size, = struct.unpack_from("<I", b, pos + 4)
         payload = b[pos + 8:pos + 8 + size]
         if len(payload) != size:
             raise ValueError("truncated WebP chunk")
-        if tag == b"VP8L":
-            return decode_vp8l_payload(payload)
-        if tag == b"VP8 ":
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated WebP VP8X header")
+            canvas = (_u24(payload, 4) + 1, _u24(payload, 7) + 1)
+        elif tag == b"VP8L":
+            rec = decode_vp8l_payload(payload)
+            if canvas is not None and (rec["width"],
+                                       rec["height"]) != canvas:
+                raise ValueError("WebP still image does not fill the "
+                                 "VP8X canvas")
+            return rec
+        elif tag == b"ANMF":
+            return _decode_anmf(payload, canvas)
+        elif tag == b"VP8 ":
             raise ValueError("lossy WebP (VP8) needs libwebp/libvips — "
                              "only the lossless (VP8L) profile decodes "
                              "natively")
-        # VP8X / ICCP / EXIF / XMP / ANIM ... : skip (+pad byte)
+        # ICCP / EXIF / XMP / ANIM / unknown: skip (+pad byte)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP has no VP8L image chunk")

@@ -697,3 +697,61 @@ def test_webp_through_spark_and_resize(spark):
     xi = (np.arange(4) * 8) // 4
     assert bytes(out.payload) == b"P6\n4 5\n255\n" \
         + px[:, :, :3][yi][:, xi].tobytes()
+
+
+def _vp8x_container(inner_chunks, cw, ch, anim=False):
+    """Extended-container builder: VP8X header + given chunks."""
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    def chunk(tag, payload):
+        out = tag + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+    vp8x = bytes([0x02 if anim else 0x00]) + b"\x00\x00\x00" \
+        + u24(cw - 1) + u24(ch - 1)
+    body = chunk(b"VP8X", vp8x)
+    if anim:
+        body += chunk(b"ANIM", b"\x00\x00\x00\xff\x00\x00")
+    for tag, payload in inner_chunks:
+        body += chunk(tag, payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_webp_vp8x_and_animation_first_frame():
+    """Round 6: extended (VP8X) containers decode through to the still
+    VP8L image or the FIRST full-canvas animation frame; sub-rectangle
+    first frames and lossy frames reject loudly."""
+    px = _rand_rgba(6, 9, seed=50, colors=4)
+    plain = encode_webp_lossless(px)
+    vp8l_payload = plain[20:20 + struct.unpack_from("<I", plain, 16)[0]]
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+    # still image inside VP8X
+    still = _vp8x_container([(b"VP8L", vp8l_payload)], 9, 6)
+    rec = decode_webp_bytes(still)
+    assert np.array_equal(rec["pixels"], px[:, :, :3])
+    # wrong canvas → loud
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp_bytes(_vp8x_container([(b"VP8L", vp8l_payload)], 10, 6))
+    # animated: first frame covers the canvas → decodes
+    anmf = (u24(0) + u24(0) + u24(9 - 1) + u24(6 - 1) + u24(40)
+            + b"\x00" + b"VP8L" + struct.pack("<I", len(vp8l_payload))
+            + vp8l_payload)
+    anim = _vp8x_container([(b"ANMF", anmf)], 9, 6, anim=True)
+    rec = decode_webp_bytes(anim)
+    assert np.array_equal(rec["pixels"], px[:, :, :3])
+    assert (rec["width"], rec["height"]) == (9, 6)
+    # sub-rectangle first frame → loud rejection, never a wrong fill
+    sub = (u24(1) + u24(0) + u24(9 - 1) + u24(6 - 1) + u24(40)
+           + b"\x00" + b"VP8L" + struct.pack("<I", len(vp8l_payload))
+           + vp8l_payload)
+    with pytest.raises(ValueError, match="sub-rectangle"):
+        decode_webp_bytes(_vp8x_container([(b"ANMF", sub)], 11, 6,
+                                          anim=True))
+    # lossy frame inside ANMF → names the codec
+    lossy = (u24(0) + u24(0) + u24(8) + u24(5) + u24(40) + b"\x00"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="lossy WebP"):
+        decode_webp_bytes(_vp8x_container([(b"ANMF", lossy)], 9, 6,
+                                          anim=True))
