@@ -768,6 +768,34 @@ def test_jpeg_progressive_restart_markers():
                 f"ri={ri} subsample={ss}"
 
 
+def test_jpeg_progressive_randomized_scan_scripts():
+    """Property sweep: random images × random spectral band splits ×
+    random subsampling × random restart intervals must ALL decode
+    bit-identical to the baseline encoding of the same image — the
+    scan script is an encoder freedom the decoder may not observe."""
+    rng = np.random.RandomState(20260815)
+    for trial in range(6):
+        h = int(rng.randint(8, 30))
+        w = int(rng.randint(8, 30))
+        ch = 3 if rng.randint(2) else None
+        ss = int(rng.choice([1, 2])) if ch else 1
+        px = (_smooth(h, w, ch=ch, seed=trial + 60) if ch
+              else rng.randint(0, 256, size=(h, w)).astype(np.uint8))
+        # random band split of 1..63
+        cuts = sorted(set(int(c) for c in rng.randint(2, 63, size=3)))
+        bands, lo = [], 1
+        for c in cuts:
+            bands.append((lo, c))
+            lo = c + 1
+        bands.append((lo, 63))
+        ri = int(rng.choice([0, 1, 3]))
+        base = decode_jpeg_bytes(encode_jpeg(px, subsample=ss))
+        got = decode_jpeg_bytes(encode_jpeg_progressive(
+            px, subsample=ss, bands=tuple(bands), restart_interval=ri))
+        assert np.array_equal(base["pixels"], got["pixels"]), \
+            f"trial {trial}: bands={bands} ri={ri} ss={ss} {w}x{h}"
+
+
 def test_jpeg_progressive_incomplete_rejects():
     """A progressive stream whose last refinement never arrives
     (truncated crawl payload) must reject loudly, not render

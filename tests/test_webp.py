@@ -755,3 +755,46 @@ def test_webp_vp8x_and_animation_first_frame():
     with pytest.raises(ValueError, match="lossy WebP"):
         decode_webp_bytes(_vp8x_container([(b"ANMF", lossy)], 9, 6,
                                           anim=True))
+
+
+def test_vp8l_randomized_feature_combinations():
+    """Property sweep: random images through random feature
+    combinations (cache bits, LZ77, subtract-green, color transform,
+    predictor mode maps, palettes) must all round-trip EXACTLY — the
+    encoding choices are encoder freedoms the decoder may not
+    observe."""
+    rng = np.random.RandomState(20260816)
+    for trial in range(10):
+        h = int(rng.randint(1, 20))
+        w = int(rng.randint(1, 20))
+        use_palette = rng.randint(3) == 0
+        if use_palette:
+            px = _rand_rgba(h, w, seed=trial + 90,
+                            colors=int(rng.randint(2, 17)))
+            blob = encode_webp_lossless(px, palette=True)
+        else:
+            px = _rand_rgba(h, w, seed=trial + 90,
+                            alpha=int(rng.choice([255, 99])),
+                            colors=(int(rng.randint(2, 30))
+                                    if rng.randint(2) else None))
+            kw = {}
+            if rng.randint(2):
+                kw["cache_bits"] = int(rng.randint(1, 9))
+            if rng.randint(2):
+                kw["lz77"] = True
+            if rng.randint(2):
+                kw["subtract_green"] = True
+            if rng.randint(3) == 0:
+                kw["color_tf"] = (int(rng.randint(256)),
+                                  int(rng.randint(256)),
+                                  int(rng.randint(256)),
+                                  int(rng.randint(2, 6)))
+            if rng.randint(3) == 0:
+                sb = int(rng.randint(2, 5))
+                modes = rng.randint(0, 14, size=64)
+                kw["predictor"] = (sb, lambda bx, by, m=modes:
+                                   int(m[(bx * 7 + by) % 64]))
+            blob = encode_webp_lossless(px, **kw)
+        rec = decode_webp_bytes(blob)
+        assert np.array_equal(rec["pixels"], px[:, :, :3]), \
+            f"trial {trial}: {w}x{h} palette={use_palette}"
