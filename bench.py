@@ -222,9 +222,12 @@ def main() -> None:
             times.append(round(time.perf_counter() - t0, 3))
         raw[name] = times
 
-    # per-query MEDIAN; headline total = sum of medians; per-pass totals
-    # ride along so load spikes during a single pass are visible
-    per_query = {n: sorted(t)[len(t) // 2] for n, t in raw.items()}
+    # per-query MEDIAN (statistics.median — averages the middle pair for
+    # even run counts; sorted()[n//2] is the upper-middle, biased slow);
+    # headline total = sum of medians; per-pass totals ride along so
+    # load spikes during a single pass are visible
+    import statistics
+    per_query = {n: round(statistics.median(t), 3) for n, t in raw.items()}
     total = sum(per_query.values())
     pass_totals = [round(sum(t[i] for t in raw.values()), 3)
                    for i in range(n_runs)]

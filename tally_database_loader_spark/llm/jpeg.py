@@ -191,6 +191,13 @@ def decode_jpeg_bytes(b: bytes) -> dict:
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (review r6: a conforming file with
+        # fill padding parsed the real marker byte as a segment length)
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            break
         marker = b[pos + 1]
         if marker == 0xD9:                 # EOI
             break

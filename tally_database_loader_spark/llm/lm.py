@@ -405,6 +405,20 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
     """
     if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
         raise ValueError("keep fraction must be in (0, 1]")
+    # reduce and bound the fraction: the Decimal(38,0) threshold product
+    # is 2^20·keep_num·N·w_g ≤ 2^60·N^1.5 with keep_num ≤ 2^20, safe to
+    # N ≈ 2·10^13 docs — but an astronomically-scaled fraction could
+    # push the product past 10^38 where Spark's non-ANSI decimal multiply
+    # returns NULL and F.least would silently SKIP it (threshold 2^20 =
+    # keep-everything, review r6). Reject loudly instead; any real keep
+    # fraction reduces below 2^20.
+    from math import gcd
+    g = gcd(keep_num, keep_den)
+    keep_num, keep_den = keep_num // g, keep_den // g
+    if keep_den > _H:
+        raise ValueError(f"keep fraction denominator {keep_den} exceeds "
+                         f"2^20 after reduction — the exact-integer "
+                         "threshold product would overflow Decimal(38,0)")
     # NULL group keys are one more group, matched via a sentinel that
     # cannot collide with a real string key (the group_split convention)
     # — `grp == NULL` would silently drop every NULL-keyed row, and a

@@ -640,9 +640,10 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "payload") -> DataFrame:
     """REAL image decode over Arrow batches (dimensions + per-channel
     means) for every format ``_decode_image_pixels`` handles: PNG
-    (incl. 16-bit + Adam7), GIF, baseline+progressive JPEG, PPM (P6)
-    and uncompressed 24-bit BMP; other formats (or corrupt bytes)
-    yield NULL-feature rows."""
+    (incl. 16-bit + Adam7), lossless WebP (VP8L, incl. VP8X containers
+    and full-canvas first animation frames), GIF, baseline+progressive
+    JPEG, PPM (P6) and uncompressed 24-bit BMP; other formats (or
+    corrupt bytes) yield NULL-feature rows."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",

@@ -157,9 +157,13 @@ def _simple_tree(br: _Bits) -> _Tree:
             raise ValueError("VP8L simple code repeats a symbol")
         t = _Tree.__new__(_Tree)
         t.single = None
-        # first symbol gets code 0, second code 1 (stream order, not
-        # canonical-sorted)
-        t.lookup = {(1, 0): s0, (1, 1): s1}
+        # CANONICAL assignment, not stream order: libwebp feeds the two
+        # unit code lengths through the same canonical table builder as
+        # the full form, so the SMALLER symbol value always takes code 0
+        # regardless of which was written first (review r6: stream-order
+        # mapping silently swapped the two symbols for every conforming
+        # stream that lists the larger one first)
+        t.lookup = {(1, 0): min(s0, s1), (1, 1): max(s0, s1)}
         return t
     t = _Tree.__new__(_Tree)
     t.single = s0
@@ -199,7 +203,13 @@ def _read_tree(br: _Bits, alphabet: int) -> _Tree:
                 repeat, fill = 3 + br.read(3), 0
             else:
                 repeat, fill = 11 + br.read(7), 0
-            while repeat > 0 and symbol < alphabet:
+            if symbol + repeat > alphabet:
+                # libwebp rejects runs past the alphabet end; silently
+                # clamping could turn a malformed stream into a
+                # complete-looking tree (review r6)
+                raise ValueError("VP8L code-length repeat overruns "
+                                 "the alphabet")
+            while repeat > 0:
                 lengths[symbol] = fill
                 symbol += 1
                 repeat -= 1
@@ -600,6 +610,11 @@ def decode_webp_bytes(b: bytes) -> dict:
                                  "VP8X canvas")
             return rec
         elif tag == b"ANMF":
+            if canvas is None:
+                # the container spec requires VP8X before animation
+                # chunks; without it the full-canvas check below would
+                # silently pass frame-only stats off as the whole image
+                raise ValueError("WebP ANMF without a VP8X canvas")
             return _decode_anmf(payload, canvas)
         elif tag == b"VP8 ":
             raise ValueError("lossy WebP (VP8) needs libwebp/libvips — "

@@ -854,3 +854,20 @@ def test_jpeg_through_spark_decode_features(spark):
     assert rows[1].format == "jpeg" and rows[1].channels == 3
     assert rows[1].mean_r == rec["mean_r"]  # plumbing == core decode
     assert rows[2].format is None and rows[2].mean_r is None
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes — a conforming file with fill padding must decode identically
+    (review r6: the fill byte was parsed as a marker and the real
+    marker byte as a segment length)."""
+    px = _smooth(18, 15, ch=3, seed=31)
+    good = encode_jpeg(px)
+    want = decode_jpeg_bytes(good)
+    # inject fill bytes before the DQT, SOF and EOI markers
+    padded = bytearray(good)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xd9"):
+        at = bytes(padded).index(marker)
+        padded[at:at] = b"\xff" * 3
+    got = decode_jpeg_bytes(bytes(padded))
+    assert np.array_equal(want["pixels"], got["pixels"])

@@ -1996,3 +1996,27 @@ def test_two_tier_dedup_semantics_on_crafted_corpus(spark):
     # PROVIDED the 2-cell fit put them in one cell — they are identical
     # up to 1e-3, so any sane assignment does; assert it explicitly
     assert 2 in kept and 3 not in kept, kept
+
+
+def test_temperature_resample_fraction_guard(spark):
+    """Review r6: an astronomically-scaled keep fraction could push the
+    Decimal(38,0) threshold product past 10^38 where Spark's non-ANSI
+    multiply NULLs and F.least would silently keep EVERYTHING. The
+    fraction reduces by gcd (exact: common factors cancel in integer
+    division) and rejects loudly past 2^20; equivalent fractions give
+    identical kept sets."""
+    import pytest as _pt
+
+    from tally_database_loader_spark.llm.lm import temperature_resample
+    docs = spark.createDataFrame(
+        [(f"g{i % 5}", i) for i in range(200)], "source string, doc_id long")
+    base = sorted(tuple(r) for r in
+                  temperature_resample(docs, "source", "doc_id",
+                                       1, 2).collect())
+    scaled = sorted(tuple(r) for r in
+                    temperature_resample(docs, "source", "doc_id",
+                                         10 ** 14, 2 * 10 ** 14).collect())
+    assert base == scaled and base
+    with _pt.raises(ValueError, match="exceeds"):
+        temperature_resample(docs, "source", "doc_id",
+                             10 ** 15 - 1, 3 * (10 ** 15) - 1)

@@ -798,3 +798,83 @@ def test_vp8l_randomized_feature_combinations():
         rec = decode_webp_bytes(blob)
         assert np.array_equal(rec["pixels"], px[:, :, :3]), \
             f"trial {trial}: {w}x{h} palette={use_palette}"
+
+
+def test_vp8l_simple_code_is_canonical_not_stream_order():
+    """Review r6: a simple two-symbol prefix code assigns code 0 to the
+    SMALLER symbol value (canonical, what libwebp's table builder does)
+    even when the stream writes the larger symbol first — stream-order
+    mapping silently swapped every pixel decoded through the tree."""
+    # hand-emit a 1x2 image whose red tree lists symbols as (200, 3):
+    # canonical decode must give red=3 for code 0
+    bw = _Bw()
+    bw.write(8, 0x2F)
+    bw.write(14, 1)                         # w=2
+    bw.write(14, 0)                         # h=1
+    bw.write(1, 0)
+    bw.write(3, 0)
+    bw.write(1, 0)                          # no transforms
+    bw.write(1, 0)                          # no cache
+    bw.write(1, 0)                          # no meta
+    cg = _emit_tree(bw, {7: 1}, 256 + 24)   # green: single symbol 7
+    # red: simple 2-symbol code written LARGER-FIRST
+    bw.write(1, 1)                          # simple
+    bw.write(1, 1)                          # two symbols
+    bw.write(1, 1)                          # 8-bit first symbol
+    bw.write(8, 200)
+    bw.write(8, 3)
+    cb = _emit_tree(bw, {9: 1}, 256)
+    ca = _emit_tree(bw, {255: 1}, 256)
+    cd = _emit_tree(bw, {0: 1}, 40)
+    del cg, cb, ca, cd                      # all single-node: 0 bits
+    bw.write_code(1, 0)                     # pixel 1 red: code 0 -> 3
+    bw.write_code(1, 1)                     # pixel 2 red: code 1 -> 200
+    bw.flush()
+    rec = decode_vp8l_payload(bytes(bw.out))
+    assert rec["pixels"][0, 0, 0] == 3 and rec["pixels"][0, 1, 0] == 200
+
+
+def test_vp8l_code_length_repeat_overrun_rejects():
+    """Review r6: a code-length repeat run past the alphabet end must
+    reject (libwebp does) — clamping could build a complete-looking
+    tree from a malformed stream."""
+    bw = _Bw()
+    bw.write(8, 0x2F)
+    bw.write(14, 0)
+    bw.write(14, 0)
+    bw.write(1, 0)
+    bw.write(3, 0)
+    bw.write(1, 0)
+    bw.write(1, 0)
+    bw.write(1, 0)
+    bw.write(1, 0)                          # green: full form
+    bw.write(4, 1)                          # 5 code-length codes
+    for ln in (1, 1, 0, 0, 0):              # order 17,18: both length 1
+        bw.write(3, ln)
+    bw.write(1, 0)                          # no explicit max_symbol
+    # '1' = 18: zero-run of 11 + 127 = 138... repeated until overrun:
+    # alphabet is 280; three max runs = 414 > 280 -> must reject
+    for _ in range(3):
+        bw.write_code(1, 1)
+        bw.write(7, 127)
+    with pytest.raises(ValueError, match="overruns the alphabet"):
+        decode_vp8l_payload(bytes(bw.out) + b"\x00" * 4)
+
+
+def test_webp_anmf_without_vp8x_rejects():
+    """Review r6: animation frames without a VP8X canvas cannot be
+    validated as full-canvas — reject, never frame-only stats."""
+    px = _rand_rgba(4, 5, seed=70)
+    plain = encode_webp_lossless(px)
+    vp8l_payload = plain[20:20 + struct.unpack_from("<I", plain, 16)[0]]
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+    anmf = (u24(0) + u24(0) + u24(4) + u24(3) + u24(40) + b"\x00"
+            + b"VP8L" + struct.pack("<I", len(vp8l_payload))
+            + vp8l_payload)
+    body = b"ANMF" + struct.pack("<I", len(anmf)) + anmf \
+        + (b"\x00" if len(anmf) % 2 else b"")
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    with pytest.raises(ValueError, match="without a VP8X"):
+        decode_webp_bytes(blob)
