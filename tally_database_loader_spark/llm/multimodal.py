@@ -8,8 +8,8 @@ columns so downstream filters prune without touching bytes.
 Decoders come in two tiers:
 
 - **Real** for formats the standard library + numpy can parse — WAV
-  audio (``wave``), binary PPM (P6), uncompressed 24-bit BMP, and (new
-  round 5) PNG and baseline JPEG. PNG's only codec is DEFLATE, i.e.
+  audio (``wave``), binary PPM (P6), uncompressed BMP (24/32-bit +
+  8-bit palette), and (new round 5) PNG and baseline JPEG. PNG's only codec is DEFLATE, i.e.
   stdlib ``zlib``: a full chunk/CRC/unfilter decoder (all five filter
   types, gray / RGB / palette / alpha at bit depth 8) lives in
   ``_decode_png_bytes``. Baseline JPEG's math (huffman entropy decode,
@@ -87,7 +87,7 @@ def decode_image(payload: bytes) -> object:
         "lossy (VP8) WebP, arithmetic-coded JPEG and MP4 frame decode "
         "require PIL/libvips/ffmpeg which are not installed; "
         "baseline+progressive JPEG, lossless (VP8L) WebP, PNG, GIF, PPM "
-        "(P6), uncompressed 24-bit BMP and MP4 container metadata decode "
+        "(P6), uncompressed BMP and MP4 container metadata decode "
         "natively via decode_image_features / decode_video_metadata")
 
 
@@ -543,8 +543,8 @@ def _decode_image_pixels(b: bytes) -> dict:
     = stdlib zlib; 16-bit + Adam7 included; see ``_decode_png_bytes``),
     lossless WebP (``llm/webp.py``), GIF (``_decode_gif_bytes``),
     baseline + progressive huffman JPEG (``llm/jpeg.py``) and
-    uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows
-    padded to 4 bytes). Returns the feature record PLUS ``pixels`` —
+    uncompressed BMP (BITMAPINFOHEADER BI_RGB at 24/32 bits or 8-bit
+    palette, bottom-up or top-down rows). Returns the feature record PLUS ``pixels`` —
     the decoded h×w×3 RGB uint8 raster (gray replicated) — so
     resize/transcode operators share one decode path. Raises ValueError
     for other magics (lossy WebP/arithmetic JPEG need PIL — see
@@ -589,7 +589,7 @@ def _decode_image_pixels(b: bytes) -> dict:
         w, h = struct.unpack_from("<ii", b, 18)
         planes, bpp = struct.unpack_from("<HH", b, 26)
         compression, = struct.unpack_from("<I", b, 30)
-        if bpp != 24 or compression != 0:
+        if bpp not in (8, 24, 32) or compression != 0:
             raise ValueError(f"BMP variant unsupported without PIL "
                              f"(bpp={bpp}, compression={compression})")
         if w <= 0 or h == 0:
@@ -598,13 +598,36 @@ def _decode_image_pixels(b: bytes) -> dict:
             # threshold — reject so the wrapper emits the NULL-feature
             # row (ADVICE r4). h < 0 is legal (top-down rows).
             raise ValueError(f"degenerate BMP dimensions {w}x{h}")
-        stride = (w * 3 + 3) & ~3          # rows padded to 4 bytes
-        rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h),
-                             offset=off).reshape(abs(h), stride)
-        px = rows[:, :w * 3].reshape(abs(h), w, 3)
+        if bpp == 24:
+            stride = (w * 3 + 3) & ~3      # rows padded to 4 bytes
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h),
+                                 offset=off).reshape(abs(h), stride)
+            px = rows[:, :w * 3].reshape(abs(h), w, 3)
+        elif bpp == 32:
+            # BI_RGB 32-bit is BGRX; the 4th byte is undefined padding
+            # and stays out of the means (round 6)
+            rows = np.frombuffer(b, dtype=np.uint8, count=w * 4 * abs(h),
+                                 offset=off).reshape(abs(h), w, 4)
+            px = rows[:, :, :3]
+        else:                               # 8-bit palette (round 6)
+            bisize, = struct.unpack_from("<I", b, 14)
+            if bisize < 40:
+                raise ValueError("BMP core-header palettes (3-byte "
+                                 "entries) unsupported without PIL")
+            clr_used, = struct.unpack_from("<I", b, 46)
+            n_pal = clr_used or 256
+            pal = np.frombuffer(b, dtype=np.uint8, count=n_pal * 4,
+                                offset=14 + bisize).reshape(n_pal, 4)[:, :3]
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h),
+                                 offset=off).reshape(abs(h), stride)
+            idx = rows[:, :w]
+            if int(idx.max()) >= n_pal:
+                raise ValueError("BMP palette index out of range")
+            px = pal[idx]
         if h > 0:                           # bottom-up storage
             px = px[::-1]
-        means = px.mean(axis=(0, 1))        # BGR on disk
+        means = px.astype(np.float64).mean(axis=(0, 1))   # BGR on disk
         return {"format": "bmp", "width": w, "height": abs(h), "channels": 3,
                 "mean_r": float(means[2]), "mean_g": float(means[1]),
                 "mean_b": float(means[0]),

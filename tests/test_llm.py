@@ -954,6 +954,42 @@ def _bmp_bytes(w, h, bgr):
                       2835, 2835, 0, 0) + data)
 
 
+def _bmp32_bytes(px_rgb, top_down=False, pad=0x7F):
+    """32-bit BI_RGB (BGRX rows, arbitrary pad byte) from an (h, w, 3)
+    RGB array."""
+    import struct as _s
+
+    import numpy as np
+    h, w = px_rgb.shape[:2]
+    bgrx = np.dstack([px_rgb[:, :, ::-1],
+                      np.full((h, w, 1), pad, dtype=np.uint8)])
+    rows = bgrx if top_down else bgrx[::-1]
+    data = rows.tobytes()
+    off = 54
+    return (b"BM" + _s.pack("<IHHI", off + len(data), 0, 0, off)
+            + _s.pack("<iiiHHIIiiII", 40, w, -h if top_down else h, 1, 32,
+                      0, len(data), 2835, 2835, 0, 0) + data)
+
+
+def _bmp8_bytes(idx, palette_rgb, clr_used=None):
+    """8-bit palette BMP from an (h, w) index array + (n, 3) RGB palette."""
+    import struct as _s
+
+    import numpy as np
+    h, w = idx.shape
+    n = len(palette_rgb)
+    pal = np.dstack([np.asarray(palette_rgb, dtype=np.uint8)[None, :, ::-1],
+                     np.zeros((1, n, 1), dtype=np.uint8)]).tobytes()
+    stride = (w + 3) & ~3
+    rows = b"".join(bytes(idx[y]) + b"\x00" * (stride - w)
+                    for y in range(h - 1, -1, -1))
+    off = 54 + len(pal)
+    return (b"BM" + _s.pack("<IHHI", off + len(rows), 0, 0, off)
+            + _s.pack("<iiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows),
+                      2835, 2835, clr_used if clr_used is not None else n,
+                      0) + pal + rows)
+
+
 def test_real_wav_decode(spark):
     """decode_audio_features is a REAL stdlib-wave decoder: container
     fields and PCM RMS come from the actual bytes; corrupt payloads
@@ -1854,6 +1890,8 @@ def test_decoder_fuzz_never_hangs_never_garbage():
         _png_bytes(rgb, filter_type=3),
         _gif_bytes(idx, palette),
         _bmp_bytes(7, 5, (30, 200, 10)),
+        _bmp32_bytes(rgb[:5, :6]),                       # round 6
+        _bmp8_bytes(idx.astype(np.uint8), palette),      # round 6
         _ppm_bytes(6, 4, (10, 200, 30)),
         encode_webp_lossless(rgba, cache_bits=3, lz77=True),  # round 6
     ]
@@ -2020,3 +2058,39 @@ def test_temperature_resample_fraction_guard(spark):
     with _pt.raises(ValueError, match="exceeds"):
         temperature_resample(docs, "source", "doc_id",
                              10 ** 15 - 1, 3 * (10 ** 15) - 1)
+
+
+def test_real_bmp_32bit_and_palette(spark):
+    """Round 6: 32-bit BI_RGB (BGRX — the pad byte stays out of the
+    means) and 8-bit palette BMPs decode for real, bottom-up and
+    top-down; palette overruns and core-header palettes reject."""
+    import numpy as np
+    import pytest as _pt
+
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_image_pixels)
+    rng = np.random.RandomState(20260817)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    for top_down in (False, True):
+        rec = _decode_image_pixels(_bmp32_bytes(px, top_down=top_down))
+        assert (rec["format"], rec["width"], rec["height"]) == ("bmp", 7, 5)
+        assert np.array_equal(rec["pixels"], px), f"top_down={top_down}"
+        want = px.astype(np.float64).mean(axis=(0, 1))
+        assert (rec["mean_r"], rec["mean_g"], rec["mean_b"]) == \
+               (want[0], want[1], want[2])
+    # 8-bit palette, odd width (row padding) + clr_used=0 → 256 entries
+    pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, size=(4, 5)).astype(np.uint8)
+    rec = _decode_image_pixels(_bmp8_bytes(idx, pal))
+    assert np.array_equal(rec["pixels"], pal[idx])
+    pal256 = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    rec = _decode_image_pixels(_bmp8_bytes(idx, pal256, clr_used=0))
+    assert np.array_equal(rec["pixels"], pal256[idx])
+    # index past the palette → loud
+    bad = _bmp8_bytes(np.full((2, 2), 6, dtype=np.uint8), pal[:3])
+    with _pt.raises(ValueError, match="palette index"):
+        _decode_image_pixels(bad)
+    # 24-bit path byte-identical to before (solid color)
+    rec = _decode_image_pixels(_bmp_bytes(5, 3, (30, 200, 10)))
+    assert (rec["mean_r"], rec["mean_g"], rec["mean_b"]) == \
+           (10.0, 200.0, 30.0)
