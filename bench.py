@@ -251,7 +251,7 @@ def main() -> None:
             }, fh, indent=1)
     except OSError:
         log_path = None  # read-only checkout: still print the one line
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
@@ -261,7 +261,20 @@ def main() -> None:
         "runs": pass_totals,
         "loadavg": [round(x, 2) for x in load_after],
         "raw_log": log_path,
-    }))
+    }
+    # the driver's BENCH_rN.json keeps only a 2000-char stdout tail, which
+    # truncates this line once the registry passed ~60 benched queries
+    # (VERDICT r6 "What's wrong" #1) — so ALWAYS persist the complete
+    # record at a stable committed path tools_bench_compare.py can read
+    if log_path is not None:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_logs", "latest.json"), "w") as fh:
+                json.dump(record, fh)
+        except OSError:
+            pass
+    print(json.dumps(record))
     spark.stop()
 
 

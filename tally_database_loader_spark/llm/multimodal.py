@@ -122,6 +122,8 @@ def _decode_wav_float(b: bytes) -> dict:
         if tag == b"fmt ":
             fmt = chunk
         elif tag == b"data":
+            if data is not None:
+                raise ValueError("WAV with multiple data chunks")
             data = chunk
         pos += 8 + size + (size & 1)
     if fmt is None or data is None or len(fmt) < 16:
@@ -133,12 +135,14 @@ def _decode_wav_float(b: bytes) -> dict:
     if bits not in (32, 64) or nch < 1 or rate < 1:
         raise ValueError("malformed float WAV header")
     width = bits // 8
-    usable = len(data) - len(data) % width
+    n = len(data) // (width * nch)
+    # truncate to whole FRAMES (n * nch samples) so RMS and n_frames
+    # agree on payloads with a trailing partial frame — matching the
+    # integer-PCM path, which only ever sees whole frames from `wave`
     samples = np.frombuffer(data, dtype=f"<f{width}",
-                            count=usable // width).astype(np.float64)
+                            count=n * nch).astype(np.float64)
     if not np.isfinite(samples).all():
         raise ValueError("float WAV contains non-finite samples")
-    n = len(data) // (width * nch)
     rms = float(np.sqrt(np.mean(samples * samples))) if samples.size \
         else 0.0
     return {"sample_rate": rate, "n_channels": nch, "sample_width": width,
@@ -665,8 +669,9 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     means) for every format ``_decode_image_pixels`` handles: PNG
     (incl. 16-bit + Adam7), lossless WebP (VP8L, incl. VP8X containers
     and full-canvas first animation frames), GIF, baseline+progressive
-    JPEG, PPM (P6) and uncompressed 24-bit BMP; other formats (or
-    corrupt bytes) yield NULL-feature rows."""
+    JPEG, PPM (P6) and uncompressed BMP (24/32-bit BI_RGB and 8-bit
+    palette); other formats (or corrupt bytes) yield NULL-feature
+    rows."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",

@@ -285,9 +285,15 @@ def _decode_image(br: _Bits, w: int, h: int, is_main: bool) -> list[int]:
                     xbits = 0
                 transforms.append((3, xbits, data_w, palette))
                 data_w = -(-data_w // (1 << xbits)) if xbits else data_w
-    cache_bits = br.read(4) if br.read(1) else 0
-    if cache_bits > 11:
-        raise ValueError("VP8L color cache too large")
+    if br.read(1):
+        cache_bits = br.read(4)
+        # spec: with the flag set, cache_bits must be 1..11 — libwebp
+        # rejects 0 here, and silently treating it as "no cache" would
+        # decode a malformed stream to plausible pixels
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color cache bits out of range")
+    else:
+        cache_bits = 0
     cache = [0] * (1 << cache_bits) if cache_bits else None
     meta = None
     meta_bits = 0

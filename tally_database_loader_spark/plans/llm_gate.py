@@ -2580,8 +2580,10 @@ def bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.lm import bpe_encode, bpe_train
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    # merge order is semantically load-bearing: pin it with an explicit
+    # orderBy rather than relying on collect() preserving plan order
     merges = [(r["lhs"], r["rhs"])
-              for r in bpe_train(d, "text", k=3).collect()]
+              for r in bpe_train(d, "text", k=3).orderBy("step").collect()]
     return bpe_encode(load_table(spark, sf_dir, "documents"), merges)
 
 

@@ -60,6 +60,10 @@ def test_driver_window_covers_all_families():
         # composition, the full BPE training loop, the real-decoder gate
         "semantic_dedup_capped", "two_tier_dedup", "bpe_train",
         "ppm_decode_real",
+        # round-7 curation: the train→apply tokenizer chain (VERDICT r6
+        # #1) displaces dedup_exact — exact dedup stays driver-verified
+        # via incremental_dedup + curation_pipeline's dedup stage
+        "bpe_encode",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"
@@ -67,3 +71,55 @@ def test_driver_window_covers_all_families():
     from tally_database_loader_spark.plans import ORACLES
     no_oracle = [n for n in window if n not in ORACLES]
     assert no_oracle == [], f"oracle-less queries inside the window: {no_oracle}"
+
+
+def test_prod_twins_reuse_gate_operator_entry_points():
+    """Every production-shaped bench twin (plans/bench_plans.py) must
+    call the SAME operator entry points as its hash-verified gate twin
+    (VERDICT r6 "What's wrong" #4) — the twins exist to drop the
+    oracle-side exact-verification arms, not to run a different plan.
+    Import-level check: the set of ``from ..llm.X import ...`` names in
+    the twin's source must be a subset of the gate twin's, so the timed
+    plan can never silently diverge from the value-hash-verified one."""
+    import inspect
+    import re
+
+    from tally_database_loader_spark.plans import gate
+    from tally_database_loader_spark.plans.bench_plans import BENCH_PLANS
+
+    def llm_imports(fn, _seen=None):
+        # gate twins compose OTHER gate functions (sketch_suite calls
+        # hll_token_distinct etc.), so follow same-module calls
+        # transitively to collect the full operator entry-point set
+        seen = _seen if _seen is not None else set()
+        if fn in seen:
+            return set()
+        seen.add(fn)
+        src = inspect.getsource(fn)
+        out = set()
+        for m in re.finditer(r"from \.\.llm\.(\w+) import ([\w, ]+)", src):
+            mod = m.group(1)
+            out.update(f"{mod}.{n.strip()}"
+                       for n in m.group(2).split(",") if n.strip())
+        mod_globals = getattr(inspect.getmodule(fn), "__dict__", {})
+        for name in re.findall(r"\b(\w+)\(", src):
+            callee = mod_globals.get(name)
+            if inspect.isfunction(callee) and callee is not fn:
+                out |= llm_imports(callee, seen)
+        return out
+
+    assert BENCH_PLANS, "bench twin registry is empty"
+    for prod_name, prod_fn in BENCH_PLANS.items():
+        assert prod_name.endswith("_prod"), prod_name
+        gate_name = prod_name[: -len("_prod")]
+        assert gate_name in gate.QUERIES, (
+            f"{prod_name} has no hash-verified gate twin {gate_name}")
+        assert gate_name in gate.ORACLES, (
+            f"gate twin {gate_name} carries no value-hash oracle")
+        prod_ops = llm_imports(prod_fn)
+        gate_ops = llm_imports(gate.QUERIES[gate_name])
+        assert prod_ops, f"{prod_name} imports no llm operator entry points"
+        extra = prod_ops - gate_ops
+        assert not extra, (
+            f"{prod_name} uses operator entry points its gate twin never "
+            f"verified: {sorted(extra)}")

@@ -1053,6 +1053,39 @@ def test_real_wav_float_pcm_decode(spark):
     assert rows[2].rms is None and rows[3].rms is None
 
 
+def test_wav_float_partial_frame_and_dup_data_reject():
+    """Round 7 (ADVICE r6): RMS is computed over whole FRAMES only, so a
+    trailing partial frame cannot make rms and n_frames disagree; a WAV
+    with two data chunks rejects loudly instead of silently keeping the
+    last one."""
+    import math
+    import struct as _s
+
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_wav_bytes, _decode_wav_float)
+    # stereo 32-bit floats: 3 whole frames + ONE trailing sample
+    vals = [0.5, -0.25, 0.125, -1.0, 0.75, 0.0, 0.5]
+    b = _float_wav_bytes(vals, nch=2)
+    rec = _decode_wav_float(b)
+    assert rec["n_frames"] == 3
+    whole = vals[:6]
+    want = math.sqrt(sum(float(_np32(v)) ** 2 for v in whole) / len(whole))
+    assert abs(rec["rms"] - want) < 1e-12
+    # duplicate data chunks
+    extra = b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    dup = b"RIFF" + _s.pack("<I", len(b) - 8 + len(extra)) + b[8:] + extra
+    try:
+        _decode_wav_bytes(dup)
+        raise AssertionError("duplicate data chunk decoded")
+    except ValueError as exc:
+        assert "multiple data" in str(exc)
+
+
+def _np32(v):
+    import numpy as np
+    return np.float32(v)
+
+
 def test_real_ppm_bmp_decode_and_resize(spark):
     """decode_image_features really parses PPM P6 and uncompressed 24-bit
     BMP (dimensions + per-channel means, BMP's BGR order and 4-byte row

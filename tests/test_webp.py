@@ -676,6 +676,21 @@ def test_vp8l_rejections_are_loud():
     bw.write_code(1, 0)                     # cl sym 2: green sym1 len 2
     with pytest.raises(ValueError, match="incomplete"):
         decode_vp8l_payload(bytes(bw.out) + b"\x00" * 8)
+    # round 7 (ADVICE r6): cache flag SET with cache_bits=0 must reject —
+    # libwebp requires 1..11 when the flag bit is set; silently treating
+    # 0 as "no cache" would decode a malformed stream to plausible pixels
+    bw = _Bw()
+    bw.write(8, 0x2F)
+    bw.write(14, 0)
+    bw.write(14, 0)
+    bw.write(1, 0)
+    bw.write(3, 0)
+    bw.write(1, 0)                          # no transforms
+    bw.write(1, 1)                          # cache flag set...
+    bw.write(4, 0)                          # ...but cache_bits = 0
+    bw.flush()
+    with pytest.raises(ValueError, match="cache bits out of range"):
+        decode_vp8l_payload(bytes(bw.out) + b"\x00" * 8)
 
 
 def test_webp_through_spark_and_resize(spark):
