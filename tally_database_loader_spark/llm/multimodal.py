@@ -22,8 +22,18 @@ Decoders come in two tiers:
   / ``decode_image_features`` / ``resize_ppm`` / ``resize_images`` (all
   decodable formats → nearest resample → P6 re-emit) run genuine
   decode/resample math over Arrow batches.
+- **Native (accelerated)** — round 7: the documented "~100× swap seam"
+  is executable. ``llm/native_codec.py`` serves the SAME per-payload
+  record contract via Pillow when it is importable;
+  ``decode_image_features`` / ``resize_images`` take ``tier=``
+  ("reference" default — the hash-verified tier every gate pins |
+  "native" — loud ImportError where PIL is absent | "auto"), also
+  settable via ``$SPARK_GRAFT_DECODE_TIER``. Parity pinned by
+  tests/test_native_tier.py on the spec-side encoder corpora
+  (byte-exact for lossless formats, mean-tolerance for JPEG), skipping
+  cleanly where Pillow is absent.
 - **Stubbed** for the codec inner loops that genuinely need native
-  libraries (WebP, non-baseline JPEG modes, MP4 FRAME decode —
+  libraries (lossy VP8 WebP, arithmetic-coded JPEG, MP4 FRAME decode —
   PIL/ffmpeg are not in this container):
   ``decode_image`` raises
   ``NotImplementedError`` by design, and the ``fake_*`` operators
@@ -663,15 +673,36 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
+def _pixel_decoder(tier: str | None):
+    """Resolve the per-payload pixel decoder for a tier request (see
+    ``llm/native_codec.py``): ``"reference"`` → the pure-Python spec
+    decoders (the hash-verified tier every gate pins), ``"native"`` →
+    the PIL-backed twin (~100× faster entropy loops, raises loudly
+    where PIL is absent), ``"auto"`` → native when importable. Returns
+    (resolved_tier, bytes→record callable)."""
+    from .native_codec import decode_image_pixels_native, resolve_tier
+    resolved = resolve_tier(tier)
+    if resolved == "native":
+        return resolved, decode_image_pixels_native
+    return resolved, _decode_image_pixels
+
+
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
-                          payload_col: str = "payload") -> DataFrame:
+                          payload_col: str = "payload",
+                          tier: str | None = None) -> DataFrame:
     """REAL image decode over Arrow batches (dimensions + per-channel
     means) for every format ``_decode_image_pixels`` handles: PNG
     (incl. 16-bit + Adam7), lossless WebP (VP8L, incl. VP8X containers
     and full-canvas first animation frames), GIF, baseline+progressive
     JPEG, PPM (P6) and uncompressed BMP (24/32-bit BI_RGB and 8-bit
-    palette); other formats (or corrupt bytes) yield NULL-feature
-    rows."""
+    palette); other formats (or corrupt bytes) yield NULL-feature rows.
+
+    ``tier`` selects the decoder (``llm/native_codec.py``): the default
+    ``"reference"`` runs the pure-Python spec decoders whose output the
+    DuckDB oracles value-hash; ``"native"``/``"auto"`` swap in the
+    PIL-backed twin behind this SAME mapInPandas plumbing — the 100 TB
+    throughput path, parity-tested in tests/test_native_tier.py."""
+    resolved, decode_px = _pixel_decoder(tier)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",
@@ -680,7 +711,8 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    rec = _decode_image_bytes(bytes(payload))
+                    rec = decode_px(bytes(payload))
+                    rec.pop("pixels", None)
                 except Exception:
                     rec = dict.fromkeys(cols[1:])
                 rows.append({"doc_id": doc_id, **rec})
@@ -730,7 +762,8 @@ def resize_ppm(df: DataFrame, width: int, height: int,
 
 def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "doc_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload",
+                  tier: str | None = None) -> DataFrame:
     """REAL resize + transcode for EVERY decodable format (round 5):
     PPM, PNG, BMP and baseline JPEG payloads decode to their RGB raster
     (one shared path, ``_decode_image_pixels``), nearest-neighbor
@@ -738,9 +771,12 @@ def resize_images(df: DataFrame, width: int, height: int,
     can also ENCODE (raw raster, no codec). This is the thumbnail /
     normalize-for-vision-model stage of a multimodal pipeline run for
     real end-to-end; undecodable or corrupt payloads pass through as
-    NULL, never task failures."""
+    NULL, never task failures. ``tier`` selects the pixel decoder
+    exactly as in ``decode_image_features`` (reference | native | auto;
+    the resample and P6 re-emit are tier-independent numpy)."""
     if width < 1 or height < 1:
         raise ValueError("resize dimensions must be positive")
+    resolved, decode_px = _pixel_decoder(tier)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = f"P6\n{width} {height}\n255\n".encode("ascii")
@@ -749,7 +785,7 @@ def resize_images(df: DataFrame, width: int, height: int,
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 out = src = None
                 try:
-                    rec = _decode_image_pixels(bytes(payload))
+                    rec = decode_px(bytes(payload))
                     px = rec["pixels"]
                     sh, sw = px.shape[:2]
                     yi = (np.arange(height) * sh) // height
