@@ -98,7 +98,11 @@ def decode_image(payload: bytes) -> object:
         "require PIL/libvips/ffmpeg which are not installed; "
         "baseline+progressive JPEG, lossless (VP8L) WebP, PNG, GIF, PPM "
         "(P6), uncompressed BMP and MP4 container metadata decode "
-        "natively via decode_image_features / decode_video_metadata")
+        "natively via decode_image_features / decode_video_metadata. "
+        "Where Pillow IS installed, decode_image_features(tier='native') "
+        "(llm/native_codec.py, round 7) also covers lossy WebP and — "
+        "when libjpeg is built with arithmetic support — arithmetic "
+        "JPEG; MP4 frames still need ffmpeg")
 
 
 # ---------------------------------------------------------------------------

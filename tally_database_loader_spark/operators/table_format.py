@@ -15,9 +15,10 @@ Two implementations:
   transactions, scoped commits become MERGE, vacuum/compact map to
   Delta's own VACUUM/OPTIMIZE, and time-travel is ``versionAsOf``.
   **Environment blocker, documented:** the ``delta-spark`` package and
-  its jars are not installable in this container (no network / no pip),
-  so ``DeltaStore`` raises ``DeltaUnavailableError`` at construction
-  here; the E-protocol tests parametrize over both backends and skip
+  its jars are not installable in this container (no network / no pip —
+  per-round install attempts with exact resolver errors are committed
+  in ``operators/DELTA_ATTEMPT.md``), so ``DeltaStore`` raises
+  ``DeltaUnavailableError`` at construction here; the E-protocol tests parametrize over both backends and skip
   the Delta leg when the import fails. On a cluster with Delta on the
   classpath (``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``,
   ``spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog.DeltaCatalog``)

@@ -41,8 +41,16 @@ def get_spark(app_name: str = "tally_database_loader_spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # local mode puts driver and executors in ONE JVM whose default heap
+    # is 1 GiB — 32 concurrent tasks on a 128 GiB box would OOM on any
+    # join that builds a few hundred MB of state (found by the 10×-decade
+    # replay, round 7). Applies only when this call creates the JVM; on a
+    # real cluster spark-submit owns the sizing.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""BPE tokenizer-training cost curve vs merge count k (VERDICT r6 #6).
+
+``bpe_train`` is inherently iterative (like Lloyd): each merge step is
+one O(vocabulary) Spark job plus a 1-row driver probe. That is the
+right shape at gate scale (k ≤ 8), but a production tokenizer runs
+k ≈ 30k–50k merges — tens of thousands of SEQUENTIAL jobs whose
+per-iteration driver latency, not data volume, sets the wall clock.
+This tool measures the real curve so SCALE.md states the production
+envelope from numbers, not prose:
+
+- a deterministic wide-vocabulary corpus (hash-derived words — the
+  bench documents' vocabulary is ~40 words, far too small to sustain
+  256 merges) of ``n_docs`` documents over ``n_vocab`` distinct words;
+- ``bpe_train`` timed at k = 3 / 32 / 256 on the SAME corpus,
+  reporting executed steps, total seconds and sec/step;
+- ``bpe_encode`` timed applying each learned table (fold depth grows
+  with k — the encode-side cost of a big tokenizer).
+
+Usage: python tools_bpe_scale.py [n_docs] [n_vocab]
+       (defaults 50000 10000)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_corpus(spark, n_docs: int, n_vocab: int):
+    """Deterministic corpus: doc i holds 20 words, each word the first
+    8 md5 hex chars of its (doc, position) slot folded into an
+    ``n_vocab``-sized vocabulary — wide vocab, Zipf-free worst case
+    (every pair count is low, so merges keep finding fresh winners)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    word = lambda j: F.substring(  # noqa: E731
+        F.md5(F.concat_ws(":", F.lit("w"),
+                          ((F.col("doc_id") * 20 + j) % n_vocab)
+                          .cast("string"))), 1, 8)
+    return ids.select(
+        "doc_id",
+        F.concat_ws(" ", *[word(j) for j in range(20)]).alias("text"))
+
+
+def main() -> int:
+    from tally_database_loader_spark.llm.lm import bpe_encode, bpe_train
+    from tally_database_loader_spark.session import get_spark
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    spark = get_spark("bpe-scale")
+    corpus = synth_corpus(spark, n_docs, n_vocab).cache()
+    n = corpus.count()
+    print(f"corpus: {n} docs, {n_vocab} vocab slots, loadavg "
+          f"{os.getloadavg()}")
+    print("\n| k | steps executed | train total s | train s/step | "
+          "encode s | encode s/step |")
+    print("|---|---|---|---|---|---|")
+    for k in (3, 32, 256):
+        t0 = time.perf_counter()
+        merge_rows = bpe_train(corpus, "text", k=k, min_count=1) \
+            .orderBy("step").collect()
+        t_train = time.perf_counter() - t0
+        steps = len(merge_rows)
+        merges = [(r["lhs"], r["rhs"]) for r in merge_rows]
+        t0 = time.perf_counter()
+        bpe_encode(corpus, merges).count()
+        t_enc = time.perf_counter() - t0
+        print(f"| {k} | {steps} | {t_train:.1f} | {t_train / max(steps, 1):.2f}"
+              f" | {t_enc:.1f} | {t_enc / max(steps, 1):.3f} |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Synthetic one-decade-beyond-sf0.1 scale replay for the heavy slots
+(VERDICT r6 "Next round" #3).
+
+The committed evidence topped out at sf0.1 (full-registry oracle replay
++ the two-scale dedup-guard table). This tool extends it one decade:
+``build_corpus`` amplifies a source SF directory ``factor``× into a
+synthetic corpus — documents and embeddings get ``factor`` id-shifted
+copies with deterministic perturbations (a mix of EXACT clones and
+near-duplicates, the worst case for dedup pair stages; one embedding
+coordinate nudged per copy so SemDeDup cells stay non-degenerate), the
+other eight tables hardlink through — and ``main`` replays the four
+heavy slots against their DuckDB oracles on the SAME parquet, measuring
+the guard bounds:
+
+- ``semantic_dedup_capped`` / ``two_tier_dedup`` — value-hash replay +
+  the pair-stage row count with and without the hot-cluster guard,
+  asserted under the rows·cap bound (the shuffle-size shape that must
+  hold at 100 TB);
+- ``bpe_encode`` — value-hash replay of the full train→apply chain +
+  the vocabulary (DISTINCT words) growth factor vs the corpus growth
+  factor: the encode fold is O(vocabulary), so vocab must grow
+  SUBLINEARLY for the operator's 100 TB claim to hold;
+- ``pack_sequences`` — value-hash replay + output-rows growth,
+  which must track the corpus linearly (per-shard prefix sums carry no
+  cross-shard state).
+
+Any bound violation or hash mismatch exits 1 — a failing check, not
+prose. tests/test_scale_10x.py runs the same assertions in the suite at
+10× sf0.01; this CLI produces the committed SCALE.md row at 10× sf0.1.
+
+Usage: python tools_scale_10x.py [src_sf_dir] [dst_dir] [factor]
+       (defaults /root/testdata/sf0.1 ./scale10x_data 10)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+ID_STRIDE = 1_000_000_000
+
+
+def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
+    """Amplify ``src_dir`` ``factor``× into ``dst_dir``. Deterministic —
+    no RNG, no clock: copy k of doc_id d keeps the text verbatim when
+    (d + k) % 3 != 0 (an exact clone the dedup tiers must catch) and
+    appends a per-copy suffix otherwise (a near-duplicate); embeddings
+    nudge coordinate k % dim by k/1000 so no two copies are identical
+    vectors but all stay near. Both engines read the SAME parquet, so
+    every existing DuckDB oracle replays unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            os.remove(dst)
+        if t not in ("documents", "embeddings"):
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+                shutil.copyfile(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        chunks = []
+        if t == "documents":
+            doc_id = tbl.column("doc_id").to_pylist()
+            text = tbl.column("text").to_pylist()
+            lang = tbl.column("lang").to_pylist()
+            source = tbl.column("source").to_pylist()
+            for k in range(factor):
+                kt = [tx if (d + k) % 3 or k == 0 else f"{tx} dupvar{k}"
+                      for d, tx in zip(doc_id, text)]
+                chunks.append(pa.table({
+                    "doc_id": pa.array([d + k * ID_STRIDE for d in doc_id],
+                                       type=pa.int64()),
+                    "text": pa.array(kt, type=pa.string()),
+                    "lang": pa.array(lang, type=pa.string()),
+                    "source": pa.array(source, type=pa.string()),
+                    "n_chars": pa.array([len(x) for x in kt],
+                                        type=pa.int64()),
+                }))
+        else:
+            vec_id = tbl.column("vec_id").to_pylist()
+            emb = tbl.column("embedding").to_pylist()
+            label = tbl.column("label").to_pylist()
+            dim = len(emb[0])
+            for k in range(factor):
+                ke = emb if k == 0 else [
+                    v[: k % dim] + [v[k % dim] + k / 1000.0]
+                    + v[k % dim + 1:] for v in emb]
+                chunks.append(pa.table({
+                    "vec_id": pa.array([v + k * ID_STRIDE for v in vec_id],
+                                       type=pa.int64()),
+                    "embedding": pa.array(ke, type=pa.list_(pa.float32())),
+                    "label": pa.array(label, type=pa.int32()),
+                }))
+        pq.write_table(pa.concat_tables(chunks), dst)
+
+
+def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
+    """Replay the four heavy slots on ``duck_dir`` (the synthetic
+    corpus), measuring bounds against ``src_dir`` (the seed corpus).
+    Returns (markdown table lines, failure count)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.plans import gate
+    from tally_database_loader_spark.plans.llm_gate import _DD_SD_CAP
+    from tally_database_loader_spark.sources.catalog import load_table
+    from tests.oracle_utils import compare_spark_duckdb
+    from tools_scale_dedup import pair_count
+
+    failures = 0
+    lines = []
+
+    # --- dedup guard: pair-stage shuffle bound at the new decade
+    n, p_raw = pair_count(spark, duck_dir, None)
+    _, p_cap = pair_count(spark, duck_dir, _DD_SD_CAP)
+    bound = n * _DD_SD_CAP
+    ok_bound = p_cap <= bound
+    failures += 0 if ok_bound else 1
+    lines.append(f"| pair stage (n_lists=8, cap={_DD_SD_CAP}) | rows={n} "
+                 f"| uncapped={p_raw} | capped={p_cap} | bound={bound} "
+                 f"{'OK' if ok_bound else 'EXCEEDED'} |")
+
+    # --- vocabulary growth: the bpe_encode fold is O(vocab)
+    from tally_database_loader_spark.llm.lm import _tokens
+    vocab = {}
+    rows = {}
+    for tag, d in (("src", src_dir), ("10x", duck_dir)):
+        docs = load_table(spark, d, "documents")
+        rows[tag] = docs.count()
+        vocab[tag] = (docs.select(F.explode(_tokens(F.col("text")))
+                                  .alias("w")).distinct().count())
+    row_f = rows["10x"] / rows["src"]
+    voc_f = vocab["10x"] / vocab["src"]
+    ok_vocab = voc_f < row_f / 2          # sublinear, with headroom
+    failures += 0 if ok_vocab else 1
+    lines.append(f"| bpe vocabulary | rows ×{row_f:.1f} "
+                 f"({rows['src']}→{rows['10x']}) | vocab ×{voc_f:.2f} "
+                 f"({vocab['src']}→{vocab['10x']}) | sublinear "
+                 f"{'OK' if ok_vocab else 'VIOLATED'} | |")
+
+    # --- value-hash replay of the four heavy slots at the new decade
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                 f"read_parquet('{duck_dir}/{t}.parquet')")
+    pack_rows = {}
+    for name in ("semantic_dedup_capped", "two_tier_dedup",
+                 "pack_sequences", "bpe_encode"):
+        t0 = time.perf_counter()
+        df = gate.QUERIES[name](spark, duck_dir)
+        ok, msg = compare_spark_duckdb(df, duck, gate.ORACLES[name])
+        dt = time.perf_counter() - t0
+        if name == "pack_sequences":
+            pack_rows["10x"] = df.count()
+        if not ok:
+            failures += 1
+        lines.append(f"| {name} | {'HASH-OK' if ok else 'FAIL ' + msg[:90]} "
+                     f"({dt:.1f}s) | | | |")
+    duck.close()
+
+    # --- packing output must track the corpus linearly
+    pack_rows["src"] = gate.QUERIES["pack_sequences"](spark, src_dir).count()
+    pf = pack_rows["10x"] / max(pack_rows["src"], 1)
+    ok_pack = 0.5 * row_f <= pf <= 2.0 * row_f
+    failures += 0 if ok_pack else 1
+    lines.append(f"| pack_sequences output | {pack_rows['src']}→"
+                 f"{pack_rows['10x']} rows (×{pf:.1f} vs corpus "
+                 f"×{row_f:.1f}) | linear {'OK' if ok_pack else 'VIOLATED'}"
+                 " | | |")
+    return lines, failures
+
+
+def main() -> int:
+    from tally_database_loader_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scale10x_data")
+    factor = int(args[2]) if len(args) > 2 else 10
+    print(f"building {factor}x corpus from {src} at {dst} ...")
+    t0 = time.time()
+    build_corpus(src, dst, factor)
+    print(f"built in {time.time() - t0:.0f}s")
+    spark = get_spark("scale-10x")
+    lines, failures = check(spark, dst, src)
+    print(f"\n10x-decade replay ({src} ×{factor}):\n")
+    print("| check | a | b | c | d |")
+    print("|---|---|---|---|---|")
+    for ln in lines:
+        print(ln)
+    print(f"\n{failures} failures")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
