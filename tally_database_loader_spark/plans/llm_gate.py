@@ -2552,6 +2552,97 @@ SELECT d.doc_id, CAST(COALESCE(bagg.nw, 0) AS BIGINT) AS n_words,
 FROM documents d LEFT JOIN bagg ON bagg.doc_id = d.doc_id""")
 
 
+def _dd_bpe_batched(rounds: int, batch: int, min_count: int = 2,
+                    scan_mult: int = 4) -> str:
+    """DuckDB replay of the BATCHED BPE trainer (llm/lm.py
+    bpe_train_batched, round 7) — every data-dependent decision
+    re-derived in SQL: per round, the pair-count table, the ranked
+    candidate list (count desc, (lhs, rhs); top ``scan_mult·batch``
+    only, mirroring the engine's bounded probe), the GREEDY
+    SYMBOL-DISJOINT selection as a recursive walk down the ranks
+    carrying the used-symbol set, and the combined one-pass fold whose
+    per-position rule joins the adopted set (at most one pair can match
+    — all adopted symbols are distinct). A drift in ranking, skipping,
+    batching or fold order breaks the value hash."""
+    scan_limit = batch * scan_mult
+    parts = [f"""
+bbw AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_DD_TOKENS}) AS t FROM documents) GROUP BY 1),
+bvb0 AS (SELECT w, wc, string_split(w, '') AS syms FROM bbw)"""]
+    for r in range(1, rounds + 1):
+        prev = f"bvb{r - 1}"
+        parts.append(f"""
+bbc{r} AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS n_pairs
+  FROM (SELECT wc, unnest([{{'a': syms[i], 'b': syms[i + 1]}}
+                           for i in range(1, len(syms))]) AS p
+        FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+bbr{r} AS (SELECT * FROM (
+  SELECT a, b, n_pairs,
+         CAST(row_number() OVER (ORDER BY n_pairs DESC, a, b) AS INT) AS rk
+  FROM bbc{r} WHERE n_pairs >= {min_count}) WHERE rk <= {scan_limit}),
+bbs{r} AS (
+  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used, 0 AS n_adopt,
+         FALSE AS take, CAST(NULL AS VARCHAR) AS a,
+         CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS n_pairs
+  UNION ALL
+  SELECT c.rk,
+         CASE WHEN s.n_adopt < {batch}
+                   AND NOT list_contains(s.used, c.a)
+                   AND NOT list_contains(s.used, c.b)
+              THEN s.used || [c.a, c.b] ELSE s.used END,
+         s.n_adopt + CASE WHEN s.n_adopt < {batch}
+                   AND NOT list_contains(s.used, c.a)
+                   AND NOT list_contains(s.used, c.b)
+              THEN 1 ELSE 0 END,
+         (s.n_adopt < {batch} AND NOT list_contains(s.used, c.a)
+                   AND NOT list_contains(s.used, c.b)),
+         c.a, c.b, c.n_pairs
+  FROM bbs{r} s JOIN bbr{r} c ON c.rk = s.rk + 1),
+bba{r} AS (SELECT a, b, n_pairs,
+           CAST(row_number() OVER (ORDER BY rk) AS INT) AS j
+           FROM bbs{r} WHERE take),
+bbf{r} AS (
+  SELECT v.w, v.wc, v.syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+  FROM {prev} v
+  UNION ALL
+  SELECT f.w, f.wc, f.syms, f.i + 1,
+         CASE WHEN len(f.acc) > 0 AND t.a IS NOT NULL
+              THEN f.acc[1:len(f.acc) - 1] || [t.a || t.b]
+              ELSE f.acc || [f.syms[f.i]] END
+  FROM bbf{r} f LEFT JOIN bba{r} t
+       ON f.acc[-1] = t.a AND f.syms[f.i] = t.b
+  WHERE f.i <= len(f.syms)),
+bvb{r} AS (SELECT w, wc, acc AS syms FROM bbf{r} WHERE i = len(syms) + 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, j, a, b, n_pairs FROM bba{r}"
+        for r in range(1, rounds + 1))
+    return ("WITH RECURSIVE " + ",".join(parts) + f"""
+SELECT CAST(rnd AS INT) AS round,
+       CAST(row_number() OVER (ORDER BY rnd, j) AS INT) AS step,
+       a AS lhs, b AS rhs, n_pairs
+FROM ({union})""")
+
+
+@gate_query("bpe_train_batched", oracle=_dd_bpe_batched(2, 3))
+def bpe_train_batched_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (llm/lm.py bpe_train_batched, round 7):
+    2 rounds adopting up to 3 mutually symbol-disjoint pairs each from
+    the top-12 ranked candidates, every round ONE pair-count job + ONE
+    bounded driver probe + ONE combined fold — the k/batch amortization
+    of the sequential trainer's per-merge scheduling latency (SCALE.md
+    §15 measured ~0.26 s/merge ≈ 3.6 h at production k≈50k; batching at
+    m=64 brings that to minutes). The oracle replays ranking, the
+    greedy disjoint selection walk AND the combined fold, so the whole
+    batched chain is value-hash-checked like the sequential one."""
+    from ..llm.lm import bpe_train_batched
+    from ..sources.catalog import fan_out
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_train_batched(d, "text", rounds=2, batch=3)
+
+
 @gate_query("bpe_train", oracle=_dd_bpe_train(3))
 def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL BPE tokenizer-training loop (llm/lm.py bpe_train): k=3

@@ -2127,3 +2127,54 @@ def test_real_bmp_32bit_and_palette(spark):
     rec = _decode_image_pixels(_bmp_bytes(5, 3, (30, 200, 10)))
     assert (rec["mean_r"], rec["mean_g"], rec["mean_b"]) == \
            (10.0, 200.0, 30.0)
+
+
+def test_bpe_train_batched_batch1_equals_sequential(spark):
+    """Round 7: with batch=1 every round adopts exactly the ranked
+    winner, so the batched trainer IS the sequential trainer — same
+    merges, same order, same counts."""
+    from tally_database_loader_spark.llm.lm import (bpe_train,
+                                                    bpe_train_batched)
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "cabana banana band"),
+         (3, "an ban anna cab")],
+        "doc_id bigint, text string")
+    seq = [(r["step"], r["lhs"], r["rhs"], r["n_pairs"])
+           for r in bpe_train(docs, k=4, min_count=2)
+           .orderBy("step").collect()]
+    bat = [(r["step"], r["lhs"], r["rhs"], r["n_pairs"])
+           for r in bpe_train_batched(docs, rounds=4, batch=1,
+                                      min_count=2)
+           .orderBy("step").collect()]
+    assert seq == bat and len(seq) >= 2
+
+
+def test_bpe_train_batched_disjoint_adoption(spark):
+    """Per round the adopted pairs must be mutually symbol-disjoint:
+    craft a corpus where the top two candidates share a symbol, so the
+    second-ranked pair is SKIPPED in favor of a disjoint lower-ranked
+    one, and verify counts are the true pre-round counts."""
+    from tally_database_loader_spark.llm.lm import bpe_train_batched
+    # pair counts: (a,b) appears in 'abab abxy' etc.; build so that
+    # ranked order is (a,b) > (b,c) [shares b → skip] > (x,y) [adopt]
+    docs = spark.createDataFrame(
+        [(1, "abqq abrr abss"),          # (a,b) ×3
+         (2, "bcqq bcrr"),               # (b,c) ×2 — shares b with (a,b)
+         (3, "xyzz xyww")],              # (x,y) ×2 — disjoint
+        "doc_id bigint, text string")
+    rows = bpe_train_batched(docs, rounds=1, batch=2,
+                             min_count=2).orderBy("step").collect()
+    got = [(r["lhs"], r["rhs"]) for r in rows]
+    assert ("a", "b") in got
+    assert ("b", "c") not in got, "adopted a symbol-sharing pair"
+    # per-round disjointness holds BETWEEN pairs (a self-pair like
+    # (q,q) is legal BPE — the fold's greedy-leftmost handles it)
+    for rnd in {r["round"] for r in rows}:
+        seen: set[str] = set()
+        for r in rows:
+            if r["round"] != rnd:
+                continue
+            assert r["lhs"] not in seen and r["rhs"] not in seen
+            seen.update((r["lhs"], r["rhs"]))
+    with pytest.raises(ValueError, match="positive"):
+        bpe_train_batched(docs, rounds=0)

@@ -72,6 +72,19 @@ def main() -> int:
         t_enc = time.perf_counter() - t0
         print(f"| {k} | {steps} | {t_train:.1f} | {t_train / max(steps, 1):.2f}"
               f" | {t_enc:.1f} | {t_enc / max(steps, 1):.3f} |")
+
+    from tally_database_loader_spark.llm.lm import bpe_train_batched
+    print("\nbatched trainer at the same ~256-merge budget "
+          "(bpe_train_batched, round 7):\n")
+    print("| rounds × batch | merges adopted | total s | s/merge |")
+    print("|---|---|---|---|")
+    for rounds, batch in ((32, 8), (8, 32), (4, 64)):
+        t0 = time.perf_counter()
+        n_m = bpe_train_batched(corpus, "text", rounds=rounds, batch=batch,
+                                min_count=1).count()
+        dt = time.perf_counter() - t0
+        print(f"| {rounds} × {batch} | {n_m} | {dt:.1f} "
+              f"| {dt / max(n_m, 1):.3f} |")
     spark.stop()
     return 0
 
