@@ -118,6 +118,9 @@ HEADLINE = [
     "bpe_train",
     # round-6 addition (new slot): the train→encode tokenizer chain
     "bpe_encode",
+    # round-7 addition (new slot): the batched trainer — per-round
+    # symbol-disjoint adoption amortizing the per-merge driver latency
+    "bpe_train_batched",
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",
