@@ -682,13 +682,15 @@ def _pixel_decoder(tier: str | None):
     ``llm/native_codec.py``): ``"reference"`` → the pure-Python spec
     decoders (the hash-verified tier every gate pins), ``"native"`` →
     the PIL-backed twin (~100× faster entropy loops, raises loudly
-    where PIL is absent), ``"auto"`` → native when importable. Returns
-    (resolved_tier, bytes→record callable)."""
+    where PIL is absent), ``"auto"`` → native when importable. Tier
+    resolution happens on the DRIVER; the returned callable's own
+    ImportError (executor missing Pillow on a heterogeneous cluster)
+    must stay LOUD — the decode loops below re-raise it instead of
+    mapping it to a NULL row."""
     from .native_codec import decode_image_pixels_native, resolve_tier
-    resolved = resolve_tier(tier)
-    if resolved == "native":
-        return resolved, decode_image_pixels_native
-    return resolved, _decode_image_pixels
+    if resolve_tier(tier) == "native":
+        return decode_image_pixels_native
+    return _decode_image_pixels
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
@@ -706,7 +708,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     DuckDB oracles value-hash; ``"native"``/``"auto"`` swap in the
     PIL-backed twin behind this SAME mapInPandas plumbing — the 100 TB
     throughput path, parity-tested in tests/test_native_tier.py."""
-    resolved, decode_px = _pixel_decoder(tier)
+    decode_px = _pixel_decoder(tier)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "channels",
@@ -717,6 +719,11 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 try:
                     rec = decode_px(bytes(payload))
                     rec.pop("pixels", None)
+                except ImportError:
+                    # executor missing Pillow under tier="native": fail
+                    # the TASK — an all-NULL "success" would corrupt
+                    # every conclusion drawn from the run
+                    raise
                 except Exception:
                     rec = dict.fromkeys(cols[1:])
                 rows.append({"doc_id": doc_id, **rec})
@@ -780,7 +787,7 @@ def resize_images(df: DataFrame, width: int, height: int,
     the resample and P6 re-emit are tier-independent numpy)."""
     if width < 1 or height < 1:
         raise ValueError("resize dimensions must be positive")
-    resolved, decode_px = _pixel_decoder(tier)
+    decode_px = _pixel_decoder(tier)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = f"P6\n{width} {height}\n255\n".encode("ascii")
@@ -796,6 +803,8 @@ def resize_images(df: DataFrame, width: int, height: int,
                     xi = (np.arange(width) * sw) // width
                     out = header + px[yi][:, xi].tobytes()
                     src = rec["format"]
+                except ImportError:
+                    raise  # executor missing Pillow under tier="native"
                 except Exception:
                     out = src = None
                 rows.append({"doc_id": doc_id, "src_format": src,

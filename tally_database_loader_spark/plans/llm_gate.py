@@ -460,7 +460,10 @@ def ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit("P6\n8 4\n255\n"),
                           F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)),
                  "utf-8").alias("payload"))
-    return mm.decode_image_features(payload, "doc_id", "payload")
+    # tier pinned: the value hash must never float with an installed
+    # codec or the SPARK_GRAFT_DECODE_TIER env var
+    return mm.decode_image_features(payload, "doc_id", "payload",
+                                    tier="reference")
 
 
 @gate_query("ppm_resize_real", oracle="""
@@ -495,7 +498,7 @@ def ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit("P6\n8 4\n255\n"),
                           F.substring(F.rpad(F.col("text"), 96, "x"), 1, 96)),
                  "utf-8").alias("payload"))
-    out = mm.resize_images(payload, 4, 2)
+    out = mm.resize_images(payload, 4, 2, tier="reference")  # pinned
     return out.select("doc_id", "src_format", "width", "height",
                       F.md5("payload").alias("payload_md5"))
 

@@ -97,10 +97,14 @@ def test_prod_twins_reuse_gate_operator_entry_points():
         seen.add(fn)
         src = inspect.getsource(fn)
         out = set()
-        for m in re.finditer(r"from \.\.llm\.(\w+) import ([\w, ]+)", src):
-            mod = m.group(1)
+        # both import styles: plain one-liners and parenthesized
+        # (possibly multi-line) lists — llm_gate uses both
+        for m in re.finditer(
+                r"from \.\.llm\.(\w+) import (?:\(([^)]*)\)|([\w, ]+))",
+                src, re.S):
+            mod, names = m.group(1), m.group(2) or m.group(3)
             out.update(f"{mod}.{n.strip()}"
-                       for n in m.group(2).split(",") if n.strip())
+                       for n in names.split(",") if n.strip())
         mod_globals = getattr(inspect.getmodule(fn), "__dict__", {})
         for name in re.findall(r"\b(\w+)\(", src):
             callee = mod_globals.get(name)

@@ -229,3 +229,33 @@ def test_native_path_plumbing_with_faked_pil(monkeypatch):
     # a format the fake cannot parse raises (→ NULL row upstream)
     with pytest.raises((ValueError, OSError)):
         decode_image_pixels_native(_png_bytes(px, color_type=2))
+
+
+def test_native_tier_executor_missing_pil_fails_loudly(spark, monkeypatch):
+    """Heterogeneous-cluster contract: tier resolution happens on the
+    DRIVER, so when executors lack Pillow the per-payload ImportError
+    must FAIL THE TASK — an all-NULL 'success' would corrupt every
+    conclusion drawn from the run. Simulated for real: a fake PIL in
+    the driver process satisfies resolve_tier('native'), but Spark's
+    Python workers are separate processes with no PIL, so the decode
+    genuinely raises there."""
+    import sys
+    import types
+
+    if pil_available():
+        pytest.skip("real Pillow installed — workers would decode fine")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda fh: None
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    df = spark.createDataFrame(
+        [(1, _ppm_of(_rand_rgb(4, 4, seed=50)))],
+        "doc_id bigint, payload binary")
+    with pytest.raises(Exception) as ei:
+        decode_image_features(df, tier="native").collect()
+    assert "ImportError" in str(ei.value) or "PIL" in str(ei.value)
+    with pytest.raises(Exception):
+        resize_images(df, 2, 2, tier="native").collect()

@@ -22,45 +22,70 @@ import os
 import statistics
 
 
-def _from_raw_log(path: str, why: str) -> tuple[dict[str, float], dict]:
-    """Fall back to the newest bench_logs/raw-*.json next to ``path``
-    when a driver BENCH_rN.json tail is truncated (VERDICT r6 #1). The
-    raw log carries every per-query run; recompute the medians the same
-    way bench.py does."""
-    logs = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(path)), "bench_logs", "raw-*.json")))
-    if not logs:
-        raise SystemExit(f"{path}: {why}, and no bench_logs/raw-*.json "
-                         "fallback found")
-    with open(logs[-1]) as fh:
+def _from_raw_log(path: str, why: str,
+                  named: str | None) -> tuple[dict[str, float], dict]:
+    """Fall back to a committed bench_logs/raw-*.json when a driver
+    BENCH_rN.json tail is truncated (VERDICT r6 #1). The record's OWN
+    ``raw_log`` filename (the tail keeps the END of stdout, so it
+    survives truncation) pairs the right log with the right round —
+    only when that is absent does the newest log apply, with a loud
+    note, so an old round's record is never silently backfilled with a
+    newer round's data. The raw log carries every per-query run;
+    medians recompute the same way bench.py does."""
+    base = os.path.dirname(os.path.abspath(path))
+    pick = None
+    if named:
+        cand = os.path.join(base, named)
+        if os.path.exists(cand):
+            pick = cand
+    if pick is None:
+        logs = sorted(glob.glob(os.path.join(base, "bench_logs",
+                                             "raw-*.json")))
+        if not logs:
+            raise SystemExit(f"{path}: {why}, and no bench_logs/raw-*.json "
+                             "fallback found")
+        pick = logs[-1]
+        print(f"WARNING: {path}: {why}; record names no recoverable "
+              f"raw_log — using NEWEST {pick}, which may belong to a "
+              "different round")
+    else:
+        print(f"note: {path}: {why}; using the record's own raw log {pick}")
+    with open(pick) as fh:
         raw = json.load(fh)
     queries = {n: round(statistics.median(t), 3)
                for n, t in raw["per_query_runs"].items()}
     rec = {"queries": queries, "runs": raw.get("pass_totals"),
            "loadavg": raw.get("loadavg_after"),
            "protocol": f"median-of-{raw.get('n_runs')} "
-                       f"(recomputed from {os.path.basename(logs[-1])})"}
-    print(f"note: {path}: {why}; using {logs[-1]}")
+                       f"(recomputed from {os.path.basename(pick)})"}
     return queries, rec
 
 
 def load(path: str) -> tuple[dict[str, float], dict]:
+    import re
+
     with open(path) as fh:
         rec = json.load(fh)
     if "queries" not in rec and "tail" in rec:
         # the driver's BENCH_rN.json wraps bench.py stdout in a
         # 2000-char "tail" — pull the last {"metric": ...} line out of
         # it; once the registry grew past ~60 benched queries the line
-        # no longer fits, so fall back to the committed raw log
+        # no longer fits, so fall back to the committed raw log the
+        # record itself names
         tail = rec["tail"]
+        named = None
+        m = re.search(r'"raw_log":\s*"([^"]+)"', tail)
+        if m:
+            named = m.group(1)
         start = tail.rfind('{"metric"')
         if start < 0:
-            return _from_raw_log(path, "no bench JSON line in 'tail'")
+            return _from_raw_log(path, "no bench JSON line in 'tail'",
+                                 named)
         try:
             rec, _ = json.JSONDecoder().raw_decode(tail[start:])
         except json.JSONDecodeError:
             return _from_raw_log(path, "bench JSON line truncated by "
-                                       "the 2000-char tail")
+                                       "the 2000-char tail", named)
     return dict(rec["queries"]), rec
 
 
