@@ -118,12 +118,11 @@ IMAGE_SCHEMA = ("doc_id bigint, format string, width int, height int, "
                 "channels int, mean_r double, mean_g double, mean_b double")
 
 
-def _decode_wav_float(b: bytes) -> dict:
-    """IEEE-float WAV (format tag 3, 32/64-bit) — the common DAW/ML
-    export the stdlib ``wave`` reader rejects: direct RIFF chunk walk
-    (fmt + data, odd sizes padded). RMS is in the payload's native
-    float units (nominal [-1, 1]), integer PCM RMS stays in raw sample
-    units — documented asymmetry, both exact."""
+def _riff_wav_chunks(b: bytes) -> tuple[bytes, bytes]:
+    """Direct RIFF chunk walk (fmt + data, odd sizes padded) shared by
+    the format-tag paths the stdlib ``wave`` reader rejects (IEEE
+    float, G.711). Duplicate data chunks reject — silently keeping one
+    would misreport every duration/RMS."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, fmt, data = 12, None, None
@@ -142,6 +141,59 @@ def _decode_wav_float(b: bytes) -> dict:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def _g711_expand(u: "np.ndarray", law: str) -> "np.ndarray":
+    """G.711 §B.2/B.3 expansion to 16-bit linear PCM — pure spec
+    FORMULAS (sign/segment/mantissa), no memorized table, so the
+    decoder-tier contract is satisfied the same way the VP8L distance
+    LUT's structural check satisfies it: the mapping is property-
+    checked (odd symmetry, strict monotonicity per segment, ±32124 /
+    ±32256 extrema) and round-trips a spec-side compressor in tests."""
+    u = u.astype(np.int64)
+    if law == "ulaw":
+        v = ~u & 0xFF
+        mag = (((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 0x07)
+        x = mag - 0x84
+        return np.where(v & 0x80, -x, x)
+    v = u ^ 0x55
+    mant = (v & 0x0F) << 4
+    seg = (v >> 4) & 0x07
+    mag = np.where(seg == 0, mant + 8,
+                   (mant + 0x108) << np.maximum(seg - 1, 0))
+    # A-law sign bit SET means positive (G.711 table 1a)
+    return np.where(v & 0x80, mag, -mag)
+
+
+def _decode_wav_g711(b: bytes) -> dict:
+    """µ-law (format tag 7) / A-law (tag 6) telephony WAV — 8-bit
+    companded samples expanded to 16-bit linear via the G.711 formulas;
+    RMS is in the EXPANDED linear units (the signal's natural scale,
+    like the integer-PCM path), sample_width reports the stored byte."""
+    fmt, data = _riff_wav_chunks(b)
+    wtag, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if wtag not in (6, 7):
+        raise ValueError(f"WAV format tag {wtag} is not G.711")
+    if bits != 8 or nch < 1 or rate < 1:
+        raise ValueError("malformed G.711 WAV header")
+    n = len(data) // nch
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * nch)
+    samples = _g711_expand(raw, "alaw" if wtag == 6 else "ulaw") \
+        .astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples * samples))) if samples.size \
+        else 0.0
+    return {"sample_rate": rate, "n_channels": nch, "sample_width": 1,
+            "n_frames": n, "duration_s": n / rate, "rms": rms}
+
+
+def _decode_wav_float(b: bytes) -> dict:
+    """IEEE-float WAV (format tag 3, 32/64-bit) — the common DAW/ML
+    export the stdlib ``wave`` reader rejects: direct RIFF chunk walk
+    (fmt + data, odd sizes padded). RMS is in the payload's native
+    float units (nominal [-1, 1]), integer PCM RMS stays in raw sample
+    units — documented asymmetry, both exact."""
+    fmt, data = _riff_wav_chunks(b)
     wtag, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if wtag != 3:
         raise ValueError(f"WAV format tag {wtag} unsupported (PCM via "
@@ -169,8 +221,10 @@ def _decode_wav_bytes(b: bytes) -> dict:
     integer PCM widths decode for real — 8-bit unsigned, 16-bit signed,
     24-bit packed (round 5: three-byte little-endian reassembled and
     sign-extended in numpy) and 32-bit signed — plus 32/64-bit IEEE
-    FLOAT (round 6: format tag 3 via ``_decode_wav_float``; ``wave``
-    itself rejects it). ALAW/µLAW remain rejected → NULL row."""
+    FLOAT (round 6: format tag 3 via ``_decode_wav_float``) and G.711
+    µ-law/A-law telephony audio (round 7: tags 7/6 via
+    ``_decode_wav_g711`` — pure spec formulas); ``wave`` itself rejects
+    all three."""
     try:
         with wave.open(io.BytesIO(b)) as w:
             rate, nch = w.getframerate(), w.getnchannels()
@@ -180,6 +234,9 @@ def _decode_wav_bytes(b: bytes) -> dict:
     except wave.Error as exc:
         if "unknown format: 3" in str(exc):
             return _decode_wav_float(b)
+        if "unknown format: 7" in str(exc) or \
+                "unknown format: 6" in str(exc):
+            return _decode_wav_g711(b)
         raise
     if width == 2:
         samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
@@ -557,7 +614,9 @@ def _decode_gif_bytes(b: bytes) -> dict:
 
 def _decode_image_pixels(b: bytes) -> dict:
     """REAL decode for every format whose codec needs nothing beyond the
-    standard library + numpy: binary PPM (``P6``, raw RGB), PNG (DEFLATE
+    standard library + numpy: binary PPM (``P6``, raw RGB — full maxval
+    range since round 7: 2-byte big-endian samples above 255, exact
+    integer rescale to 0..255), PNG (DEFLATE
     = stdlib zlib; 16-bit + Adam7 included; see ``_decode_png_bytes``),
     lossless WebP (``llm/webp.py``), GIF (``_decode_gif_bytes``),
     baseline + progressive huffman JPEG (``llm/jpeg.py``) and
@@ -589,15 +648,26 @@ def _decode_image_pixels(b: bytes) -> dict:
             # Spark, poisoning downstream filters; the module contract
             # is NULL, never confident garbage (ADVICE r4)
             raise ValueError(f"degenerate PPM dimensions {w}x{h}")
-        if maxval != 255:
-            # 16-bit P6 (maxval > 255, 2 bytes/sample) is legal PPM but
-            # needs wide-sample handling — reading it as uint8 would
-            # return confidently wrong means; match the BMP branch's
-            # loud rejection of unsupported variants
-            raise ValueError("PPM maxval != 255 unsupported (16-bit "
-                             "samples); use PIL-backed decode")
-        px = np.frombuffer(b, dtype=np.uint8,
-                           count=w * h * 3, offset=i).reshape(h, w, 3)
+        if not 1 <= maxval <= 65535:
+            raise ValueError(f"illegal PPM maxval {maxval}")
+        if maxval == 255:
+            px = np.frombuffer(b, dtype=np.uint8,
+                               count=w * h * 3, offset=i).reshape(h, w, 3)
+        else:
+            # round 7: the full maxval range decodes for real — 2-byte
+            # BIG-ENDIAN samples above 255 (PPM spec), 1-byte below —
+            # rescaled to 0..255 by exact integer round-half-up
+            # (v·255/maxval). NB: deliberate convention difference from
+            # 16-bit PNG, which keeps that spec's traditional
+            # high-byte fold.
+            n_samp = w * h * 3
+            dt = ">u2" if maxval > 255 else np.uint8
+            raw = np.frombuffer(b, dtype=dt, count=n_samp,
+                                offset=i).astype(np.int64)
+            if int(raw.max(initial=0)) > maxval:
+                raise ValueError("PPM sample exceeds declared maxval")
+            px = ((raw * 510 + maxval) // (2 * maxval)) \
+                .astype(np.uint8).reshape(h, w, 3)
         means = px.mean(axis=(0, 1))
         return {"format": "ppm", "width": w, "height": h, "channels": 3,
                 "mean_r": float(means[0]), "mean_g": float(means[1]),

@@ -1104,14 +1104,16 @@ def test_real_ppm_bmp_decode_and_resize(spark):
     assert (rows[2].format, rows[2].width, rows[2].height) == ("bmp", 5, 3)
     assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == (10.0, 200.0, 30.0)
     assert rows[3].format is None  # truncated PNG signature — NULL row
-    # legal-but-unsupported variants must surface NULL, never confident
-    # garbage: 16-bit PPM (maxval 65535) and a 24-bit WAV RMS
+    # 16-bit PPM (maxval 65535) decodes for REAL since round 7: big-
+    # endian sample 1 of 65535 rescales to 0 (exact integer round)
     from tally_database_loader_spark.llm.multimodal import (
         _decode_wav_bytes, decode_audio_features)
     wide = spark.createDataFrame(
         [(9, b"P6\n2 2\n65535\n" + b"\x00\x01" * 12)],
         "doc_id bigint, payload binary")
-    assert decode_image_features(wide).collect()[0].format is None
+    wrow = decode_image_features(wide).collect()[0]
+    assert (wrow.format, wrow.width, wrow.height) == ("ppm", 2, 2)
+    assert (wrow.mean_r, wrow.mean_g, wrow.mean_b) == (0.0, 0.0, 0.0)
     # 24-bit packed and 32-bit PCM now decode for REAL (round 5): build
     # genuine payloads with the stdlib writer and check exact RMS
     import io as _io
@@ -2178,3 +2180,145 @@ def test_bpe_train_batched_disjoint_adoption(spark):
             seen.update((r["lhs"], r["rhs"]))
     with pytest.raises(ValueError, match="positive"):
         bpe_train_batched(docs, rounds=0)
+
+
+def test_bpe_encode_applies_batched_merge_table(spark):
+    """The batched trainer's merge table feeds bpe_encode directly
+    (ordered by step): within a round the adopted pairs are
+    symbol-disjoint, so applying them one-at-a-time in step order is
+    equivalent to the trainer's combined per-round pass — the
+    train→encode chain holds for BOTH trainers."""
+    from tally_database_loader_spark.llm.lm import (bpe_encode,
+                                                    bpe_train_batched)
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "cabana banana band"),
+         (3, "an ban anna cab")],
+        "doc_id bigint, text string")
+    table = bpe_train_batched(docs, rounds=2, batch=2, min_count=2) \
+        .orderBy("step").collect()
+    assert len(table) >= 2
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    rows = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # every document tokenizes; merged tokens strictly fewer than chars
+    for doc_id, text in ((1, "banana bandana banana"),
+                         (2, "cabana banana band"), (3, "an ban anna cab")):
+        n_chars = sum(len(w) for w in text.split())
+        assert 0 < rows[doc_id].n_bpe_tokens < n_chars
+        assert rows[doc_id].n_words == len(text.split())
+
+
+def _g711_wav_bytes(codes, tag, rate=8000, nch=1):
+    """Hand-built RIFF for G.711 WAV (tag 7=µ-law, 6=A-law) — the
+    stdlib writer cannot emit companded formats."""
+    import struct as _s
+    data = bytes(codes)
+    fmt = _s.pack("<HHIIHH", tag, nch, rate, rate * nch, nch, 8)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_g711_expansion_properties_and_anchors():
+    """Round 7: the µ-law/A-law expansion is a pure G.711 FORMULA —
+    pinned by spec anchor values, odd symmetry, positive-branch strict
+    monotonicity, and (where the independent stdlib audioop exists)
+    bit-exact equality over all 256 codes for both laws."""
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import _g711_expand
+    codes = np.arange(256, dtype=np.uint8)
+    u = _g711_expand(codes, "ulaw")
+    a = _g711_expand(codes, "alaw")
+    # spec anchors (G.711 / Sun g711.c): extrema and zero codes
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert a[0x55] == -8 and a[0xD5] == 8
+    assert a[0x2A] == -32256 and a[0xAA] == 32256
+    # odd symmetry: flipping the sign bit negates the value
+    assert (u[codes ^ 0x80] == -u).all()
+    assert (a[codes ^ 0x80] == -a).all()
+    # positive µ-law branch decodes strictly decreasing in code order
+    pos = u[0x80:0x100]
+    assert (np.diff(pos) < 0).all()
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        return  # formula checks above still pin the mapping
+    for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        want = np.frombuffer(fn(bytes(codes), 2), dtype="<i2")
+        assert (_g711_expand(codes, law) == want.astype(np.int64)).all(), law
+
+
+def test_real_wav_g711_decode(spark):
+    """µ-law/A-law WAVs decode end-to-end: container fields from the
+    RIFF walk, RMS in expanded 16-bit linear units; malformed G.711
+    headers (bits != 8) still reject → NULL row."""
+    import math
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _decode_wav_bytes, _g711_expand, decode_audio_features)
+    codes = np.array([0x00, 0x7F, 0xFF, 0x34, 0xA2, 0x61], dtype=np.uint8)
+    for tag, law in ((7, "ulaw"), (6, "alaw")):
+        rec = _decode_wav_bytes(_g711_wav_bytes(codes, tag, nch=2))
+        assert rec["sample_width"] == 1 and rec["n_channels"] == 2
+        assert rec["n_frames"] == 3 and rec["duration_s"] == 3 / 8000
+        lin = _g711_expand(codes, law).astype(float)
+        want = math.sqrt(float(np.mean(lin * lin)))
+        assert abs(rec["rms"] - want) < 1e-9
+    # through Spark, with a malformed variant (16-bit G.711 is illegal)
+    bad = bytearray(_g711_wav_bytes(codes, 7))
+    bad[34] = 16                                  # bits-per-sample field
+    df = spark.createDataFrame(
+        [(1, _g711_wav_bytes(codes, 7)), (2, _g711_wav_bytes(codes, 6)),
+         (3, bytes(bad))],
+        "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in decode_audio_features(df).collect()}
+    assert rows[1].rms is not None and rows[2].rms is not None
+    assert rows[3].rms is None
+
+
+def test_ppm_wide_maxval_decode_and_resize(spark):
+    """Round 7: the full PPM maxval range decodes for real — 2-byte
+    BIG-ENDIAN samples above 255 and sub-255 maxvals rescale to 0..255
+    by exact integer round-half-up; declared-maxval violations and
+    truncated rasters reject → NULL."""
+    import numpy as np
+    from tally_database_loader_spark.llm import multimodal as mm
+
+    # 16-bit: 2x1 with known samples
+    s16 = np.array([[[0, 32768, 65535], [256, 255, 654]]], dtype=">u2")
+    b16 = b"P6\n3 1\n65535\n" if False else None
+    hdr = f"P6\n{s16.shape[1]} {s16.shape[0]}\n65535\n".encode()
+    b16 = hdr + s16.tobytes()
+    rec = mm._decode_image_pixels(b16)
+    want = ((s16.astype(np.int64) * 510 + 65535) // (2 * 65535))
+    assert rec["width"] == 2 and rec["height"] == 1
+    assert np.array_equal(rec["pixels"], want.astype(np.uint8))
+    # sub-255 maxval: v=50 of 100 → round-half-up(127.5) = 128
+    b100 = b"P6\n1 1\n100\n" + bytes([50, 0, 100])
+    rec = mm._decode_image_pixels(b100)
+    assert rec["pixels"].ravel().tolist() == [128, 0, 255]
+    # declared-maxval violation rejects
+    bad = b"P6\n1 1\n100\n" + bytes([101, 0, 0])
+    try:
+        mm._decode_image_pixels(bad)
+        raise AssertionError("sample above declared maxval decoded")
+    except ValueError:
+        pass
+    # truncated 16-bit raster rejects (frombuffer count check)
+    try:
+        mm._decode_image_pixels(b16[:-1])
+        raise AssertionError("truncated wide PPM decoded")
+    except ValueError:
+        pass
+    # wide PPM flows through the universal resize (shared pixel path)
+    df = spark.createDataFrame([(1, b16), (2, bad)],
+                               "doc_id bigint, payload binary")
+    rows = {r.doc_id: r for r in mm.resize_images(df, 2, 1).collect()}
+    assert rows[1].src_format == "ppm"
+    assert bytes(rows[1].payload) == b"P6\n2 1\n255\n" \
+        + want.astype(np.uint8).tobytes()
+    assert rows[2].payload is None
