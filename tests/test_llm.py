@@ -1928,9 +1928,18 @@ def test_decoder_fuzz_never_hangs_never_garbage():
         _bmp32_bytes(rgb[:5, :6]),                       # round 6
         _bmp8_bytes(idx.astype(np.uint8), palette),      # round 6
         _ppm_bytes(6, 4, (10, 200, 30)),
+        b"P6\n3 2\n65535\n" + bytes(range(36)),        # round 7 16-bit
+        b"P6\n3 2\n100\n" + bytes([v % 101 for v in range(18)]),
         encode_webp_lossless(rgba, cache_bits=3, lz77=True),  # round 6
     ]
+    import numpy as _np
     other = [(_wav_bytes(n=50), mm._decode_wav_bytes),
+             (_float_wav_bytes([0.5, -0.25, 0.125, -1.0]),
+              mm._decode_wav_bytes),                     # round 6 tag 3
+             (_g711_wav_bytes(_np.arange(48, dtype=_np.uint8), 7),
+              mm._decode_wav_bytes),                     # round 7 µ-law
+             (_g711_wav_bytes(_np.arange(48, dtype=_np.uint8), 6),
+              mm._decode_wav_bytes),                     # round 7 A-law
              (_mp4_bytes(), mm._decode_mp4_bytes)]
 
     def mutate(b):
