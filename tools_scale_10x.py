@@ -23,7 +23,10 @@ the guard bounds:
   SUBLINEARLY for the operator's 100 TB claim to hold;
 - ``pack_sequences`` — value-hash replay + output-rows growth,
   which must track the corpus linearly (per-shard prefix sums carry no
-  cross-shard state).
+  cross-shard state);
+- ``bpe_train_batched`` — value-hash replay of the round-7 batched
+  trainer (ranking + greedy disjoint selection + combined fold) at the
+  amplified vocabulary.
 
 Any bound violation or hash mismatch exits 1 — a failing check, not
 prose. tests/test_scale_10x.py runs the same assertions in the suite at
@@ -107,7 +110,7 @@ def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
 
 
 def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
-    """Replay the four heavy slots on ``duck_dir`` (the synthetic
+    """Replay the heavy slots on ``duck_dir`` (the synthetic
     corpus), measuring bounds against ``src_dir`` (the seed corpus).
     Returns (markdown table lines, failure count)."""
     import duckdb
@@ -157,7 +160,7 @@ def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
                  f"read_parquet('{duck_dir}/{t}.parquet')")
     pack_rows = {}
     for name in ("semantic_dedup_capped", "two_tier_dedup",
-                 "pack_sequences", "bpe_encode"):
+                 "pack_sequences", "bpe_encode", "bpe_train_batched"):
         t0 = time.perf_counter()
         df = gate.QUERIES[name](spark, duck_dir)
         ok, msg = compare_spark_duckdb(df, duck, gate.ORACLES[name])
