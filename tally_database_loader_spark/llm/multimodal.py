@@ -232,10 +232,12 @@ def _decode_wav_bytes(b: bytes) -> dict:
             n = w.getnframes()
             pcm = w.readframes(n)
     except wave.Error as exc:
-        if "unknown format: 3" in str(exc):
+        # exact message match: a substring test would misroute
+        # multi-digit tags (65534 = WAVE_FORMAT_EXTENSIBLE starts
+        # with '6') into the wrong decoder
+        if str(exc) == "unknown format: 3":
             return _decode_wav_float(b)
-        if "unknown format: 7" in str(exc) or \
-                "unknown format: 6" in str(exc):
+        if str(exc) in ("unknown format: 6", "unknown format: 7"):
             return _decode_wav_g711(b)
         raise
     if width == 2:

@@ -80,6 +80,14 @@ def decode_image_pixels_native(b: bytes) -> dict:
     """PIL-backed twin of ``multimodal._decode_image_pixels``: same
     record contract, native codec inner loops. Raises (→ NULL-feature
     row upstream) for anything PIL cannot parse."""
+    if b[:2] == b"P6":
+        # PPM is a codec-free raw raster — there is nothing for a native
+        # codec to accelerate, and Pillow's maxval handling differs by
+        # version (non-255 maxvals, 2-byte samples). The reference
+        # decoder IS the fast path here and guarantees byte parity
+        # across the full legal maxval range.
+        from .multimodal import _decode_image_pixels
+        return _decode_image_pixels(b)
     from PIL import Image
 
     im = Image.open(io.BytesIO(b))

@@ -2299,7 +2299,6 @@ def test_ppm_wide_maxval_decode_and_resize(spark):
 
     # 16-bit: 2x1 with known samples
     s16 = np.array([[[0, 32768, 65535], [256, 255, 654]]], dtype=">u2")
-    b16 = b"P6\n3 1\n65535\n" if False else None
     hdr = f"P6\n{s16.shape[1]} {s16.shape[0]}\n65535\n".encode()
     b16 = hdr + s16.tobytes()
     rec = mm._decode_image_pixels(b16)

@@ -229,6 +229,16 @@ def test_native_path_plumbing_with_faked_pil(monkeypatch):
     # a format the fake cannot parse raises (→ NULL row upstream)
     with pytest.raises((ValueError, OSError)):
         decode_image_pixels_native(_png_bytes(px, color_type=2))
+    # PPM is codec-free: the native tier routes it through the
+    # REFERENCE decoder (never PIL), so the full maxval range stays
+    # byte-parity by construction — the fake PIL (P6-only) would have
+    # decoded maxval-255 differently-scaled wide samples
+    wide = b"P6\n1 1\n100\n" + bytes([50, 0, 100])
+    nat_wide = decode_image_pixels_native(wide)
+    ref_wide = _decode_image_pixels(wide)
+    assert nat_wide["pixels"].ravel().tolist() == [128, 0, 255]
+    assert {k: v for k, v in nat_wide.items() if k != "pixels"} \
+        == {k: v for k, v in ref_wide.items() if k != "pixels"}
 
 
 def test_native_tier_executor_missing_pil_fails_loudly(spark, monkeypatch):
@@ -251,8 +261,10 @@ def test_native_tier_executor_missing_pil_fails_loudly(spark, monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", pil_mod)
     monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
 
+    # NB: a PNG, not a PPM — the native tier routes codec-free PPM
+    # through the reference decoder, which would never touch PIL
     df = spark.createDataFrame(
-        [(1, _ppm_of(_rand_rgb(4, 4, seed=50)))],
+        [(1, _png_bytes(_rand_rgb(4, 4, seed=50), color_type=2))],
         "doc_id bigint, payload binary")
     with pytest.raises(Exception) as ei:
         decode_image_features(df, tier="native").collect()
