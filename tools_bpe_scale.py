@@ -85,6 +85,31 @@ def main() -> int:
         dt = time.perf_counter() - t0
         print(f"| {rounds} × {batch} | {n_m} | {dt:.1f} "
               f"| {dt / max(n_m, 1):.3f} |")
+
+    # adoption rate vs SYMBOL-alphabet width: the md5-hex corpus has a
+    # 16-char base alphabet, so symbol-disjointness caps adoption per
+    # round; a 52-letter alphabet should let adoption approach the
+    # budget — measured, not prose
+    import hashlib
+    print("\nadoption rate vs base alphabet (rounds=8, batch=32, "
+          "same doc/vocab counts):\n")
+    print("| base alphabet | merges adopted of 256 | adopted/round |")
+    print("|---|---|---|")
+    for alpha in (16, 52):
+        vocab_words = []
+        for i in range(n_vocab):
+            h = hashlib.md5(f"w:{i}:{alpha}".encode()).digest()
+            vocab_words.append("".join(
+                (chr((97 if b % alpha < 26 else 65 - 26) + b % alpha)
+                 if alpha == 52 else format(b % 16, "x"))
+                for b in h[:8]))
+        rows = [(i, " ".join(vocab_words[(i * 20 + j) % n_vocab]
+                             for j in range(20)))
+                for i in range(min(n_docs, 10_000))]
+        wide = spark.createDataFrame(rows, "doc_id bigint, text string")
+        n_m = bpe_train_batched(wide, "text", rounds=8, batch=32,
+                                min_count=1).count()
+        print(f"| {alpha} chars | {n_m} | {n_m / 8:.1f} |")
     spark.stop()
     return 0
 
