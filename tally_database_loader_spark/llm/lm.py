@@ -282,6 +282,11 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
     Scale shape: one O(vocabulary) pair count + one ≤ ``scan_mult·
     batch``-row driver probe + one fold rewrite per ROUND;
     ``localCheckpoint`` bounds lineage exactly as in ``bpe_train``.
+    ``scan_mult`` is the adoption-rate lever (measured, SCALE.md §15):
+    the top-ranked pairs concentrate on common symbols, so scanning
+    deeper past conflicts raises adoptions/round ~3× at scan_mult=64
+    with no wall-clock penalty — the probe stays a bounded driver
+    collect. Production guidance: scan_mult 32–64.
 
     Output: ``round, step, lhs, rhs, n_pairs`` — steps numbered
     sequentially across rounds in adoption order."""
