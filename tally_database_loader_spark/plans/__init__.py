@@ -120,7 +120,13 @@ _WINDOW = [
     #  leakage-safe group split)
     "pii_redaction", "normalize_suite", "inverted_index",
     "bm25_query_scores", "chunk_windows", "token_stats_suite",
-    "mixture_stats", "selection_suite", "length_stats",
+    "mixture_stats", "selection_suite",
+    # round-8 curation (VERDICT r7 "Next round" #1): bpe_train_batched —
+    # the round-7 flagship batched trainer with the recursive rank-walk
+    # oracle — rotates IN, displacing length_stats (its length/percentile
+    # family stays driver-verified via token_stats_suite and
+    # text_profile, and oracle-replayed by tests/test_gate_queries.py)
+    "bpe_train_batched",
     "benchmark_contamination", "pack_sequences", "domain_cap",
     "lm_score_suite",
 ]

@@ -64,6 +64,10 @@ def test_driver_window_covers_all_families():
         # #1) displaces dedup_exact — exact dedup stays driver-verified
         # via incremental_dedup + curation_pipeline's dedup stage
         "bpe_encode",
+        # round-8 curation: the batched trainer (VERDICT r7 #1) displaces
+        # length_stats — the length/percentile family stays in-window via
+        # token_stats_suite and text_profile
+        "bpe_train_batched",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"
