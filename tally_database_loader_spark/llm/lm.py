@@ -247,51 +247,117 @@ def bpe_train(docs: DataFrame, text_col: str = "text", k: int = 3,
         merges, "step int, lhs string, rhs string, n_pairs long")
 
 
+def _color_candidates(ranked: list[tuple[str, str, int]], batch: int,
+                      max_classes: int) -> list[list[tuple[str, str, int]]]:
+    """Greedy-color a ranked BPE candidate list (count desc, then
+    (lhs, rhs)) over its conflict graph: each candidate takes the
+    SMALLEST class where it neither shares an operand symbol with an
+    earlier adoption (the exact-counts condition) nor string-collides
+    with one (operand == a class concat, or concat == a class operand
+    — the ``bpe_train_batched`` cascade guard), until ``batch`` pairs
+    are adopted in total; candidates conflicting with every class are
+    skipped. Pure driver-side logic, factored out so the guard branch
+    is unit-testable on synthetic candidate lists (the collision is
+    believed unreachable from single-char initialization — see the
+    trainer docstring). Returns ``max_classes`` per-class pair lists;
+    a class is non-empty only if every earlier class is (greedy
+    coloring fills classes in order)."""
+    classes: list[list[tuple[str, str, int]]] = [[] for _ in
+                                                 range(max_classes)]
+    used: list[set[str]] = [set() for _ in range(max_classes)]
+    made: list[set[str]] = [set() for _ in range(max_classes)]
+    n_adopt = 0
+    for a, b, n in ranked:
+        if n_adopt >= batch:
+            break
+        for c in range(max_classes):
+            if (a not in used[c] and b not in used[c]
+                    and (a + b) not in used[c]
+                    and a not in made[c] and b not in made[c]):
+                classes[c].append((a, b, n))
+                used[c].update((a, b))
+                made[c].add(a + b)
+                n_adopt += 1
+                break
+    return classes
+
+
 def bpe_train_batched(docs: DataFrame, text_col: str = "text",
                       rounds: int = 2, batch: int = 4,
-                      min_count: int = 2, scan_mult: int = 4) -> DataFrame:
-    """Batched BPE training: per ROUND, adopt up to ``batch`` mutually
-    SYMBOL-DISJOINT pairs from the top ``scan_mult·batch`` ranked
-    candidates and apply them all in one combined fold pass — cutting
-    the driver-bound sequential rounds from k to ~k/batch (round 7;
-    the measured envelope in SCALE.md §15 put strict-sequential
-    ``bpe_train`` at ~0.26 s/merge ≈ 3.6 h for a production k≈50k
-    tokenizer — this variant amortizes that scheduling latency).
+                      min_count: int = 2, scan_mult: int = 4,
+                      max_classes: int = 4) -> DataFrame:
+    """Batched BPE training with CONFLICT-GRAPH (greedy-coloring)
+    adoption: per ROUND, rank the top ``scan_mult·batch`` candidate
+    pairs, greedy-color them over the candidate conflict graph
+    (highest-count-first; conflict = sharing a symbol OR a string-level
+    merge collision, below), adopt up to ``batch`` pairs across the
+    first ``max_classes`` color classes, and apply each class as its
+    own combined fold pass IN CLASS ORDER — cutting the driver-bound
+    sequential rounds from k to ~k/batch (round 7 shipped the
+    single-class symbol-disjoint variant at a measured 8–22 adoptions
+    per 32-pair budget; round-8 coloring fills the budget whenever the
+    scan window holds enough eligible candidates, because conflicting
+    pairs land in later classes instead of being dropped — SCALE.md
+    §15 has the measured adoption table).
 
-    Why symbol-disjointness: merging (a, b) can only create or destroy
-    adjacencies that INVOLVE a or b, so the pre-round counts of pairs
-    sharing no symbol with any higher-ranked adopted pair are exact
-    after those merges too — the batch adoption is locally equivalent
-    to sequential adoption. It is still a documented VARIANT of strict
-    sequential BPE (like every production batched trainer): a strictly
-    sequential trainer would re-rank after each merge and could prefer
-    a pair involving a freshly created symbol. Selection is
-    deterministic (count desc, then (lhs, rhs); greedy skip on any
-    symbol already used this round) and the per-word rewrite is the
-    same greedy leftmost fold as ``bpe_train`` with the adopted pairs
-    as mutually exclusive conditions in one pass (at most one can match
-    at a position — all 2·|batch| adopted symbols are distinct; when a
-    merged symbol string-equals another adopted pair's left side the
-    pass cascades, and the oracle replays the identical rule).
+    Why coloring is sound: merging (a, b) can only create or destroy
+    adjacencies that INVOLVE a or b, so pre-round counts of pairs
+    sharing no symbol with any same-class earlier pair stay exact —
+    class 1 counts are exact, exactly like round-7's disjoint batch.
+    Classes ≥ 2 conflict with earlier classes by construction, so
+    their pre-round counts are UPPER BOUNDS at application time (a
+    later-class merge can even find zero sites and no-op); that stale
+    ranking is the documented batching trade-off, the per-word REWRITE
+    stays exact regardless (a fold only merges adjacencies that
+    actually exist when its class runs).
+
+    String-collision guard (within a class; ADVICE r7): beyond symbol
+    disjointness, a candidate (a, b) is bumped to the next class when
+    a+b equals an already-adopted operand, or a or b equals an
+    already-adopted pair's concat — e.g. (x, yz) and (xyz, c) with
+    ``xyz`` pre-existing via (xy, z). Without the guard such a class
+    fold would cascade x·yz→xyz→xyzc in one pass while step-order
+    sequential replay (``bpe_encode``) would not. We believe the
+    collision is UNREACHABLE from single-character initialization (a
+    string's creating merge consumes all its constituent adjacencies,
+    and merges never create new adjacencies between pre-existing
+    symbols, so two live decompositions of one string cannot coexist
+    — 200 seeded random corpora never trigger it), but the guard
+    costs O(batch) driver-side string lookups and makes the
+    equivalence claim UNCONDITIONAL instead of resting on that
+    argument: within a class no rule can consume or produce another
+    rule's symbols, so
+    the class fold ≡ one-at-a-time application of its pairs, classes
+    apply in step order, and therefore the WHOLE merge table replayed
+    sequentially by ``bpe_encode`` reproduces the trainer's
+    tokenization on every corpus (pinned by
+    tests/test_llm.py::test_bpe_batched_fold_equals_sequential_replay
+    against a pure-Python reference trainer, and the guard branch
+    itself by tests over synthetic candidate lists — reachable or
+    not, the invariant is enforced, which also covers any future
+    caller that seeds symbol sequences differently).
 
     A round adopts nothing only when NO pair reaches ``min_count``
-    (the used-set is empty at each round's start, so a non-empty
-    candidate list always adopts its head) — and then the vocabulary is
-    unchanged, so training stops, matching ``bpe_train``'s early stop.
+    (class 1 starts empty each round, so a non-empty candidate list
+    always adopts its head) — then the vocabulary is unchanged and
+    training stops, matching ``bpe_train``'s early stop.
 
     Scale shape: one O(vocabulary) pair count + one ≤ ``scan_mult·
-    batch``-row driver probe + one fold rewrite per ROUND;
-    ``localCheckpoint`` bounds lineage exactly as in ``bpe_train``.
-    ``scan_mult`` is the adoption-rate lever (measured, SCALE.md §15):
-    the top-ranked pairs concentrate on common symbols, so scanning
-    deeper past conflicts raises adoptions/round ~3× at scan_mult=64
-    with no wall-clock penalty — the probe stays a bounded driver
-    collect. Production guidance: scan_mult 32–64.
+    batch``-row driver probe + ≤ ``max_classes`` fold rewrites per
+    ROUND (all lazy; one ``localCheckpoint`` per round bounds
+    lineage). ``scan_mult`` sizes the candidate window the coloring
+    draws from; with coloring, scan_mult=4 already fills a 32-pair
+    budget on natural text (measured ~32/32 vs single-class 10.9/32,
+    SCALE.md §15). Production guidance: batch 32–64, scan_mult 4–8,
+    max_classes 4.
 
-    Output: ``round, step, lhs, rhs, n_pairs`` — steps numbered
-    sequentially across rounds in adoption order."""
-    if rounds < 1 or batch < 1 or scan_mult < 1:
-        raise ValueError("rounds, batch and scan_mult must be positive")
+    Output: ``round, cls, step, lhs, rhs, n_pairs`` — ``step`` is the
+    global APPLICATION order (round, then class, then rank within
+    class): feeding ``bpe_encode`` ordered by ``step`` reproduces
+    training exactly."""
+    if rounds < 1 or batch < 1 or scan_mult < 1 or max_classes < 1:
+        raise ValueError(
+            "rounds, batch, scan_mult and max_classes must be positive")
     spark = docs.sparkSession
     words = (docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
                  .groupBy("w").agg(F.count("*").cast("long").alias("wc")))
@@ -299,7 +365,7 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
     chars = F.transform(F.sequence(F.lit(1), ln),
                         lambda i: F.col("w").substr(i, F.lit(1)))
     cur = words.select("wc", chars.alias("syms"))
-    merges: list[tuple[int, int, str, str, int]] = []
+    merges: list[tuple[int, int, int, str, str, int]] = []
     for rnd in range(1, rounds + 1):
         two = cur.filter(F.size("syms") >= 2)
         pair = F.zip_with(
@@ -312,19 +378,14 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
                      .filter(F.col("n_pairs") >= min_count)
                      .orderBy(F.desc("n_pairs"), "a", "b")
                      .limit(batch * scan_mult).collect())
-        adopt: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        for r in ranked:
-            if len(adopt) >= batch:
-                break
-            if r["a"] in used or r["b"] in used:
-                continue
-            adopt.append((r["a"], r["b"], int(r["n_pairs"])))
-            used.update((r["a"], r["b"]))
-        if not adopt:
+        classes = _color_candidates(
+            [(r["a"], r["b"], int(r["n_pairs"])) for r in ranked],
+            batch, max_classes)
+        if not any(classes):
             break
-        for a, b, n in adopt:
-            merges.append((rnd, len(merges) + 1, a, b, n))
+        for cls, pairs in enumerate(classes, start=1):
+            for a, b, n in pairs:
+                merges.append((rnd, cls, len(merges) + 1, a, b, n))
 
         def make_fold(pairs):
             # NB: the merge lambda must take exactly (acc, x) — pyspark
@@ -333,8 +394,10 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
             def fold_step(acc, x):
                 tail = F.element_at(acc, -1)
                 out = F.concat(acc, F.array(x))
-                # conditions are mutually exclusive (all adopted
-                # symbols distinct), so chain order is immaterial
+                # within a class the conditions are mutually exclusive
+                # (operand symbols pairwise distinct; the collision
+                # guard keeps same-class concats inert), so chain
+                # order is immaterial
                 for a, b, _ in pairs:
                     merged = F.concat(F.slice(acc, 1, F.size(acc) - 1),
                                       F.array(F.lit(a + b)))
@@ -343,12 +406,17 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
                 return out
             return fold_step
 
-        fold = F.aggregate("syms", F.array().cast("array<string>"),
-                           make_fold(tuple(adopt)))
-        cur = cur.select("wc", fold.alias("syms")).localCheckpoint()
+        for pairs in classes:
+            if not pairs:
+                break  # coloring fills classes in order; rest are empty
+            fold = F.aggregate("syms", F.array().cast("array<string>"),
+                               make_fold(tuple(pairs)))
+            cur = cur.select("wc", fold.alias("syms"))
+        cur = cur.localCheckpoint()
     return spark.createDataFrame(
         merges,
-        "round int, step int, lhs string, rhs string, n_pairs long")
+        "round int, cls int, step int, lhs string, rhs string, "
+        "n_pairs long")
 
 
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],

@@ -1079,6 +1079,17 @@ def test_wav_float_partial_frame_and_dup_data_reject():
         raise AssertionError("duplicate data chunk decoded")
     except ValueError as exc:
         assert "multiple data" in str(exc)
+    # duplicate fmt chunks (ADVICE r7): the second fmt must reject too,
+    # not silently override the first chunk's decode parameters
+    fmt_payload = b[20:20 + 16]  # the original fmt chunk body
+    extra_fmt = b"fmt " + _s.pack("<I", 16) + fmt_payload
+    dup_fmt = (b"RIFF" + _s.pack("<I", len(b) - 8 + len(extra_fmt))
+               + b[8:] + extra_fmt)
+    try:
+        _decode_wav_bytes(dup_fmt)
+        raise AssertionError("duplicate fmt chunk decoded")
+    except ValueError as exc:
+        assert "multiple fmt" in str(exc)
 
 
 def _np32(v):
@@ -2161,10 +2172,11 @@ def test_bpe_train_batched_batch1_equals_sequential(spark):
 
 
 def test_bpe_train_batched_disjoint_adoption(spark):
-    """Per round the adopted pairs must be mutually symbol-disjoint:
-    craft a corpus where the top two candidates share a symbol, so the
-    second-ranked pair is SKIPPED in favor of a disjoint lower-ranked
-    one, and verify counts are the true pre-round counts."""
+    """With ``max_classes=1`` (round-7 semantics) adopted pairs must be
+    mutually symbol-disjoint per round: craft a corpus where the top
+    two candidates share a symbol, so the second-ranked pair is
+    SKIPPED in favor of a disjoint lower-ranked one, and verify counts
+    are the true pre-round counts."""
     from tally_database_loader_spark.llm.lm import bpe_train_batched
     # pair counts: (a,b) appears in 'abab abxy' etc.; build so that
     # ranked order is (a,b) > (b,c) [shares b → skip] > (x,y) [adopt]
@@ -2173,17 +2185,17 @@ def test_bpe_train_batched_disjoint_adoption(spark):
          (2, "bcqq bcrr"),               # (b,c) ×2 — shares b with (a,b)
          (3, "xyzz xyww")],              # (x,y) ×2 — disjoint
         "doc_id bigint, text string")
-    rows = bpe_train_batched(docs, rounds=1, batch=2,
-                             min_count=2).orderBy("step").collect()
+    rows = bpe_train_batched(docs, rounds=1, batch=2, min_count=2,
+                             max_classes=1).orderBy("step").collect()
     got = [(r["lhs"], r["rhs"]) for r in rows]
     assert ("a", "b") in got
     assert ("b", "c") not in got, "adopted a symbol-sharing pair"
-    # per-round disjointness holds BETWEEN pairs (a self-pair like
-    # (q,q) is legal BPE — the fold's greedy-leftmost handles it)
-    for rnd in {r["round"] for r in rows}:
+    # per-(round, class) disjointness holds BETWEEN pairs (a self-pair
+    # like (q,q) is legal BPE — the fold's greedy-leftmost handles it)
+    for key in {(r["round"], r["cls"]) for r in rows}:
         seen: set[str] = set()
         for r in rows:
-            if r["round"] != rnd:
+            if (r["round"], r["cls"]) != key:
                 continue
             assert r["lhs"] not in seen and r["rhs"] not in seen
             seen.update((r["lhs"], r["rhs"]))
@@ -2191,11 +2203,142 @@ def test_bpe_train_batched_disjoint_adoption(spark):
         bpe_train_batched(docs, rounds=0)
 
 
+def test_bpe_batched_coloring_adopts_conflicts_into_classes(spark):
+    """Round 8: greedy coloring adopts a symbol-sharing candidate into
+    the NEXT class instead of dropping it — same corpus as the
+    disjoint test, default ``max_classes``: (b,c) lands in class 2
+    with its true pre-round count, steps numbered in application
+    order (class 1 pairs before class 2)."""
+    from tally_database_loader_spark.llm.lm import bpe_train_batched
+    docs = spark.createDataFrame(
+        [(1, "abqq abrr abss"), (2, "bcqq bcrr"), (3, "xyzz xyww")],
+        "doc_id bigint, text string")
+    rows = bpe_train_batched(docs, rounds=1, batch=3,
+                             min_count=2).orderBy("step").collect()
+    by_pair = {(r["lhs"], r["rhs"]): r for r in rows}
+    assert by_pair[("a", "b")]["cls"] == 1
+    assert by_pair[("b", "c")]["cls"] == 2, "conflict not re-colored"
+    assert by_pair[("b", "c")]["n_pairs"] == 2  # pre-round count
+    # application order: every class-1 step precedes every class-2 step
+    steps1 = [r["step"] for r in rows if r["cls"] == 1]
+    steps2 = [r["step"] for r in rows if r["cls"] == 2]
+    assert steps2 and max(steps1) < min(steps2)
+
+
+def test_color_candidates_guard_branches():
+    """The string-collision guard (ADVICE r7) on synthetic candidate
+    lists — believed unreachable from single-char init, but enforced
+    so the fold≡sequential-replay equivalence is unconditional:
+    a candidate whose concat equals an adopted operand, or whose
+    operand equals an adopted concat (either side), is bumped to the
+    next class."""
+    from tally_database_loader_spark.llm.lm import _color_candidates
+    # concat == adopted operand: (x,yz) concat 'xyz' hits used={xyz,c}
+    cls = _color_candidates([("xyz", "c", 10), ("x", "yz", 9)], 4, 2)
+    assert cls[0] == [("xyz", "c", 10)] and cls[1] == [("x", "yz", 9)]
+    # lhs operand == adopted concat: (xyz,c) lhs hits made={'xyz'}
+    cls = _color_candidates([("x", "yz", 10), ("xyz", "c", 9)], 4, 2)
+    assert cls[0] == [("x", "yz", 10)] and cls[1] == [("xyz", "c", 9)]
+    # rhs operand == adopted concat: (a,cd) rhs hits made={'cd'}
+    cls = _color_candidates([("c", "d", 10), ("a", "cd", 9)], 4, 2)
+    assert cls[0] == [("c", "d", 10)] and cls[1] == [("a", "cd", 9)]
+    # beyond max_classes → skipped entirely, later candidates still seen
+    cls = _color_candidates(
+        [("c", "d", 10), ("a", "cd", 9), ("p", "q", 8)], 4, 1)
+    assert cls[0] == [("c", "d", 10), ("p", "q", 8)]
+    # batch budget caps total adoption across classes
+    cls = _color_candidates(
+        [("a", "b", 10), ("b", "c", 9), ("p", "q", 8)], 2, 4)
+    assert sum(len(c) for c in cls) == 2
+    assert cls[0] == [("a", "b", 10)] and cls[1] == [("b", "c", 9)]
+
+
+def _py_apply_pair(syms, a, b):
+    """Greedy leftmost non-overlapping single-pair merge — the
+    reference for ONE bpe_encode step."""
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def test_bpe_batched_fold_equals_sequential_replay(spark):
+    """The round-8 equivalence theorem, pinned end-to-end: a pure-
+    Python reference trainer that applies every adopted pair ONE AT A
+    TIME in step order (i.e. exactly what bpe_encode does with the
+    merge table) must reproduce the engine's merge table on random
+    multi-round corpora — selection in later rounds depends on earlier
+    rounds' rewrites, so table equality transitively pins the per-class
+    combined folds to sequential semantics. Small alphabet forces
+    symbol conflicts, so multi-class adoption is genuinely exercised
+    (asserted)."""
+    import random
+    from collections import Counter
+    from tally_database_loader_spark.llm.lm import bpe_train_batched
+
+    def py_reference(word_counts, rounds, batch, min_count, scan_mult,
+                     max_classes):
+        vocab = {w: list(w) for w in word_counts}
+        merges = []
+        for rnd in range(1, rounds + 1):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += word_counts[w]
+            ranked = sorted(
+                ((n, a, b) for (a, b), n in pc.items() if n >= min_count),
+                key=lambda t: (-t[0], t[1], t[2]))[:batch * scan_mult]
+            classes = [([], set(), set()) for _ in range(max_classes)]
+            n_adopt = 0
+            for n, a, b in ranked:
+                if n_adopt >= batch:
+                    break
+                for pairs, used, made in classes:
+                    if (a not in used and b not in used
+                            and (a + b) not in used
+                            and a not in made and b not in made):
+                        pairs.append((a, b, n))
+                        used.update((a, b))
+                        made.add(a + b)
+                        n_adopt += 1
+                        break
+            if n_adopt == 0:
+                break
+            for cls, (pairs, _, _) in enumerate(classes, 1):
+                for a, b, n in pairs:
+                    merges.append((rnd, cls, len(merges) + 1, a, b, n))
+                    for w in vocab:  # ONE pair at a time, step order
+                        vocab[w] = _py_apply_pair(vocab[w], a, b)
+        return merges
+
+    saw_multi_class = False
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                 for _ in range(25)]
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)],
+            "doc_id bigint, text string")
+        got = [(r["round"], r["cls"], r["step"], r["lhs"], r["rhs"],
+                int(r["n_pairs"]))
+               for r in bpe_train_batched(docs, rounds=3, batch=3,
+                                          min_count=1, max_classes=3)
+               .orderBy("step").collect()]
+        want = py_reference(Counter(words), 3, 3, 1, 4, 3)
+        assert got == want, f"seed {seed}: engine != sequential reference"
+        saw_multi_class |= any(m[1] >= 2 for m in want)
+    assert saw_multi_class, "test corpora never exercised class >= 2"
+
+
 def test_bpe_encode_applies_batched_merge_table(spark):
     """The batched trainer's merge table feeds bpe_encode directly
-    (ordered by step): within a round the adopted pairs are
-    symbol-disjoint, so applying them one-at-a-time in step order is
-    equivalent to the trainer's combined per-round pass — the
+    (ordered by step): the coloring guard makes one-at-a-time
+    application in step order EXACTLY equivalent to the trainer's
+    per-class fold passes (see
+    test_bpe_batched_fold_equals_sequential_replay) — the
     train→encode chain holds for BOTH trainers."""
     from tally_database_loader_spark.llm.lm import (bpe_encode,
                                                     bpe_train_batched)

@@ -15,7 +15,10 @@ envelope from numbers, not prose:
 - ``bpe_train`` timed at k = 3 / 32 / 256 on the SAME corpus,
   reporting executed steps, total seconds and sec/step;
 - ``bpe_encode`` timed applying each learned table (fold depth grows
-  with k — the encode-side cost of a big tokenizer).
+  with k — the encode-side cost of a big tokenizer);
+- ``bpe_train_batched`` at the same ~256-merge budget, round-7
+  single-class vs round-8 conflict-graph coloring (VERDICT r7 #3),
+  plus the adoption-rate-vs-alphabet table for both.
 
 Usage: python tools_bpe_scale.py [n_docs] [n_vocab]
        (defaults 50000 10000)
@@ -74,27 +77,33 @@ def main() -> int:
               f" | {t_enc:.1f} | {t_enc / max(steps, 1):.3f} |")
 
     from tally_database_loader_spark.llm.lm import bpe_train_batched
-    print("\nbatched trainer at the same ~256-merge budget "
-          "(bpe_train_batched, round 7):\n")
-    print("| rounds × batch | merges adopted | total s | s/merge |")
-    print("|---|---|---|---|")
+    print("\nbatched trainer at the same ~256-merge budget — round-7 "
+          "single-class (max_classes=1) vs round-8 conflict-graph "
+          "coloring (max_classes=4):\n")
+    print("| rounds × batch | classes | merges adopted | total s "
+          "| s/merge |")
+    print("|---|---|---|---|---|")
     for rounds, batch in ((32, 8), (8, 32), (4, 64)):
-        t0 = time.perf_counter()
-        n_m = bpe_train_batched(corpus, "text", rounds=rounds, batch=batch,
-                                min_count=1).count()
-        dt = time.perf_counter() - t0
-        print(f"| {rounds} × {batch} | {n_m} | {dt:.1f} "
-              f"| {dt / max(n_m, 1):.3f} |")
+        for mc in (1, 4):
+            t0 = time.perf_counter()
+            n_m = bpe_train_batched(corpus, "text", rounds=rounds,
+                                    batch=batch, min_count=1,
+                                    max_classes=mc).count()
+            dt = time.perf_counter() - t0
+            print(f"| {rounds} × {batch} | {mc} | {n_m} | {dt:.1f} "
+                  f"| {dt / max(n_m, 1):.3f} |")
 
     # adoption rate vs SYMBOL-alphabet width: the md5-hex corpus has a
-    # 16-char base alphabet, so symbol-disjointness caps adoption per
-    # round; a 52-letter alphabet should let adoption approach the
-    # budget — measured, not prose
+    # 16-char base alphabet, so single-class symbol-disjointness caps
+    # adoption per round hard; coloring should fill the budget on both
+    # alphabets (VERDICT r7 #3 bar: ≥50% of batch=32 on 52 chars) —
+    # measured, not prose
     import hashlib
     print("\nadoption rate vs base alphabet (rounds=8, batch=32, "
           "same doc/vocab counts):\n")
-    print("| base alphabet | merges adopted of 256 | adopted/round |")
-    print("|---|---|---|")
+    print("| base alphabet | classes | merges adopted of 256 "
+          "| adopted/round |")
+    print("|---|---|---|---|")
     for alpha in (16, 52):
         vocab_words = []
         for i in range(n_vocab):
@@ -107,9 +116,10 @@ def main() -> int:
                              for j in range(20)))
                 for i in range(min(n_docs, 10_000))]
         wide = spark.createDataFrame(rows, "doc_id bigint, text string")
-        n_m = bpe_train_batched(wide, "text", rounds=8, batch=32,
-                                min_count=1).count()
-        print(f"| {alpha} chars | {n_m} | {n_m / 8:.1f} |")
+        for mc in (1, 4):
+            n_m = bpe_train_batched(wide, "text", rounds=8, batch=32,
+                                    min_count=1, max_classes=mc).count()
+            print(f"| {alpha} chars | {mc} | {n_m} | {n_m / 8:.1f} |")
     spark.stop()
     return 0
 
