@@ -121,8 +121,9 @@ IMAGE_SCHEMA = ("doc_id bigint, format string, width int, height int, "
 def _riff_wav_chunks(b: bytes) -> tuple[bytes, bytes]:
     """Direct RIFF chunk walk (fmt + data, odd sizes padded) shared by
     the format-tag paths the stdlib ``wave`` reader rejects (IEEE
-    float, G.711). Duplicate data chunks reject — silently keeping one
-    would misreport every duration/RMS."""
+    float, G.711). Duplicate fmt/data chunks reject — silently keeping
+    one would decode with the other chunk's parameters or misreport
+    every duration/RMS (ADVICE r7: the old walk kept the LAST fmt)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, fmt, data = 12, None, None
@@ -133,6 +134,8 @@ def _riff_wav_chunks(b: bytes) -> tuple[bytes, bytes]:
         if len(chunk) != size:
             raise ValueError("truncated WAV chunk")
         if tag == b"fmt ":
+            if fmt is not None:
+                raise ValueError("WAV with multiple fmt chunks")
             fmt = chunk
         elif tag == b"data":
             if data is not None:

@@ -16,6 +16,20 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem_gib() -> int:
+    """Local-mode driver heap default: min(16, physical_RAM/4) GiB,
+    floor 2 — big enough for the wide local joins the decade replay
+    exercises on the 128 GiB driver box, without over-committing a
+    small laptop/CI host (ADVICE r7). Falls back to 4 GiB when the
+    platform doesn't expose sysconf RAM counters."""
+    try:
+        gib = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+               / (1 << 30))
+    except (ValueError, OSError, AttributeError):
+        return 4
+    return max(2, min(16, int(gib // 4)))
+
+
 def get_spark(app_name: str = "tally_database_loader_spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -44,9 +58,14 @@ def get_spark(app_name: str = "tally_database_loader_spark",
     # local mode puts driver and executors in ONE JVM whose default heap
     # is 1 GiB — 32 concurrent tasks on a 128 GiB box would OOM on any
     # join that builds a few hundred MB of state (found by the 10×-decade
-    # replay, round 7). Applies only when this call creates the JVM; on a
-    # real cluster spark-submit owns the sizing.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # replay, round 7). ADVICE r7: don't over-commit small hosts — the
+    # default is min(16 GiB, ~1/4 of physical RAM), floored at 2 GiB;
+    # SPARK_GRAFT_DRIVER_MEM still overrides outright. Applies only when
+    # this call creates the JVM; on a real cluster spark-submit owns the
+    # sizing (and a reused session silently keeps its existing heap, so
+    # tools that NEED a big heap must be first to build the session).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                f"{_default_driver_mem_gib()}g")
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -58,3 +58,34 @@ def test_streaming_listener_records_progress(spark, tmp_path):
                    for e in listener.events)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_default_driver_mem_scales_with_host_ram(monkeypatch):
+    """ADVICE r7: the local driver-heap default derives from physical
+    RAM — min(16 GiB, RAM/4), floor 2 — instead of an unconditional
+    16g that over-commits small hosts; SPARK_GRAFT_DRIVER_MEM always
+    overrides (exercised implicitly: get_spark reads the env first)."""
+    import os as _os
+
+    from tally_database_loader_spark.session import _default_driver_mem_gib
+
+    real_sysconf = _os.sysconf
+
+    def fake_sysconf(name, _pages={"SC_PHYS_PAGES": None}):
+        if name == "SC_PAGE_SIZE":
+            return 4096
+        if name == "SC_PHYS_PAGES":
+            return fake_sysconf.pages
+        return real_sysconf(name)
+
+    monkeypatch.setattr(_os, "sysconf", fake_sysconf)
+    for ram_gib, want in ((256, 16), (128, 16), (64, 16), (32, 8),
+                          (8, 2), (4, 2)):
+        fake_sysconf.pages = ram_gib * (1 << 30) // 4096
+        assert _default_driver_mem_gib() == want, ram_gib
+
+    def broken_sysconf(name):
+        raise ValueError(name)
+
+    monkeypatch.setattr(_os, "sysconf", broken_sysconf)
+    assert _default_driver_mem_gib() == 4
