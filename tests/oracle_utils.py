@@ -43,19 +43,40 @@ def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_spark_duckdb(spark_df, duck_con, sql: str) -> tuple[bool, str]:
+    ok, msg, _, _ = compare_spark_duckdb_timed(spark_df, duck_con, sql)
+    return ok, msg
+
+
+def compare_spark_duckdb_timed(
+        spark_df, duck_con, sql: str) -> tuple[bool, str, float, float]:
+    """``compare_spark_duckdb`` plus the engine-vs-oracle wall-time
+    split: returns ``(ok, msg, t_spark, t_duck)`` where ``t_spark``
+    covers ONLY the Spark materialization (collect) and ``t_duck``
+    only the DuckDB oracle execution + fetch — so scale replays can
+    report the Spark-side number separately instead of a conflated
+    total that makes the engine look superlinear when the recursive
+    CTE oracle dominates (VERDICT r7 #2)."""
+    import time
     s_cols = [f.name.lower() for f in spark_df.schema.fields]
+    t0 = time.perf_counter()
     s_rows = [tuple(r) for r in spark_df.collect()]
+    t_spark = time.perf_counter() - t0
+    t0 = time.perf_counter()
     rel = duck_con.sql(sql)
     d_cols = [c.lower() for c in rel.columns]
     d_rows = rel.fetchall()
+    t_duck = time.perf_counter() - t0
 
     if sorted(s_cols) != sorted(d_cols):
-        return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+        return (False, f"column mismatch: spark={sorted(s_cols)} "
+                f"duckdb={sorted(d_cols)}", t_spark, t_duck)
     if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+        return (False, f"row count mismatch: spark={len(s_rows)} "
+                f"duckdb={len(d_rows)}", t_spark, t_duck)
     sn = normalize_rows(s_cols, s_rows)
     dn = normalize_rows(d_cols, d_rows)
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
-        return False, f"value mismatch, first diffs: {diffs}"
-    return True, "ok"
+        return (False, f"value mismatch, first diffs: {diffs}",
+                t_spark, t_duck)
+    return True, "ok", t_spark, t_duck
