@@ -66,6 +66,16 @@ def load(path: str) -> tuple[dict[str, float], dict]:
 
     with open(path) as fh:
         rec = json.load(fh)
+    if "per_query_runs" in rec:
+        # a bench_logs/raw-*.json passed directly: recompute the
+        # per-query medians exactly as bench.py does
+        queries = {n: round(statistics.median(t), 3)
+                   for n, t in rec["per_query_runs"].items()}
+        return queries, {"queries": queries,
+                         "runs": rec.get("pass_totals"),
+                         "loadavg": rec.get("loadavg_after"),
+                         "protocol": f"median-of-{rec.get('n_runs')} "
+                                     f"(raw log given directly)"}
     if "queries" not in rec and "tail" in rec:
         # the driver's BENCH_rN.json wraps bench.py stdout in a
         # 2000-char "tail" — pull the last {"metric": ...} line out of
