@@ -347,9 +347,11 @@ def bpe_train_batched(docs: DataFrame, text_col: str = "text",
     ROUND (all lazy; one ``localCheckpoint`` per round bounds
     lineage). ``scan_mult`` sizes the candidate window the coloring
     draws from; with coloring, scan_mult=4 already fills a 32-pair
-    budget on natural text (measured ~32/32 vs single-class 10.9/32,
-    SCALE.md §15). Production guidance: batch 32–64, scan_mult 4–8,
-    max_classes 4.
+    budget on the measured envelope corpus (32.0/32 vs single-class
+    10.9/32, SCALE.md §16); at batch=64 the window and classes both
+    bind, and scanning deeper + more classes fills that budget too
+    (measured). Production guidance: batch 32–64, scan_mult 4–16,
+    max_classes 4–8.
 
     Output: ``round, cls, step, lhs, rhs, n_pairs`` — ``step`` is the
     global APPLICATION order (round, then class, then rank within

@@ -83,15 +83,21 @@ def main() -> int:
     print("| rounds × batch | classes | merges adopted | total s "
           "| s/merge |")
     print("|---|---|---|---|---|")
-    for rounds, batch in ((32, 8), (8, 32), (4, 64)):
-        for mc in (1, 4):
-            t0 = time.perf_counter()
-            n_m = bpe_train_batched(corpus, "text", rounds=rounds,
-                                    batch=batch, min_count=1,
-                                    max_classes=mc).count()
-            dt = time.perf_counter() - t0
-            print(f"| {rounds} × {batch} | {mc} | {n_m} | {dt:.1f} "
-                  f"| {dt / max(n_m, 1):.3f} |")
+    # (rounds, batch, max_classes, scan_mult): the last config shows
+    # the two levers composing — when 4 classes exhaust the default
+    # scan window (the 4×64/mc=4 row stalls at ~half budget), scanning
+    # deeper + more classes fills it
+    for rounds, batch, mc, sm in ((32, 8, 1, 4), (32, 8, 4, 4),
+                                  (8, 32, 1, 4), (8, 32, 4, 4),
+                                  (4, 64, 1, 4), (4, 64, 4, 4),
+                                  (4, 64, 8, 16)):
+        t0 = time.perf_counter()
+        n_m = bpe_train_batched(corpus, "text", rounds=rounds,
+                                batch=batch, min_count=1,
+                                max_classes=mc, scan_mult=sm).count()
+        dt = time.perf_counter() - t0
+        print(f"| {rounds} × {batch} | {mc} (scan_mult={sm}) | {n_m} "
+              f"| {dt:.1f} | {dt / max(n_m, 1):.3f} |")
 
     # adoption rate vs SYMBOL-alphabet width: the md5-hex corpus has a
     # 16-char base alphabet, so single-class symbol-disjointness caps
