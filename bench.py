@@ -124,6 +124,12 @@ HEADLINE = [
     "report_purchase_daily",
     "report_purchase_monthly",
     "report_sales_monthly",
+    # round-8 additions (new slots): exact substring dedup (overlapping
+    # k-gram anchors + interval merge — suffix-array semantics) and
+    # perceptual image near-dup (real-decoder aHash + lossless 4×16-band
+    # Hamming LSH)
+    "substring_dedup",
+    "image_ahash_dups",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state

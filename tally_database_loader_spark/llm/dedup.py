@@ -380,6 +380,102 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (overlapping k-gram anchors, suffix-array semantics)
+# ---------------------------------------------------------------------------
+
+def gram_table(df: DataFrame, id_col: str, text_col: str,
+               k: int = 8) -> DataFrame:
+    """(doc_id, pos, gram) — OVERLAPPING k-token windows at stride 1.
+
+    Unlike ``span_table``'s disjoint spans, every token position opens a
+    window, so a duplicated passage is detected at ANY alignment — the
+    property suffix-array substring dedup has and fixed-span dedup lacks.
+    Documents shorter than ``k`` tokens contribute no anchors. ``pos`` is
+    the 0-based token index of the window start."""
+    from ..sources.catalog import fan_out
+    df = fan_out(df, id_col)
+    t = tokens(F.col(text_col))
+    grams = F.when(F.size(t) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k))))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(grams).alias("pos", "gram"))
+
+
+def substring_dedup(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8, hash_grams: bool = True) -> DataFrame:
+    """Exact substring-level dedup: remove every passage of >= ``k``
+    tokens that also occurs elsewhere in the corpus, keeping only its
+    globally-first occurrence (the distributed re-expression of
+    suffix-array training-data dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Semantics (deterministic, retry-safe):
+
+    - every overlapping k-token window is an anchor (``gram_table``);
+    - for each gram occurring >= 2 times corpus-wide, the occurrence with
+      the smallest (doc_id, pos) is the keeper; all other occurrences are
+      duplicate anchors;
+    - a token is removed iff some duplicate anchor's window covers it;
+      adjacent/overlapping covered ranges merge into maximal spans —
+      exactly the maximal repeated-substring intervals a suffix array
+      yields, minus up to k-1 boundary tokens of alignment slack;
+    - surviving tokens are re-joined in order.
+
+    Plan shape: one explode (map-side, stride-1 so bytes amplify ~×k —
+    the same ×k a suffix array pays in pointers), one groupBy(gram)
+    shuffle whose boilerplate skew collapses via partial aggregation
+    (min-struct + count are both combinable), one join back to anchors,
+    and one groupBy(doc) to assemble the removal set. No self-join of
+    the anchor table, no window over the corpus-wide gram stream.
+
+    ``hash_grams=True`` (the 100 TB path) shuffles 8-byte ``xxhash64``
+    keys instead of k-token strings; ``False`` keeps raw strings so a
+    SQL oracle can reproduce the grouping byte-for-byte (collision-free
+    by construction). Both modes agree on every corpus without a 64-bit
+    hash collision (tests pin this on the bench corpus).
+
+    Returns (doc_id, n_tokens, n_removed, n_spans_removed, dedup_text).
+    """
+    gr = gram_table(df, id_col, text_col, k)
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    gr = gr.select("doc_id", "pos", key.alias("g"))
+    elect = (gr.groupBy("g")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("keep"),
+                    F.count(F.lit(1)).alias("n_occ")))
+    dup = (gr.join(elect.filter(F.col("n_occ") >= 2), "g")
+             .filter(~((F.col("keep.doc_id") == F.col("doc_id"))
+                       & (F.col("keep.pos") == F.col("pos"))))
+             .select("doc_id", "pos"))
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(k - 1))).alias("tpos"))
+    rem = (covered.groupBy("doc_id")
+                  .agg(F.array_sort(F.collect_set("tpos")).alias("removed")))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("t"))
+    joined = base.join(rem, "doc_id", "left")
+    rs = F.coalesce(F.col("removed"),
+                    F.array().cast("array<int>"))
+    # island starts in the sorted removal set: position 0, or a gap > 1
+    # (element_at is 1-based, so element_at(rs, i) IS the predecessor of
+    # the element at 0-based lambda index i; the when() guards i == 0 so
+    # ANSI mode never sees index 0)
+    spans = F.size(F.filter(
+        rs, lambda x, i: F.when(i == F.lit(0), F.lit(True))
+                          .otherwise(x != F.element_at(rs, i) + F.lit(1))))
+    kept = F.filter(F.col("t"),
+                    lambda tok, i: ~F.array_contains(rs, i.cast("int")))
+    return joined.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed"),
+        spans.alias("n_spans_removed"),
+        F.array_join(kept, " ").alias("dedup_text"))
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup (new batch vs existing corpus snapshot)
 # ---------------------------------------------------------------------------
 

@@ -1086,3 +1086,108 @@ def fake_decode_features(df: DataFrame, id_col: str = "doc_id",
                                               "max_byte", "width", "height"])
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-duplicate detection (round 8)
+# ---------------------------------------------------------------------------
+
+def _ahash_record(px: "np.ndarray") -> tuple[int, int, int, int, int]:
+    """64-bit average hash of an RGB raster, exact-integer end to end.
+
+    Grid: nearest-neighbor downsample to 8×8 (the same ``(i*src)//dst``
+    index rule every resize in this module uses), per-cell gray =
+    r+g+b (0..765 — a monotone scale of the mean, division-free so the
+    threshold below stays in integers). Bit i (= y*8+x, row-major) is 1
+    iff ``64*gray_i > sum(gray)`` — strictly above the mean, ties → 0.
+    Returns (ahash_signed_int64, band0..band3) where band j packs bits
+    [16j, 16j+16) — the 4×16 split ``ahash_near_duplicates`` buckets on.
+    """
+    sh, sw = px.shape[:2]
+    yi = (np.arange(8) * sh) // 8
+    xi = (np.arange(8) * sw) // 8
+    g = px[yi][:, xi].astype(np.int64).sum(axis=2).ravel()
+    bits = (64 * g > g.sum()).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    h = int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+    bands = [int((bits[16 * j:16 * j + 16]
+                  * weights[:16]).sum(dtype=np.uint64)) for j in range(4)]
+    return h, bands[0], bands[1], bands[2], bands[3]
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload",
+                tier: str | None = None) -> DataFrame:
+    """Perceptual hash extraction for image near-dup detection: decode
+    (REAL decoders — PPM/PNG/GIF/BMP/JPEG/lossless-WebP via
+    ``_decode_image_pixels``; ``tier`` as in ``decode_image_features``),
+    8×8 average-hash, and the 4×16-bit band split, one Arrow batch at a
+    time. Undecodable payloads yield NULL hash columns — never task
+    failures, and never a confident garbage hash.
+
+    Returns (doc_id, ahash bigint, b0..b3 int). At 100 TB this is the
+    map-only feature pass; the quadratic work lives downstream in
+    ``ahash_near_duplicates`` where banding bounds it."""
+    decode_px = _pixel_decoder(tier)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rec = dict.fromkeys(("ahash", "b0", "b1", "b2", "b3"))
+                try:
+                    h, b0, b1, b2, b3 = _ahash_record(
+                        decode_px(bytes(payload))["pixels"])
+                    rec = {"ahash": h, "b0": b0, "b1": b1,
+                           "b2": b2, "b3": b3}
+                except ImportError:
+                    raise  # executor missing Pillow under tier="native"
+                except Exception:
+                    pass
+                rows.append({"doc_id": doc_id, **rec})
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash",
+                                              "b0", "b1", "b2", "b3"])
+
+    return df.mapInPandas(
+        extract, schema="doc_id bigint, ahash bigint, "
+                        "b0 int, b1 int, b2 int, b3 int")
+
+
+def ahash_near_duplicates(hashes: DataFrame,
+                          max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs from an ``image_ahash`` table via
+    banded Hamming LSH: explode each hash into its 4 disjoint 16-bit
+    bands, self-equi-join on (band_idx, band_val), then verify
+    ``popcount(xor) <= max_hamming`` on the survivors.
+
+    For ``max_hamming <= 3`` the banding is LOSSLESS, not approximate:
+    two hashes within Hamming distance 3 differ in at most 3 of the 4
+    disjoint bands, so at least one band matches exactly (pigeonhole —
+    the multi-index hashing identity, Norouzi et al. 2012). A SQL
+    oracle can therefore brute-force all pairs and provably reach the
+    identical result set, while this plan never goes all-pairs: the
+    join is a uniform-key equi-join whose candidate count is bounded by
+    bucket occupancy, the same shape as MinHash banding. max_hamming
+    above ``bands-1`` would turn banding into a recall approximation —
+    rejected loudly rather than silently weakened.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("banded join over 4 bands is exact only for "
+                         f"max_hamming <= 3 (got {max_hamming})")
+    b = (hashes.filter(F.col("ahash").isNotNull())
+               .select("doc_id", "ahash",
+                       F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                        .alias("band_idx", "band_val")))
+    a, bb = b.alias("a"), b.alias("b")
+    cand = (a.join(bb, (F.col("a.band_idx") == F.col("b.band_idx"))
+                       & (F.col("a.band_val") == F.col("b.band_val"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.col("a.ahash").alias("ha"),
+                     F.col("b.ahash").alias("hb"))
+             .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))

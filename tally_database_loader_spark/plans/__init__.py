@@ -101,12 +101,26 @@ _WINDOW = [
     # text analysis (6 families in one pass, incl. Gopher rule filters)
     # + dedup modalities
     "text_profile", "minhash_lsh_dedup",
-    "dedup_clusters", "incremental_dedup", "embedding_cosine_dups",
+    "dedup_clusters", "incremental_dedup",
     # round-6 flagships: guarded SemDeDup, the MinHash→SemDeDup two-tier
-    # composition, the full BPE training loop, and the real-decoder
-    # value-hash gate; round 7 adds the train→apply encode chain
-    "semantic_dedup_capped", "two_tier_dedup", "bpe_train", "bpe_encode",
-    "ppm_decode_real",
+    # composition and the real-decoder value-hash gate; round 7 adds the
+    # train→apply encode chain.
+    # Round-8 curation #2: the two round-8 flagships rotate IN —
+    # substring_dedup (exact substring dedup, the suffix-array semantics
+    # via overlapping k-gram anchors + interval merge) and
+    # image_ahash_dups (perceptual image near-dup over the REAL decoder:
+    # exact-integer average hash + provably-lossless 4×16-band Hamming
+    # LSH). Displaced: bpe_train (the training-loop family keeps TWO
+    # in-window rows — bpe_encode's oracle replays the full training
+    # recursion, and bpe_train_batched is the batched trainer) and
+    # embedding_cosine_dups (its SRP-LSH pair stage executes inside the
+    # in-window dedup_clusters, whose oracle embeds the
+    # embedding_cosine_dups oracle as its pair CTE; embedding-space
+    # dedup also stays via semantic_dedup_capped + two_tier_dedup).
+    # Both displaced queries remain registered and oracle-replayed by
+    # tests/test_gate_queries.py.
+    "semantic_dedup_capped", "two_tier_dedup", "bpe_encode",
+    "ppm_decode_real", "substring_dedup", "image_ahash_dups",
     # multimodal plumbing (decode ∪ resize ∪ frame-sample in one slot) +
     # similarity search (7 strategies in one slot, incl. PQ-ADC and
     # cluster-balanced selection) + bounded-state sketches (CMS ∪ HLL ∪

@@ -3205,3 +3205,155 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return dsir_importance(d, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (llm/dedup.py substring_dedup) — round 8
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+
+@gate_query("substring_dedup", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKENS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(range(0, GREATEST(len(t) - {_SUBSTR_K} + 1, 0))) AS pos, t
+  FROM tok
+),
+gr AS (
+  SELECT doc_id, pos,
+         array_to_string(t[(pos + 1):(pos + {_SUBSTR_K})], ' ') AS gram
+  FROM g
+),
+el AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS n_occ,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM gr
+),
+dup AS (SELECT doc_id, pos FROM el WHERE n_occ >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS tpos
+  FROM dup, range(0, {_SUBSTR_K}) r(i)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_removed,
+         CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+                       THEN 1 ELSE 0 END) AS INT) AS n_spans_removed
+  FROM (SELECT doc_id, tpos,
+               lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        FROM cov)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS i FROM tok
+),
+txt AS (
+  SELECT tk.doc_id, string_agg(tk.tk, ' ' ORDER BY tk.i) AS dedup_text
+  FROM toks tk
+  ANTI JOIN cov c ON c.doc_id = tk.doc_id AND c.tpos = tk.i
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(tk.t) AS INT) AS n_tokens,
+       COALESCE(s.n_removed, 0) AS n_removed,
+       COALESCE(s.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(x.dedup_text, '') AS dedup_text
+FROM documents d
+JOIN tok tk ON tk.doc_id = d.doc_id
+LEFT JOIN spans s ON s.doc_id = d.doc_id
+LEFT JOIN txt x ON x.doc_id = d.doc_id
+""")
+def substring_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (round-8 flagship): every passage of >= 8
+    tokens that occurs more than once corpus-wide is removed except at
+    its globally-first (doc_id, pos) occurrence — the distributed
+    re-expression of suffix-array training-data dedup (Lee et al. 2022)
+    via overlapping stride-1 k-gram anchors + covered-interval merge
+    (llm/dedup.py substring_dedup). Unlike span_dedup's fixed disjoint
+    spans, duplicated passages are caught at ANY token alignment. The
+    gate runs the oracle-parity arm (raw gram strings); hash_grams=True
+    is the 100 TB path (8-byte xxhash64 shuffle keys), pinned equal on
+    this corpus by tests/test_llm.py. The oracle re-derives keeper
+    election (row_number over gram), interval merge (lag gap>1) and the
+    order-preserving reassembly (anti-join + string_agg)."""
+    from ..llm.dedup import substring_dedup
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup(d, "doc_id", "text", k=_SUBSTR_K,
+                           hash_grams=False)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (llm/multimodal.py image_ahash) — round 8
+# ---------------------------------------------------------------------------
+
+_DD_AHASH = """
+  pimg AS (SELECT doc_id, substr(rpad(text, 768, 'x'), 1, 768) AS s
+           FROM documents),
+  gpx AS (
+    SELECT doc_id, yy, xx,
+           (unicode(substr(s, ((2*yy)*16 + 2*xx)*3 + 1, 1))
+          + unicode(substr(s, ((2*yy)*16 + 2*xx)*3 + 2, 1))
+          + unicode(substr(s, ((2*yy)*16 + 2*xx)*3 + 3, 1))) AS g
+    FROM pimg, range(0, 8) r1(yy), range(0, 8) r2(xx)
+  ),
+  bits AS (
+    SELECT doc_id, yy * 8 + xx AS i,
+           CASE WHEN 64 * g > sum(g) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM gpx
+  ),
+  hs AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit = 1 AND i = 63
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         WHEN bit = 1 THEN CAST(1 AS BIGINT) << i
+                         ELSE 0 END) AS BIGINT) AS ahash
+    FROM bits GROUP BY doc_id
+  )
+"""
+
+@gate_query("image_ahash_dups", oracle=f"""
+WITH {_DD_AHASH}
+SELECT 'hash' AS arm, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+       ahash AS val
+FROM hs
+UNION ALL
+SELECT 'pair' AS arm, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS val
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+""")
+def image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (round-8 flagship #2): each document's
+    first 768 ASCII bytes become the raster of a REAL 16×16 maxval-255
+    binary PPM, decoded by the real pixel decoder, hashed with the
+    exact-integer 8×8 average hash, and near-dup pairs found via banded
+    Hamming LSH (llm/multimodal.py image_ahash + ahash_near_duplicates).
+    The 'hash' arm hash-checks every 64-bit perceptual hash; the 'pair'
+    arm hash-checks the duplicate pair set at Hamming <= 3 — where the
+    4×16-band join is provably LOSSLESS (pigeonhole: <= 3 differing bits
+    cannot touch all 4 disjoint bands), so the oracle may brute-force
+    all pairs while Spark never does: its join is bucketed, the same
+    candidate-bounding shape as MinHash banding. The oracle re-derives
+    gray = r+g+b at the nearest-neighbor grid points (16→8 picks even
+    coordinates), the strict 64*g > total threshold, and the signed
+    bit-63 packing."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("P6\n16 16\n255\n"),
+                          F.substring(F.rpad(F.col("text"), 768, "x"),
+                                      1, 768)),
+                 "utf-8").alias("payload"))
+    hs = mm.image_ahash(payload, tier="reference")
+    pairs = mm.ahash_near_duplicates(hs, max_hamming=3)
+    harm = hs.select(F.lit("hash").alias("arm"),
+                     F.col("doc_id").alias("id_a"),
+                     F.lit(-1).cast("bigint").alias("id_b"),
+                     F.col("ahash").alias("val"))
+    parm = pairs.select(F.lit("pair").alias("arm"), "id_a", "id_b",
+                        F.col("hamming").cast("bigint").alias("val"))
+    return harm.unionByName(parm)

@@ -55,10 +55,12 @@ def test_driver_window_covers_all_families():
         # composite-key month join (F16/F2) now run on the real model —
         # 10 report_* rows in the window
         "report_stock_voucher_view", "report_sales_monthly",
-        # round-6 curation: the four round-5 flagships now carry driver
-        # rows (VERDICT r5 #1) — guarded SemDeDup, the two-tier dedup
-        # composition, the full BPE training loop, the real-decoder gate
-        "semantic_dedup_capped", "two_tier_dedup", "bpe_train",
+        # round-6 curation: round-5 flagships carry driver rows (VERDICT
+        # r5 #1) — guarded SemDeDup, two-tier dedup, real-decoder gate
+        # (bpe_train rotated out round 8: the training-loop family keeps
+        # two in-window rows via bpe_encode's full-recursion oracle and
+        # bpe_train_batched)
+        "semantic_dedup_capped", "two_tier_dedup",
         "ppm_decode_real",
         # round-7 curation: the train→apply tokenizer chain (VERDICT r6
         # #1) displaces dedup_exact — exact dedup stays driver-verified
@@ -68,6 +70,12 @@ def test_driver_window_covers_all_families():
         # length_stats — the length/percentile family stays in-window via
         # token_stats_suite and text_profile
         "bpe_train_batched",
+        # round-8 flagships: exact substring dedup (suffix-array
+        # semantics via overlapping k-gram anchors) and perceptual image
+        # near-dup (exact-integer aHash over the real decoder + lossless
+        # 4×16-band Hamming LSH). Displaced embedding_cosine_dups stays
+        # driver-verified inside dedup_clusters' pair stage.
+        "substring_dedup", "image_ahash_dups",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

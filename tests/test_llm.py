@@ -499,6 +499,139 @@ def _resplit(text: str, span_tokens: int) -> list[str]:
             for i in range(0, len(toks) - span_tokens + 1, span_tokens)]
 
 
+def test_substring_dedup_handcrafted(spark):
+    """Exact substring dedup semantics on a corpus with known repeats:
+    keep-first election, any-alignment detection, interval merge of
+    overlapping windows, within-doc repeats, multi-island documents and
+    sub-k documents (tally_database_loader_spark/llm/dedup.py
+    substring_dedup, k=4)."""
+    from tally_database_loader_spark.llm.dedup import substring_dedup
+    docs = [
+        (1, "one two three four alpha"),
+        (2, "zz one two three four beta"),          # misaligned repeat
+        (3, "p1 p2 p3 p4 p5 p6 p7"),
+        (4, "x p1 p2 p3 p4 p5 p6 p7 y"),            # long passage, merge
+        (5, "q1 q2 q3 q4 filler q1 q2 q3 q4"),      # within-doc repeat
+        (6, "q1 q2 q3 q4 u1 u2 u3 u4 u5 p1 p2 p3 p4"),  # two islands
+        (7, "tiny doc"),                             # < k tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           substring_dedup(df, "doc_id", "text", k=4,
+                           hash_grams=False).collect()}
+    expect = {
+        1: (5, 0, 0, "one two three four alpha"),
+        2: (6, 4, 1, "zz beta"),
+        3: (7, 0, 0, "p1 p2 p3 p4 p5 p6 p7"),
+        4: (9, 7, 1, "x y"),
+        5: (9, 4, 1, "q1 q2 q3 q4 filler"),
+        6: (13, 8, 2, "u1 u2 u3 u4 u5"),
+        7: (2, 0, 0, "tiny doc"),
+    }
+    assert len(got) == len(expect)
+    for doc_id, (nt, nr, ns, txt) in expect.items():
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_removed"],
+                r["n_spans_removed"], r["dedup_text"]) == (nt, nr, ns, txt), \
+            f"doc {doc_id}: {r}"
+
+
+def test_substring_dedup_hash_parity_and_invariants(spark):
+    """The xxhash64 production arm and the raw-string oracle-parity arm
+    agree row-for-row on the bench corpus (collision-free grouping), and
+    structural invariants hold: removals never exceed tokens, island
+    count is consistent with removals, dedup_text token count == kept."""
+    from tally_database_loader_spark.llm.dedup import substring_dedup
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r["doc_id"]: tuple(r) for r in
+         substring_dedup(d, "doc_id", "text", k=8,
+                         hash_grams=True).collect()}
+    b = {r["doc_id"]: tuple(r) for r in
+         substring_dedup(d, "doc_id", "text", k=8,
+                         hash_grams=False).collect()}
+    assert a == b
+    assert any(r[2] > 0 for r in a.values())  # the corpus has repeats
+    for doc_id, (_, nt, nr, ns, txt) in a.items():
+        assert 0 <= nr <= nt
+        assert (ns == 0) == (nr == 0)
+        assert ns <= nr
+        assert len(txt.split()) == nt - nr
+
+
+def test_image_ahash_known_raster_and_null(spark):
+    """image_ahash against a hand-computed expectation: a 16×16 PPM whose
+    left half is black and right half white downsamples to 8×8 with 4
+    white columns per row -> bit pattern 0b11110000 per row; undecodable
+    payloads yield NULL hashes, not failures."""
+    from tally_database_loader_spark.llm.multimodal import image_ahash
+    raster = bytearray()
+    for y in range(16):
+        for x in range(16):
+            v = 255 if x >= 8 else 0
+            raster += bytes((v, v, v))
+    ppm = b"P6\n16 16\n255\n" + bytes(raster)
+    df = spark.createDataFrame([(1, bytearray(ppm)), (2, bytearray(b"junk"))],
+                               "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_ahash(df).collect()}
+    # nearest 16->8 picks even x; gray=765 for x8 in 4..7 (src x 8..14),
+    # mean = 765/2 -> bit set iff white. Row byte 0b11110000 = 0xF0.
+    expected_bits = 0
+    for y in range(8):
+        for x in range(4, 8):
+            expected_bits |= 1 << (y * 8 + x)
+    import numpy as np
+    expected = int(np.uint64(expected_bits).astype(np.int64))
+    assert got[1]["ahash"] == expected
+    assert (got[1]["b0"], got[1]["b1"], got[1]["b2"], got[1]["b3"]) == (
+        0xF0F0, 0xF0F0, 0xF0F0, 0xF0F0)
+    assert got[2]["ahash"] is None and got[2]["b0"] is None
+
+
+def test_ahash_banded_join_is_lossless_at_hamming_3(spark):
+    """Pigeonhole identity: for Hamming <= 3 over 4 disjoint 16-bit
+    bands, the banded candidate join finds EVERY qualifying pair — the
+    result equals brute-force all-pairs. Built directly on a synthetic
+    hash table whose pairs straddle band boundaries; also pins the
+    max_hamming > 3 loud reject."""
+    import itertools
+    import numpy as np
+    import pytest as _pytest
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates)
+
+    def row(doc_id, h):
+        bits = int(np.uint64(h))
+        return (doc_id, int(np.uint64(h).astype(np.int64)),
+                bits & 0xFFFF, (bits >> 16) & 0xFFFF,
+                (bits >> 32) & 0xFFFF, (bits >> 48) & 0xFFFF)
+
+    base = 0xDEADBEEFCAFEF00D
+    hashes = [
+        row(1, base),
+        row(2, base ^ (1 << 0) ^ (1 << 17) ^ (1 << 33)),  # 3 bands touched
+        row(3, base ^ (1 << 63)),                          # sign bit flip
+        row(4, base ^ 0b111),                              # 3 bits, 1 band
+        row(5, base ^ (1 << 5) ^ (1 << 21) ^ (1 << 37) ^ (1 << 53)),  # d=4
+        row(6, 0),                                         # far away
+    ]
+    df = spark.createDataFrame(
+        hashes, "doc_id long, ahash long, b0 int, b1 int, b2 int, b3 int")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in ahash_near_duplicates(df, max_hamming=3).collect()}
+    # brute force over the unsigned views of the stored hashes
+    raw = {r[0]: r[1] & 0xFFFFFFFFFFFFFFFF for r in hashes}
+    want = {}
+    for a, b in itertools.combinations(sorted(raw), 2):
+        d = bin(raw[a] ^ raw[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in want and (1, 3) in want and (1, 4) in want
+    assert (1, 5) not in want
+    with _pytest.raises(ValueError):
+        ahash_near_duplicates(df, max_hamming=4)
+
+
 def test_normalize_nfc_matches_unicodedata_and_handles_null(spark):
     import unicodedata
     from tally_database_loader_spark.llm.text import normalize_nfc
