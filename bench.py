@@ -130,6 +130,10 @@ HEADLINE = [
     # Hamming LSH)
     "substring_dedup",
     "image_ahash_dups",
+    "audio_fp_dups",
+    # production arm of substring_dedup: xxhash64 gram keys instead of
+    # the gate's oracle-parity raw strings (plans/bench_plans.py)
+    "substring_dedup_prod",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state

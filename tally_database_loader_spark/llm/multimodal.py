@@ -1153,8 +1153,90 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id",
                         "b0 int, b1 int, b2 int, b3 int")
 
 
+def _wav_pcm_samples(b: bytes) -> "np.ndarray":
+    """Integer PCM samples of a RIFF/WAV payload as int64 (widths
+    1/2/3/4; the same width handling as ``_decode_wav_bytes`` but
+    WITHOUT the float cast, so downstream arithmetic stays exact).
+    Raises for float/G.711 payloads — fingerprinting is defined on
+    integer PCM; other tiers surface as NULL rows upstream."""
+    with wave.open(io.BytesIO(b)) as w:
+        width = w.getsampwidth()
+        pcm = w.readframes(w.getnframes())
+    if width == 2:
+        return np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    if width == 1:
+        return np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+    if width == 4:
+        return np.frombuffer(pcm, dtype="<i4").astype(np.int64)
+    if width == 3:
+        u = np.frombuffer(pcm, dtype=np.uint8)
+        u = u[:len(u) - len(u) % 3].reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        return v - ((v >= (1 << 23)).astype(np.int64) << 24)
+    raise ValueError(f"unsupported PCM width {width}")
+
+
+_FP_FRAMES, _FP_FRAME_LEN = 64, 4   # 63 energy-delta bits < 2^63
+
+
+def _audio_fp_record(samples: "np.ndarray") -> tuple[int, int, int, int,
+                                                     int]:
+    """63-bit energy-delta fingerprint (the Haitsma-Kalker bit rule on
+    integer frame energies): 64 frames of 4 samples, energy_f = Σ s²
+    exactly in int64, bit i = 1 iff energy[i+1] > energy[i] (strict,
+    ties → 0). Bit 63 is never set, so the value is always a
+    non-negative BIGINT — no sign gymnastics in any engine. Short
+    payloads zero-pad to 256 samples. Returns (fp, band0..band3),
+    bands as in ``_ahash_record``."""
+    need = _FP_FRAMES * _FP_FRAME_LEN
+    s = samples[:need]
+    if s.shape[0] < need:
+        s = np.concatenate([s, np.zeros(need - s.shape[0], dtype=np.int64)])
+    e = (s * s).reshape(_FP_FRAMES, _FP_FRAME_LEN).sum(axis=1)
+    bits = np.zeros(64, dtype=np.uint64)
+    bits[:63] = (e[1:] > e[:-1]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    fp = int((bits * weights).sum(dtype=np.uint64))
+    bands = [int((bits[16 * j:16 * j + 16]
+                  * weights[:16]).sum(dtype=np.uint64)) for j in range(4)]
+    return fp, bands[0], bands[1], bands[2], bands[3]
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Acoustic fingerprint extraction for audio near-dup detection:
+    REAL WAV decode (integer PCM widths 1/2/3/4) → 63-bit energy-delta
+    fingerprint + the 4×16-bit band split, Arrow batch at a time. The
+    same downstream near-dup machinery as images
+    (``ahash_near_duplicates`` with ``hash_col='fp'``) — banded Hamming
+    LSH, lossless at distance <= 3. Undecodable / non-integer-PCM
+    payloads yield NULL fingerprints, never task failures.
+
+    Returns (doc_id, fp bigint, b0..b3 int)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rec = dict.fromkeys(("fp", "b0", "b1", "b2", "b3"))
+                try:
+                    fp, b0, b1, b2, b3 = _audio_fp_record(
+                        _wav_pcm_samples(bytes(payload)))
+                    rec = {"fp": fp, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                except Exception:
+                    pass
+                rows.append({"doc_id": doc_id, **rec})
+            yield pd.DataFrame(rows, columns=["doc_id", "fp",
+                                              "b0", "b1", "b2", "b3"])
+
+    return df.mapInPandas(
+        extract, schema="doc_id bigint, fp bigint, "
+                        "b0 int, b1 int, b2 int, b3 int")
+
+
 def ahash_near_duplicates(hashes: DataFrame,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          hash_col: str = "ahash") -> DataFrame:
     """Image near-duplicate pairs from an ``image_ahash`` table via
     banded Hamming LSH: explode each hash into its 4 disjoint 16-bit
     bands, self-equi-join on (band_idx, band_val), then verify
@@ -1175,8 +1257,8 @@ def ahash_near_duplicates(hashes: DataFrame,
     if not 0 <= max_hamming <= 3:
         raise ValueError("banded join over 4 bands is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
-    b = (hashes.filter(F.col("ahash").isNotNull())
-               .select("doc_id", "ahash",
+    b = (hashes.filter(F.col(hash_col).isNotNull())
+               .select("doc_id", F.col(hash_col).alias("ahash"),
                        F.posexplode(F.array("b0", "b1", "b2", "b3"))
                         .alias("band_idx", "band_val")))
     a, bb = b.alias("a"), b.alias("b")

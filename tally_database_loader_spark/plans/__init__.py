@@ -132,7 +132,15 @@ _WINDOW = [
     #  normalize_suite = NFC ∪ HTML-extract ∪ URL canonicalization;
     #  selection_suite = stratified sample ∪ temperature resample ∪
     #  leakage-safe group split)
-    "pii_redaction", "normalize_suite", "inverted_index",
+    # Round-8 curation #3: audio_fp_dups (round-8 flagship #3 — acoustic
+    # near-dup: real-WAV energy-delta fingerprint + the same lossless
+    # banded Hamming join, completing the dedup modality grid) displaces
+    # inverted_index: bm25_query_scores composes the SAME postings /
+    # doc_freq entry points (llm/tfidf.py) plus scoring on top, so the
+    # retrieval family keeps an in-window representative; inverted_index
+    # and tfidf_topterm remain registered and oracle-replayed by
+    # tests/test_gate_queries.py.
+    "pii_redaction", "normalize_suite", "audio_fp_dups",
     "bm25_query_scores", "chunk_windows", "token_stats_suite",
     "mixture_stats", "selection_suite",
     # round-8 curation (VERDICT r7 "Next round" #1): bpe_train_batched —

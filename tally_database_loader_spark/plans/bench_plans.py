@@ -77,7 +77,22 @@ def sketch_suite_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms.unionByName(hll).unionByName(bloom).unionByName(ws)
 
 
+def substring_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, production arm (round 8): the SAME
+    llm/dedup.py substring_dedup plan as the ``substring_dedup`` gate
+    but with ``hash_grams=True`` — the gram groupBy shuffles 8-byte
+    xxhash64 keys instead of k-token strings. The gate keeps raw
+    strings so the DuckDB oracle reproduces the grouping byte-for-byte;
+    a deployment ships the hashed keys (collision odds ~n²/2⁶⁵), and
+    tests/test_llm.py pins the two arms row-identical on the bench
+    corpus."""
+    from ..llm.dedup import substring_dedup
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup(d, "doc_id", "text", k=8, hash_grams=True)
+
+
 BENCH_PLANS = {
     "hll_token_distinct_prod": hll_token_distinct_prod,
     "sketch_suite_prod": sketch_suite_prod,
+    "substring_dedup_prod": substring_dedup_prod,
 }

@@ -3315,6 +3315,22 @@ _DD_AHASH = """
   )
 """
 
+def ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ahash, b0..b3) over the gate's constructed image corpus:
+    each document's first 768 ASCII bytes as a REAL 16×16 maxval-255 PPM
+    through the real pixel decoder. Shared by the gate below and the
+    decade-scale replay (tools_scale_10x.py), so the scale evidence runs
+    the exact driver-gated plan."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("P6\n16 16\n255\n"),
+                          F.substring(F.rpad(F.col("text"), 768, "x"),
+                                      1, 768)),
+                 "utf-8").alias("payload"))
+    return mm.image_ahash(payload, tier="reference")
+
+
 @gate_query("image_ahash_dups", oracle=f"""
 WITH {_DD_AHASH}
 SELECT 'hash' AS arm, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
@@ -3341,14 +3357,7 @@ def image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     gray = r+g+b at the nearest-neighbor grid points (16→8 picks even
     coordinates), the strict 64*g > total threshold, and the signed
     bit-63 packing."""
-    d = load_table(spark, sf_dir, "documents")
-    payload = d.select(
-        "doc_id",
-        F.encode(F.concat(F.lit("P6\n16 16\n255\n"),
-                          F.substring(F.rpad(F.col("text"), 768, "x"),
-                                      1, 768)),
-                 "utf-8").alias("payload"))
-    hs = mm.image_ahash(payload, tier="reference")
+    hs = ahash_table(spark, sf_dir)
     pairs = mm.ahash_near_duplicates(hs, max_hamming=3)
     harm = hs.select(F.lit("hash").alias("arm"),
                      F.col("doc_id").alias("id_a"),
@@ -3357,3 +3366,98 @@ def image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     parm = pairs.select(F.lit("pair").alias("arm"), "id_a", "id_b",
                         F.col("hamming").cast("bigint").alias("val"))
     return harm.unionByName(parm)
+
+
+# ---------------------------------------------------------------------------
+# acoustic fingerprint near-dup (llm/multimodal.py audio_fingerprint) — r8
+# ---------------------------------------------------------------------------
+
+def _wav_pcm16_header(data_bytes: int) -> bytes:
+    """Canonical RIFF/WAVE header for mono 16-bit PCM at 8 kHz — the
+    container the gate constructs so the REAL stdlib `wave` reader
+    parses the payloads."""
+    import struct
+    return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                    2, 16)
+            + b"data" + struct.pack("<I", data_bytes))
+
+
+def audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp, b0..b3) over the gate's constructed audio corpus:
+    each document's first 512 ASCII bytes as the 256 little-endian
+    int16 samples of a REAL mono PCM16 WAV (every sample ≤ 0x7E7E —
+    positive, so the energy math needs no sign handling in SQL),
+    decoded by the real `wave`-based reader."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(_wav_pcm16_header(512))),
+                 F.encode(F.substring(F.rpad(F.col("text"), 512, "x"),
+                                      1, 512), "utf-8")).alias("payload"))
+    return mm.audio_fingerprint(payload)
+
+
+_DD_AUDIO_FP = """
+  pa AS (SELECT doc_id, substr(rpad(text, 512, 'x'), 1, 512) AS s
+         FROM documents),
+  sm AS (
+    SELECT doc_id, j,
+           CAST(unicode(substr(s, 2*j + 1, 1))
+                + 256 * unicode(substr(s, 2*j + 2, 1)) AS BIGINT) AS v
+    FROM pa, range(0, 256) r(j)
+  ),
+  fe AS (
+    SELECT doc_id, j // 4 AS f, CAST(sum(v * v) AS BIGINT) AS e
+    FROM sm GROUP BY doc_id, j // 4
+  ),
+  bt AS (
+    SELECT doc_id, f - 1 AS i,
+           CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY f)
+                THEN 1 ELSE 0 END AS bit
+    FROM fe
+    QUALIFY f >= 1
+  ),
+  afp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << i
+                         ELSE 0 END) AS BIGINT) AS fp
+    FROM bt GROUP BY doc_id
+  )
+"""
+
+@gate_query("audio_fp_dups", oracle=f"""
+WITH {_DD_AUDIO_FP}
+SELECT 'fp' AS arm, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b, fp AS val
+FROM afp
+UNION ALL
+SELECT 'pair' AS arm, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS val
+FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""")
+def audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup (round-8 flagship #3): each document's first
+    512 ASCII bytes become the 256 samples of a REAL mono PCM16 WAV,
+    decoded by the real stdlib-`wave` path, fingerprinted with the
+    exact-integer 63-bit energy-delta rule (Haitsma-Kalker bit
+    derivation on int64 frame energies: 64 frames × 4 samples, bit i =
+    1 iff e[i+1] > e[i], ties → 0 — bit 63 never set, so the value is
+    non-negative in every engine), and paired with the SAME lossless
+    banded Hamming join as images (llm/multimodal.py audio_fingerprint
+    + ahash_near_duplicates, hamming <= 3 over 4×16 disjoint bands ⇒
+    pigeonhole guarantees a matching band). The 'fp' arm hash-checks
+    every fingerprint; the 'pair' arm hash-checks the near-dup pair
+    set, with the oracle brute-forcing all pairs while Spark's join
+    stays bucketed. This closes the dedup modality grid: text (exact /
+    MinHash / SimHash / substring), embedding (SRP / SemDeDup), image
+    (aHash) and audio all share oracle-checked near-dup machinery."""
+    hs = audio_fp_table(spark, sf_dir)
+    pairs = mm.ahash_near_duplicates(hs, max_hamming=3, hash_col="fp")
+    farm = hs.select(F.lit("fp").alias("arm"),
+                     F.col("doc_id").alias("id_a"),
+                     F.lit(-1).cast("bigint").alias("id_b"),
+                     F.col("fp").alias("val"))
+    parm = pairs.select(F.lit("pair").alias("arm"), "id_a", "id_b",
+                        F.col("hamming").cast("bigint").alias("val"))
+    return farm.unionByName(parm)

@@ -71,11 +71,14 @@ def test_driver_window_covers_all_families():
         # token_stats_suite and text_profile
         "bpe_train_batched",
         # round-8 flagships: exact substring dedup (suffix-array
-        # semantics via overlapping k-gram anchors) and perceptual image
+        # semantics via overlapping k-gram anchors), perceptual image
         # near-dup (exact-integer aHash over the real decoder + lossless
-        # 4×16-band Hamming LSH). Displaced embedding_cosine_dups stays
-        # driver-verified inside dedup_clusters' pair stage.
-        "substring_dedup", "image_ahash_dups",
+        # 4×16-band Hamming LSH) and acoustic near-dup (real-WAV
+        # energy-delta fingerprint through the same banded join).
+        # Displaced embedding_cosine_dups stays driver-verified inside
+        # dedup_clusters' pair stage; displaced inverted_index stays
+        # in-window via bm25_query_scores (same postings entry points).
+        "substring_dedup", "image_ahash_dups", "audio_fp_dups",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

@@ -587,6 +587,62 @@ def test_image_ahash_known_raster_and_null(spark):
     assert got[2]["ahash"] is None and got[2]["b0"] is None
 
 
+def test_audio_fingerprint_known_samples_and_null(spark):
+    """audio_fingerprint against a hand-computed expectation over a real
+    stdlib-written WAV: frame energies rise then fall, so the
+    energy-delta bits are known exactly; short payloads zero-pad; junk
+    payloads yield NULL rows."""
+    import io
+    import wave
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _FP_FRAME_LEN, _FP_FRAMES, audio_fingerprint)
+
+    # frame f holds 4 copies of amplitude f for f<32, then 4 copies of
+    # (64-f): energies strictly rise through f=32 then strictly fall,
+    # except e[0]=0 -> bit 0 is a genuine 'greater' comparison
+    amps = [f if f < 32 else 64 - f for f in range(_FP_FRAMES)]
+    samples = np.repeat(np.array(amps, dtype="<i2"), _FP_FRAME_LEN)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    # a truncated payload: wave reads fewer frames; the op zero-pads
+    short = samples[:40]
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(short.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"nonsense")),
+         (3, bytearray(buf2.getvalue()))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_fingerprint(df).collect()}
+
+    def expect_fp(sm):
+        sm = list(sm) + [0] * (_FP_FRAMES * _FP_FRAME_LEN - len(sm))
+        e = [sum(v * v for v in sm[4 * f:4 * f + 4])
+             for f in range(_FP_FRAMES)]
+        return sum(1 << i for i in range(63) if e[i + 1] > e[i])
+
+    assert got[1]["fp"] == expect_fp(samples.tolist())
+    # energies rise strictly through frame 32 (amp 0..31 then 32), so
+    # bits 0..31 are set; the falling half sets none
+    assert got[1]["fp"] == sum(1 << i for i in range(32))
+    assert got[2]["fp"] is None and got[2]["b0"] is None
+    assert got[3]["fp"] == expect_fp(short.tolist())
+    # bands recompose the fingerprint
+    r = got[1]
+    assert (r["b0"] | (r["b1"] << 16) | (r["b2"] << 32)
+            | (r["b3"] << 48)) == r["fp"]
+
+
 def test_ahash_banded_join_is_lossless_at_hamming_3(spark):
     """Pigeonhole identity: for Hamming <= 3 over 4 disjoint 16-bit
     bands, the banded candidate join finds EVERY qualifying pair — the

@@ -26,7 +26,16 @@ the guard bounds:
   cross-shard state);
 - ``bpe_train_batched`` — value-hash replay of the batched trainer
   (ranking + greedy-coloring selection + per-class folds, round 8) at
-  the amplified vocabulary.
+  the amplified vocabulary;
+- ``substring_dedup`` (round 8) — value-hash replay of the exact
+  substring dedup (overlapping k-gram anchors + interval merge) on the
+  clone-heavy corpus, its worst case (nearly every anchor duplicated);
+- ``image_ahash`` / ``audio_fp`` (round 8) — hash-arm value-hash
+  replay + an EXACT pair-count check against a distinct-hash-value
+  oracle (D² cheap evaluations instead of N² rows), with a
+  factor²-aware growth bound on the Spark pair stage — the pair
+  LISTING is quadratic in the clone factor by semantics, so the linear
+  bound would be wrong, not strict.
 
 Round 8 (VERDICT r7 #2): every replayed slot reports Spark-side and
 DuckDB-oracle-side wall time SEPARATELY (the oracle's recursive CTEs
@@ -40,7 +49,10 @@ prose. tests/test_scale_10x.py runs the same assertions in the suite at
 10× sf0.01; this CLI produces the committed SCALE.md row at 10× sf0.1.
 
 Usage: python tools_scale_10x.py [src_sf_dir] [dst_dir] [factor]
-       (defaults /root/testdata/sf0.1 ./scale10x_data 10)
+           [--slots=name,name,...]
+       (defaults /root/testdata/sf0.1 ./scale10x_data 10, all slots;
+        slot names = the replayed query names plus the pseudo-slots
+        pair_stage / vocab / image_ahash / audio_fp)
 """
 from __future__ import annotations
 
@@ -122,10 +134,14 @@ def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
         pq.write_table(pa.concat_tables(chunks), dst)
 
 
-def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
+def check(spark, duck_dir: str, src_dir: str,
+          slots: set[str] | None = None) -> tuple[list[str], int]:
     """Replay the heavy slots on ``duck_dir`` (the synthetic
     corpus), measuring bounds against ``src_dir`` (the seed corpus).
-    Returns (markdown table lines, failure count)."""
+    Returns (markdown table lines, failure count). ``slots`` selects a
+    subset (slot names plus the pseudo-slot ``image_ahash``) so a new
+    round can extend the committed log without re-paying the old slots'
+    recursive-CTE oracle hours; None = everything."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -138,15 +154,19 @@ def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
     failures = 0
     lines = []
 
+    def want(slot: str) -> bool:
+        return slots is None or slot in slots
+
     # --- dedup guard: pair-stage shuffle bound at the new decade
-    n, p_raw = pair_count(spark, duck_dir, None)
-    _, p_cap = pair_count(spark, duck_dir, _DD_SD_CAP)
-    bound = n * _DD_SD_CAP
-    ok_bound = p_cap <= bound
-    failures += 0 if ok_bound else 1
-    lines.append(f"| pair stage (n_lists=8, cap={_DD_SD_CAP}) | rows={n} "
-                 f"| uncapped={p_raw} | capped={p_cap} | bound={bound} "
-                 f"{'OK' if ok_bound else 'EXCEEDED'} |")
+    if want("pair_stage"):
+        n, p_raw = pair_count(spark, duck_dir, None)
+        _, p_cap = pair_count(spark, duck_dir, _DD_SD_CAP)
+        bound = n * _DD_SD_CAP
+        ok_bound = p_cap <= bound
+        failures += 0 if ok_bound else 1
+        lines.append(f"| pair stage (n_lists=8, cap={_DD_SD_CAP}) | rows={n} "
+                     f"| uncapped={p_raw} | capped={p_cap} | bound={bound} "
+                     f"{'OK' if ok_bound else 'EXCEEDED'} |")
 
     # --- vocabulary growth: the bpe_encode fold is O(vocab)
     from tally_database_loader_spark.llm.lm import _tokens
@@ -159,12 +179,13 @@ def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
                                   .alias("w")).distinct().count())
     row_f = rows["10x"] / rows["src"]
     voc_f = vocab["10x"] / vocab["src"]
-    ok_vocab = voc_f < row_f / 2          # sublinear, with headroom
-    failures += 0 if ok_vocab else 1
-    lines.append(f"| bpe vocabulary | rows ×{row_f:.1f} "
-                 f"({rows['src']}→{rows['10x']}) | vocab ×{voc_f:.2f} "
-                 f"({vocab['src']}→{vocab['10x']}) | sublinear "
-                 f"{'OK' if ok_vocab else 'VIOLATED'} | |")
+    if want("vocab"):
+        ok_vocab = voc_f < row_f / 2          # sublinear, with headroom
+        failures += 0 if ok_vocab else 1
+        lines.append(f"| bpe vocabulary | rows ×{row_f:.1f} "
+                     f"({rows['src']}→{rows['10x']}) | vocab ×{voc_f:.2f} "
+                     f"({vocab['src']}→{vocab['10x']}) | sublinear "
+                     f"{'OK' if ok_vocab else 'VIOLATED'} | |")
 
     # --- value-hash replay of the four heavy slots at the new decade
     duck = duckdb.connect()
@@ -181,7 +202,10 @@ def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
     # latency, hence the max(t_src, 1s) floor).
     pack_rows = {}
     for name in ("semantic_dedup_capped", "two_tier_dedup",
-                 "pack_sequences", "bpe_encode", "bpe_train_batched"):
+                 "pack_sequences", "bpe_encode", "bpe_train_batched",
+                 "substring_dedup"):
+        if not want(name):
+            continue
         t0 = time.perf_counter()
         df_src = gate.QUERIES[name](spark, src_dir)
         n_src = len(df_src.collect())
@@ -203,9 +227,71 @@ def check(spark, duck_dir: str, src_dir: str) -> tuple[list[str], int]:
             f"| spark {t_src:.1f}s→{t_spark:.1f}s "
             f"(bound {bound:.0f}s {'OK' if ok_growth else 'EXCEEDED'}) "
             f"| oracle {t_duck:.1f}s | |")
+    # --- image aHash at the decade (round 8). The hash arm replays by
+    # value-hash like any slot. The PAIR arm's output is quadratic in
+    # the clone factor BY SEMANTICS on this corpus (every decade copy of
+    # a near-dup pair is itself a near-dup pair — any engine must emit
+    # them; production chains pairs into dedup_clusters for keeper
+    # election), so listing 10× the pairs through the row comparator is
+    # waste: instead the pair COUNT is asserted equal to an EXACT oracle
+    # that sums over DISTINCT hash values (D² cheap evaluations, not N²
+    # rows), and the Spark pair stage gets a factor²-aware growth bound.
+    fp_slots = [
+        ("image_ahash", "ahash", "_DD_AHASH", "hs", "ahash_table"),
+        ("audio_fp", "fp", "_DD_AUDIO_FP", "afp", "audio_fp_table"),
+    ]
+    for label, hcol, cte_name, cte_tbl, table_fn_name in fp_slots:
+        if not want(label):
+            continue
+        from tally_database_loader_spark.llm.multimodal import (
+            ahash_near_duplicates)
+        from tally_database_loader_spark.plans import llm_gate
+        cte = getattr(llm_gate, cte_name)
+        table_fn = getattr(llm_gate, table_fn_name)
+        t0 = time.perf_counter()
+        hs_src = table_fn(spark, src_dir)
+        n_src = ahash_near_duplicates(hs_src, hash_col=hcol).count()
+        t_src = time.perf_counter() - t0
+        hs = table_fn(spark, duck_dir)
+        ok, msg, t_spark, t_duck = compare_spark_duckdb_timed(
+            hs.select("doc_id", hcol), duck,
+            f"WITH {cte} SELECT doc_id, {hcol} FROM {cte_tbl}")
+        if not ok:
+            failures += 1
+        lines.append(f"| {label} hash arm | "
+                     f"{'HASH-OK' if ok else 'FAIL ' + msg[:90]} "
+                     f"| spark {t_spark:.1f}s | oracle {t_duck:.1f}s | |")
+        t0 = time.perf_counter()
+        n_10x = ahash_near_duplicates(hs, hash_col=hcol).count()
+        t_pair = time.perf_counter() - t0
+        expected = duck.sql(f"""
+            WITH {cte},
+            vals AS (SELECT {hcol} AS h, count(*) AS c FROM {cte_tbl}
+                     GROUP BY {hcol})
+            SELECT CAST(
+              (SELECT COALESCE(sum(c * (c - 1) // 2), 0) FROM vals)
+            + (SELECT COALESCE(sum(a.c * b.c), 0) FROM vals a JOIN vals b
+                 ON a.h < b.h
+                AND bit_count(xor(a.h, b.h)) <= 3)
+            AS BIGINT) AS n""").fetchone()[0]
+        ok_cnt = n_10x == expected
+        failures += 0 if ok_cnt else 1
+        pair_bound = row_f * row_f * _SPARK_GROWTH_SLACK * max(t_src, 1.0)
+        ok_pg = t_pair <= pair_bound
+        failures += 0 if ok_pg else 1
+        lines.append(
+            f"| {label} pair count | spark={n_10x} oracle={expected} "
+            f"{'COUNT-OK' if ok_cnt else 'MISMATCH'} "
+            f"| pairs ×{n_10x / max(n_src, 1):.1f} from {n_src} "
+            f"(quadratic-in-clones by semantics) "
+            f"| spark {t_src:.1f}s→{t_pair:.1f}s "
+            f"(factor² bound {pair_bound:.0f}s "
+            f"{'OK' if ok_pg else 'EXCEEDED'}) | |")
     duck.close()
 
     # --- packing output must track the corpus linearly
+    if not pack_rows:
+        return lines, failures
     pf = pack_rows["10x"] / max(pack_rows["src"], 1)
     ok_pack = 0.5 * row_f <= pf <= 2.0 * row_f
     failures += 0 if ok_pack else 1
@@ -228,8 +314,12 @@ def main() -> int:
     t0 = time.time()
     build_corpus(src, dst, factor)
     print(f"built in {time.time() - t0:.0f}s")
+    slots = None
+    for a in sys.argv[1:]:
+        if a.startswith("--slots="):
+            slots = set(a[len("--slots="):].split(","))
     spark = get_spark("scale-10x")
-    lines, failures = check(spark, dst, src)
+    lines, failures = check(spark, dst, src, slots=slots)
     print(f"\n10x-decade replay ({src} ×{factor}):\n")
     print("| check | a | b | c | d |")
     print("|---|---|---|---|---|")
