@@ -458,20 +458,36 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
     joined = base.join(rem, "doc_id", "left")
     rs = F.coalesce(F.col("removed"),
                     F.array().cast("array<int>"))
-    # island starts in the sorted removal set: position 0, or a gap > 1
-    # (element_at is 1-based, so element_at(rs, i) IS the predecessor of
-    # the element at 0-based lambda index i; the when() guards i == 0 so
-    # ANSI mode never sees index 0)
-    spans = F.size(F.filter(
+    # island boundaries in the sorted removal set (element_at is 1-based,
+    # so element_at(rs, i) IS the predecessor of the element at 0-based
+    # lambda index i; the when() guards keep ANSI mode off index 0 /
+    # past-the-end)
+    starts = F.filter(
         rs, lambda x, i: F.when(i == F.lit(0), F.lit(True))
-                          .otherwise(x != F.element_at(rs, i) + F.lit(1))))
-    kept = F.filter(F.col("t"),
-                    lambda tok, i: ~F.array_contains(rs, i.cast("int")))
+                          .otherwise(x != F.element_at(rs, i) + F.lit(1)))
+    ends = F.filter(
+        rs, lambda x, i: F.when(i == F.size(rs) - 1, F.lit(True))
+                          .otherwise(F.element_at(rs, i + 2) != x + F.lit(1)))
+    # O(n) reassembly: concatenate the token slices BETWEEN islands
+    # instead of testing every token against the removal set (which is
+    # O(n·removed) per document — quadratic on a fully-duplicated long
+    # document, exactly the worst case a clone-heavy crawl hits).
+    # Islands are maximal, so inter-island gaps are >= 1 token and every
+    # slice length below is >= 0.
+    t = F.col("t")
+    inner = F.flatten(F.transform(
+        starts,
+        lambda s, j: F.when(j == F.lit(0), F.slice(t, 1, s)).otherwise(
+            F.slice(t, F.element_at(ends, j) + 2,
+                    s - F.element_at(ends, j) - 1))))
+    tail = F.slice(t, F.element_at(ends, F.size(ends)) + 2,
+                   F.size(t) - F.element_at(ends, F.size(ends)) - 1)
+    kept = F.when(F.size(rs) == 0, t).otherwise(F.concat(inner, tail))
     return joined.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
         F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed"),
-        spans.alias("n_spans_removed"),
+        F.size(starts).alias("n_spans_removed"),
         F.array_join(kept, " ").alias("dedup_text"))
 
 
