@@ -447,14 +447,28 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
              .filter(~((F.col("keep.doc_id") == F.col("doc_id"))
                        & (F.col("keep.pos") == F.col("pos"))))
              .select("doc_id", "pos"))
+    return _reassemble_removed(
+        df.select(F.col(id_col).alias("doc_id"),
+                  tokens(F.col(text_col)).alias("t")),
+        dup, k)
+
+
+def _reassemble_removed(base: DataFrame, dup: DataFrame,
+                        k: int) -> DataFrame:
+    """Shared tail of the substring-dedup family: expand duplicate
+    anchors (doc_id, pos) to covered token positions, merge them into
+    maximal islands, and reassemble each document's surviving text in
+    O(n) — concatenating the token slices BETWEEN islands instead of
+    testing every token against the removal set (which is O(n·removed)
+    per document: quadratic on a fully-duplicated long document,
+    exactly the worst case a clone-heavy crawl hits). ``base`` is
+    (doc_id, t) with t the full token array."""
     covered = dup.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"),
                              F.col("pos") + F.lit(k - 1))).alias("tpos"))
     rem = (covered.groupBy("doc_id")
                   .agg(F.array_sort(F.collect_set("tpos")).alias("removed")))
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     tokens(F.col(text_col)).alias("t"))
     joined = base.join(rem, "doc_id", "left")
     rs = F.coalesce(F.col("removed"),
                     F.array().cast("array<int>"))
@@ -468,12 +482,8 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
     ends = F.filter(
         rs, lambda x, i: F.when(i == F.size(rs) - 1, F.lit(True))
                           .otherwise(F.element_at(rs, i + 2) != x + F.lit(1)))
-    # O(n) reassembly: concatenate the token slices BETWEEN islands
-    # instead of testing every token against the removal set (which is
-    # O(n·removed) per document — quadratic on a fully-duplicated long
-    # document, exactly the worst case a clone-heavy crawl hits).
-    # Islands are maximal, so inter-island gaps are >= 1 token and every
-    # slice length below is >= 0.
+    # islands are maximal, so inter-island gaps are >= 1 token and every
+    # slice length below is >= 0
     t = F.col("t")
     inner = F.flatten(F.transform(
         starts,
@@ -489,6 +499,36 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
         F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed"),
         F.size(starts).alias("n_spans_removed"),
         F.array_join(kept, " ").alias("dedup_text"))
+
+
+def incremental_substring_dedup(corpus: DataFrame, batch: DataFrame,
+                                id_col: str, text_col: str, k: int = 8,
+                                hash_grams: bool = True) -> DataFrame:
+    """Exact substring dedup of a NEW batch against an EXISTING corpus:
+    every >= k-token passage of a batch document that already occurs
+    anywhere in the corpus is removed (the incremental sibling of
+    ``substring_dedup``, mirroring ``incremental_dedup``'s contract).
+    Batch-internal duplication is deliberately out of scope — it
+    belongs to the ordinary whole-corpus pass, not the incremental
+    probe. Returns the same five columns as ``substring_dedup``, one
+    row per batch document.
+
+    Scale shape: the corpus side reduces to its DISTINCT gram set — a
+    persistable index (8-byte xxhash64 keys under ``hash_grams=True``),
+    exactly like the signature index in ``incremental_dedup`` — and the
+    per-batch cost is one left-semi probe join of the batch's anchors
+    against it, i.e. batch-sized, never corpus-rescanning (the index
+    builds once and appends as batches commit)."""
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: F.col(c))
+    index = (gram_table(corpus, id_col, text_col, k)
+             .select(key("gram").alias("g")).distinct())
+    anchors = (gram_table(batch, id_col, text_col, k)
+               .select("doc_id", "pos", key("gram").alias("g")))
+    dup = anchors.join(index, "g", "left_semi").select("doc_id", "pos")
+    return _reassemble_removed(
+        batch.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("t")),
+        dup, k)
 
 
 # ---------------------------------------------------------------------------

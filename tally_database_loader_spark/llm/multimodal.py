@@ -1247,29 +1247,57 @@ def ahash_near_duplicates(hashes: DataFrame,
     disjoint bands, so at least one band matches exactly (pigeonhole —
     the multi-index hashing identity, Norouzi et al. 2012). A SQL
     oracle can therefore brute-force all pairs and provably reach the
-    identical result set, while this plan never goes all-pairs: the
-    join is a uniform-key equi-join whose candidate count is bounded by
-    bucket occupancy, the same shape as MinHash banding. max_hamming
-    above ``bands-1`` would turn banding into a recall approximation —
-    rejected loudly rather than silently weakened.
+    identical result set, while this plan never goes all-pairs.
+
+    Exact clones collapse BEFORE the band join: the band self-join runs
+    over DISTINCT hash values only, so its candidate count is bounded
+    by distinct-value bucket occupancy — on a clone-heavy crawl (where
+    most duplicates are byte-identical) that is orders of magnitude
+    below row count. The irreducible output expansion happens after
+    verification, as plain equi-joins of the surviving VALUE pairs back
+    to ids: within-value pairs (hamming 0) by one self-join on the full
+    64-bit value, cross-value pairs by two hash-value lookups. Hot
+    values skew those joins exactly as much as the true answer demands
+    (the output IS quadratic in clone count) — AQE's skew-join handles
+    the residue. max_hamming above ``bands-1`` would turn banding into
+    a recall approximation — rejected loudly rather than silently
+    weakened.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("banded join over 4 bands is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
-    b = (hashes.filter(F.col(hash_col).isNotNull())
-               .select("doc_id", F.col(hash_col).alias("ahash"),
-                       F.posexplode(F.array("b0", "b1", "b2", "b3"))
-                        .alias("band_idx", "band_val")))
+    ids = (hashes.filter(F.col(hash_col).isNotNull())
+                 .select("doc_id", F.col(hash_col).alias("ahash")))
+    vals = (hashes.filter(F.col(hash_col).isNotNull())
+                  .select(F.col(hash_col).alias("ahash"),
+                          "b0", "b1", "b2", "b3")
+                  .distinct())
+    b = vals.select("ahash",
+                    F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                     .alias("band_idx", "band_val"))
     a, bb = b.alias("a"), b.alias("b")
-    cand = (a.join(bb, (F.col("a.band_idx") == F.col("b.band_idx"))
-                       & (F.col("a.band_val") == F.col("b.band_val"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"),
-                     F.col("a.ahash").alias("ha"),
-                     F.col("b.ahash").alias("hb"))
-             .distinct())
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming))
+    vpairs = (a.join(bb, (F.col("a.band_idx") == F.col("b.band_idx"))
+                         & (F.col("a.band_val") == F.col("b.band_val"))
+                         & (F.col("a.ahash") < F.col("b.ahash")))
+               .select(F.col("a.ahash").alias("ha"),
+                       F.col("b.ahash").alias("hb"))
+               .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    vpairs = (vpairs.select("ha", "hb", ham.alias("hamming"))
+                    .filter(F.col("hamming") <= max_hamming))
+    cross = (vpairs
+             .join(ids.select(F.col("doc_id").alias("da"),
+                              F.col("ahash").alias("ha")), "ha")
+             .join(ids.select(F.col("doc_id").alias("db"),
+                              F.col("ahash").alias("hb")), "hb")
+             .select(F.least("da", "db").alias("id_a"),
+                     F.greatest("da", "db").alias("id_b"), "hamming"))
+    i2 = ids.alias("y")
+    within = (ids.alias("x")
+                 .join(i2, (F.col("x.ahash") == F.col("y.ahash"))
+                           & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("id_a"),
+                         F.col("y.doc_id").alias("id_b"),
+                         F.lit(0).cast("int").alias("hamming")))
+    return within.unionByName(cross)

@@ -3518,3 +3518,80 @@ def fingerprint_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cluster_id").cast("long"),
                      (F.col("doc_id") == F.col("cluster_id"))
                      .cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# incremental substring dedup (batch vs corpus gram index) — round 8
+# ---------------------------------------------------------------------------
+
+@gate_query("incremental_substring_dedup", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DD_TOKENS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(range(0, GREATEST(len(t) - {_SUBSTR_K} + 1, 0))) AS pos, t
+  FROM tok
+),
+gr AS (
+  SELECT doc_id, pos,
+         array_to_string(t[(pos + 1):(pos + {_SUBSTR_K})], ' ') AS gram
+  FROM g
+),
+idx AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 2 = 0),
+dup AS (
+  SELECT doc_id, pos FROM gr
+  WHERE doc_id % 2 = 1 AND gram IN (SELECT gram FROM idx)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS tpos
+  FROM dup, range(0, {_SUBSTR_K}) r(i)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_removed,
+         CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+                       THEN 1 ELSE 0 END) AS INT) AS n_spans_removed
+  FROM (SELECT doc_id, tpos,
+               lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        FROM cov)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS i
+  FROM tok WHERE doc_id % 2 = 1
+),
+txt AS (
+  SELECT tk.doc_id, string_agg(tk.tk, ' ' ORDER BY tk.i) AS dedup_text
+  FROM toks tk
+  ANTI JOIN cov c ON c.doc_id = tk.doc_id AND c.tpos = tk.i
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(tk.t) AS INT) AS n_tokens,
+       COALESCE(s.n_removed, 0) AS n_removed,
+       COALESCE(s.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(x.dedup_text, '') AS dedup_text
+FROM documents d
+JOIN tok tk ON tk.doc_id = d.doc_id
+LEFT JOIN spans s ON s.doc_id = d.doc_id
+LEFT JOIN txt x ON x.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+""")
+def incremental_substring_dedup_gate(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incremental exact substring dedup (round 8): the odd-doc_id half
+    of the corpus arrives as a NEW batch and every >= 8-token passage
+    already present in the even-half corpus is removed
+    (llm/dedup.py incremental_substring_dedup). The corpus side reduces
+    to its DISTINCT gram index — persistable, append-only as batches
+    commit, 8-byte xxhash64 keys on the production arm — and the
+    per-batch cost is one left-semi probe join of the batch's anchors,
+    i.e. batch-sized, never corpus-rescanning. The gate runs the
+    raw-string oracle-parity arm; the oracle re-derives the index, the
+    probe, the interval merge and the O(n) reassembly."""
+    from ..llm.dedup import incremental_substring_dedup
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return incremental_substring_dedup(corpus, batch, "doc_id", "text",
+                                       k=_SUBSTR_K, hash_grams=False)

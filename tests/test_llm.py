@@ -587,6 +587,170 @@ def test_image_ahash_known_raster_and_null(spark):
     assert got[2]["ahash"] is None and got[2]["b0"] is None
 
 
+def test_incremental_substring_dedup_handcrafted(spark):
+    """Batch-vs-corpus substring probe: passages already in the corpus
+    are removed from batch docs at any alignment; batch-internal repeats
+    are NOT (out of scope by contract); both gram arms agree."""
+    from tally_database_loader_spark.llm.dedup import (
+        incremental_substring_dedup)
+    corpus = spark.createDataFrame(
+        [(2, "one two three four alpha")], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(11, "zz one two three four beta"),   # corpus passage, offset 1
+         (13, "q1 q2 q3 q4 xx q1 q2 q3 q4"),   # batch-internal only
+         (15, "fresh words only here")],
+        "doc_id int, text string")
+    for arm in (False, True):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_removed"],
+                             r["n_spans_removed"], r["dedup_text"])
+               for r in incremental_substring_dedup(
+                   corpus, batch, "doc_id", "text", k=4,
+                   hash_grams=arm).collect()}
+        assert got == {
+            11: (6, 4, 1, "zz beta"),
+            13: (9, 0, 0, "q1 q2 q3 q4 xx q1 q2 q3 q4"),
+            15: (4, 0, 0, "fresh words only here"),
+        }, f"arm={arm}: {got}"
+
+
+def _py_substring_dedup(docs: dict[int, str], k: int):
+    """Pure-Python reference for substring_dedup — the independent
+    implementation the distributed operator is property-tested against
+    (same role the spec-side encoders play for the decoders)."""
+    import re
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs.items()}
+    occ: dict[tuple, list] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p:p + k]), []).append((d, p))
+    covered: dict[int, set] = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        keeper = min(places)
+        for d, p in places:
+            if (d, p) != keeper:
+                covered[d].update(range(p, p + k))
+    out = {}
+    for d, t in toks.items():
+        rem = sorted(covered[d])
+        spans = sum(1 for i, x in enumerate(rem)
+                    if i == 0 or x != rem[i - 1] + 1)
+        kept = [w for i, w in enumerate(t) if i not in covered[d]]
+        out[d] = (len(t), len(rem), spans, " ".join(kept))
+    return out
+
+
+def test_substring_dedup_property_vs_python_reference(spark):
+    """Seeded random corpora with a tiny vocabulary (forcing rich anchor
+    collisions at every alignment) — the distributed operator must equal
+    the pure-Python reference on all four output columns, in both gram
+    arms."""
+    import random
+
+    from tally_database_loader_spark.llm.dedup import substring_dedup
+    rng = random.Random(80801)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(6):
+        docs = {}
+        n_docs = rng.randint(3, 9)
+        for d in range(1, n_docs + 1):
+            n = rng.randint(0, 24)
+            docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+        # splice a shared passage into two docs at random offsets so
+        # cross-doc repeats exist beyond chance
+        if n_docs >= 2:
+            passage = " ".join(rng.choice(vocab) for _ in range(5))
+            a, b = rng.sample(sorted(docs), 2)
+            docs[a] = f"{docs[a]} {passage}".strip()
+            docs[b] = f"{passage} {docs[b]}".strip()
+        want = _py_substring_dedup(docs, k=3)
+        df = spark.createDataFrame(sorted(docs.items()),
+                                   "doc_id int, text string")
+        for arm in (False, True):
+            got = {r["doc_id"]: (r["n_tokens"], r["n_removed"],
+                                 r["n_spans_removed"], r["dedup_text"])
+                   for r in substring_dedup(df, "doc_id", "text", k=3,
+                                            hash_grams=arm).collect()}
+            assert got == want, f"trial {trial} arm={arm}"
+
+
+def test_fingerprints_property_vs_python_reference(spark):
+    """Randomized rasters and PCM buffers in ONE DataFrame per modality:
+    image_ahash and audio_fingerprint must equal independent pure-Python
+    recomputations (hash AND all four bands), and the banded pair join
+    must equal brute force over those hashes."""
+    import io
+    import itertools
+    import random
+    import wave
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates, audio_fingerprint, image_ahash)
+
+    rng = random.Random(80802)
+
+    def py_bits_pack(bits):
+        fp = sum(1 << i for i, b in enumerate(bits) if b)
+        bands = [sum(1 << (i - 16 * j) for i in range(16 * j, 16 * j + 16)
+                     if bits[i]) for j in range(4)]
+        return fp, bands
+
+    img_rows, img_want = [], {}
+    for d in range(1, 41):
+        w, h = rng.choice([(16, 16), (8, 8), (11, 7), (32, 4)])
+        px = [rng.randrange(256) for _ in range(w * h * 3)]
+        ppm = f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+        img_rows.append((d, bytearray(ppm)))
+        yi = [(y * h) // 8 for y in range(8)]
+        xi = [(x * w) // 8 for x in range(8)]
+        g = [sum(px[(yy * w + xx) * 3 + c] for c in range(3))
+             for yy in yi for xx in xi]
+        tot = sum(g)
+        bits = [1 if 64 * gi > tot else 0 for gi in g]
+        fp, bands = py_bits_pack(bits)
+        img_want[d] = (int(np.uint64(fp).astype(np.int64)), *bands)
+    df = spark.createDataFrame(img_rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["ahash"], r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in image_ahash(df).collect()}
+    assert got == img_want
+
+    # banded join == brute force over the computed hashes
+    hs = image_ahash(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in ahash_near_duplicates(hs, max_hamming=3).collect()}
+    raw = {d: v[0] & 0xFFFFFFFFFFFFFFFF for d, v in img_want.items()}
+    brute = {}
+    for a, b in itertools.combinations(sorted(raw), 2):
+        dd = bin(raw[a] ^ raw[b]).count("1")
+        if dd <= 3:
+            brute[(a, b)] = dd
+    assert pairs == brute
+
+    aud_rows, aud_want = [], {}
+    for d in range(1, 41):
+        n = rng.choice([0, 17, 256, 300])
+        sm = [rng.randrange(-32768, 32768) for _ in range(n)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(np.array(sm, dtype="<i2").tobytes())
+        aud_rows.append((d, bytearray(buf.getvalue())))
+        s = (sm + [0] * 256)[:256]
+        e = [sum(v * v for v in s[4 * f:4 * f + 4]) for f in range(64)]
+        bits = [1 if e[i + 1] > e[i] else 0 for i in range(63)] + [0]
+        fp, bands = py_bits_pack(bits)
+        aud_want[d] = (fp, *bands)
+    df = spark.createDataFrame(aud_rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["fp"], r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in audio_fingerprint(df).collect()}
+    assert got == aud_want
+
+
 def test_audio_fingerprint_known_samples_and_null(spark):
     """audio_fingerprint against a hand-computed expectation over a real
     stdlib-written WAV: frame energies rise then fall, so the
