@@ -134,6 +134,9 @@ HEADLINE = [
     # production arm of substring_dedup: xxhash64 gram keys instead of
     # the gate's oracle-parity raw strings (plans/bench_plans.py)
     "substring_dedup_prod",
+    # temporal video fingerprint (frame sampling → per-frame aHash →
+    # odd-majority vote → banded Hamming join)
+    "video_fp_dups",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state

@@ -1301,3 +1301,44 @@ def ahash_near_duplicates(hashes: DataFrame,
                          F.col("y.doc_id").alias("id_b"),
                          F.lit(0).cast("int").alias("hamming")))
     return within.unionByName(cross)
+
+
+def video_fingerprint(frame_hashes: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Temporal video fingerprint from per-frame perceptual hashes: one
+    64-bit hash per VIDEO whose bit i is the strict per-bit MAJORITY of
+    the sampled frames' ``image_ahash`` bits (2·Σ bit_i > n_frames,
+    ties → 0) — robust to a minority of intro/outro/corrupt frames the
+    way a single keyframe hash is not. Input is the frame-level hash
+    table (one row per sampled frame, duplicate ids); NULL frame hashes
+    (undecodable frames) are excluded from the vote, and a video with
+    zero decodable frames yields no row (the explode-of-NULL shape).
+
+    All integer: 64 conditional sums + one count per video, partial-
+    aggregated — the same relational shape as SimHash. Returns
+    (doc_id, fp bigint, b0..b3 int, n_frames int); near-dup pairs come
+    from the SAME lossless banded join (``ahash_near_duplicates`` with
+    ``hash_col='fp'``)."""
+    h = frame_hashes.filter(F.col("ahash").isNotNull())
+    aggs = [F.sum(F.shiftrightunsigned(F.col("ahash"), i)
+                  .bitwiseAND(F.lit(1))).alias(f"s{i}")
+            for i in range(64)]
+    g = (h.groupBy(F.col(id_col).alias("doc_id"))
+          .agg(*aggs, F.count(F.lit(1)).alias("n_frames")))
+    n2 = F.col("n_frames")
+    fp = None
+    for i in range(64):
+        bit = (F.lit(2) * F.col(f"s{i}") > n2)
+        term = F.when(bit, F.lit(1 << i if i < 63 else -(1 << 63))
+                      .cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    bands = []
+    for j in range(4):
+        b = None
+        for i in range(16 * j, 16 * j + 16):
+            bit = (F.lit(2) * F.col(f"s{i}") > n2)
+            term = F.when(bit, F.lit(1 << (i - 16 * j))
+                          .cast("int")).otherwise(F.lit(0).cast("int"))
+            b = term if b is None else b + term
+        bands.append(b.alias(f"b{j}"))
+    return g.select("doc_id", fp.alias("fp"), *bands, "n_frames")

@@ -807,6 +807,48 @@ def test_audio_fingerprint_known_samples_and_null(spark):
             | (r["b3"] << 48)) == r["fp"]
 
 
+def test_video_fingerprint_majority_and_null_frames(spark):
+    """video_fingerprint's strict per-bit majority over frame hashes:
+    known frame bit patterns -> known majority; NULL frame hashes are
+    excluded from the vote; a video with zero decodable frames emits no
+    row; bands recompose the fingerprint including the sign bit."""
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        video_fingerprint)
+
+    def row(doc, h):
+        u = h & 0xFFFFFFFFFFFFFFFF
+        return (doc, int(np.uint64(u).astype(np.int64)),
+                u & 0xFFFF, (u >> 16) & 0xFFFF,
+                (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF)
+
+    # video 1: bit 0 in 2/3 frames (majority), bit 1 in 1/3 (no),
+    # bit 63 in 3/3 (majority, exercises the sign path); one NULL frame
+    # that must not count as a zero-vote (2/3 of NON-NULL frames)
+    frames = [
+        row(1, (1 << 0) | (1 << 63)),
+        row(1, (1 << 0) | (1 << 1) | (1 << 63)),
+        row(1, (1 << 63)),
+        (1, None, None, None, None, None),
+        # video 2: all frames NULL -> no output row
+        (2, None, None, None, None, None),
+        # video 3: single frame -> fingerprint == that frame's hash
+        row(3, 0xABCD),
+    ]
+    df = spark.createDataFrame(
+        frames, "doc_id long, ahash long, b0 int, b1 int, b2 int, b3 int")
+    got = {r["doc_id"]: r for r in video_fingerprint(df).collect()}
+    import numpy as _np
+    want1 = int(_np.uint64((1 << 0) | (1 << 63)).astype(_np.int64))
+    assert set(got) == {1, 3}
+    assert got[1]["fp"] == want1 and got[1]["n_frames"] == 3
+    assert got[3]["fp"] == 0xABCD and got[3]["n_frames"] == 1
+    r = got[1]
+    assert ((r["b0"] | (r["b1"] << 16) | (r["b2"] << 32)
+             | (r["b3"] << 48)) & 0xFFFFFFFFFFFFFFFF) \
+        == (r["fp"] & 0xFFFFFFFFFFFFFFFF)
+
+
 def test_ahash_banded_join_is_lossless_at_hamming_3(spark):
     """Pigeonhole identity: for Hamming <= 3 over 4 disjoint 16-bit
     bands, the banded candidate join finds EVERY qualifying pair — the

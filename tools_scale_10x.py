@@ -52,7 +52,7 @@ Usage: python tools_scale_10x.py [src_sf_dir] [dst_dir] [factor]
            [--slots=name,name,...]
        (defaults /root/testdata/sf0.1 ./scale10x_data 10, all slots;
         slot names = the replayed query names plus the pseudo-slots
-        pair_stage / vocab / image_ahash / audio_fp)
+        pair_stage / vocab / image_ahash / audio_fp / video_fp)
 """
 from __future__ import annotations
 
@@ -239,6 +239,7 @@ def check(spark, duck_dir: str, src_dir: str,
     fp_slots = [
         ("image_ahash", "ahash", "_DD_AHASH", "hs", "ahash_table"),
         ("audio_fp", "fp", "_DD_AUDIO_FP", "afp", "audio_fp_table"),
+        ("video_fp", "fp", "_DD_VIDEO_FP", "vfp", "video_fp_table"),
     ]
     for label, hcol, cte_name, cte_tbl, table_fn_name in fp_slots:
         if not want(label):
