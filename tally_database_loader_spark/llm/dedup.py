@@ -462,7 +462,12 @@ def _reassemble_removed(base: DataFrame, dup: DataFrame,
     testing every token against the removal set (which is O(n·removed)
     per document: quadratic on a fully-duplicated long document,
     exactly the worst case a clone-heavy crawl hits). ``base`` is
-    (doc_id, t) with t the full token array."""
+    (doc_id, t) with t the full token array; a NULL t (NULL source
+    text) normalizes to the empty array so the output contract matches
+    ``span_dedup`` — n_tokens 0 and dedup_text '', never NULL."""
+    base = base.select(
+        "doc_id",
+        F.coalesce("t", F.array().cast("array<string>")).alias("t"))
     covered = dup.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"),

@@ -1267,12 +1267,18 @@ def ahash_near_duplicates(hashes: DataFrame,
     if not 0 <= max_hamming <= 3:
         raise ValueError("banded join over 4 bands is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
-    ids = (hashes.filter(F.col(hash_col).isNotNull())
-                 .select("doc_id", F.col(hash_col).alias("ahash")))
-    vals = (hashes.filter(F.col(hash_col).isNotNull())
-                  .select(F.col(hash_col).alias("ahash"),
-                          "b0", "b1", "b2", "b3")
-                  .distinct())
+    # materialize the slim hash table ONCE: the plan below scans it five
+    # times (distinct values, two id lookups, the within-value self-join
+    # twice), and without a checkpoint every scan would re-run the
+    # upstream extraction lineage — the real image/audio DECODE, the
+    # dominant cost at scale (same reasoning as dup_clusters' edge
+    # checkpoint: the generator upstream must not re-run per scan)
+    h = (hashes.filter(F.col(hash_col).isNotNull())
+               .select("doc_id", F.col(hash_col).alias("ahash"),
+                       "b0", "b1", "b2", "b3")
+               .localCheckpoint(eager=True))
+    ids = h.select("doc_id", "ahash")
+    vals = h.select("ahash", "b0", "b1", "b2", "b3").distinct()
     b = vals.select("ahash",
                     F.posexplode(F.array("b0", "b1", "b2", "b3"))
                      .alias("band_idx", "band_val"))

@@ -514,6 +514,7 @@ def test_substring_dedup_handcrafted(spark):
         (5, "q1 q2 q3 q4 filler q1 q2 q3 q4"),      # within-doc repeat
         (6, "q1 q2 q3 q4 u1 u2 u3 u4 u5 p1 p2 p3 p4"),  # two islands
         (7, "tiny doc"),                             # < k tokens
+        (8, None),                                   # NULL text → '' out
     ]
     df = spark.createDataFrame(docs, "doc_id int, text string")
     got = {r["doc_id"]: r for r in
@@ -527,7 +528,8 @@ def test_substring_dedup_handcrafted(spark):
         5: (9, 4, 1, "q1 q2 q3 q4 filler"),
         6: (13, 8, 2, "u1 u2 u3 u4 u5"),
         7: (2, 0, 0, "tiny doc"),
-    }
+        8: (0, 0, 0, ""),   # NULL text normalizes like span_dedup: never
+    }                       # NULL outputs, the oracle's COALESCE('') shape
     assert len(got) == len(expect)
     for doc_id, (nt, nr, ns, txt) in expect.items():
         r = got[doc_id]

