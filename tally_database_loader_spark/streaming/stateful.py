@@ -207,3 +207,55 @@ def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     return (sig.groupBy("band", "bsig")
             .applyInPandasWithState(update, nd_out, nd_state,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_fp_near_dedup(hashes: DataFrame, *, id_col: str = "doc_id",
+                            hash_col: str = "ahash") -> DataFrame:
+    """Streaming fingerprint (image aHash / audio / video) near-dup
+    CANDIDATES: the streaming arm of ``ahash_near_duplicates``. Each
+    arriving hash row lands in its four 16-bit band buckets; a document
+    entering a bucket already claimed by an earlier document emits a
+    candidate pair against that bucket's stable representative (min-id,
+    first-micro-batch wins — the ``streaming_near_dedup`` convention).
+
+    State per (band, band_val) bucket is ONE scalar, so state size is
+    bounded by distinct occupied buckets (≤ 4 × distinct hash values),
+    not stream length. The emitted star pairs are CONNECTIVITY-
+    equivalent to the batch banded join's candidate set — every bucket
+    co-member connects through the representative — which is what
+    duplicate clustering consumes. Hamming verification deliberately
+    stays a downstream batch join: a star edge connects two documents
+    through the keeper, so "some bucket co-member within distance d"
+    is NOT decidable from bucket-local keeper state, exactly as
+    exact-Jaccard verification stays batch-side for the MinHash
+    streaming arm. NULL hashes pass through unexamined, like the batch
+    operator's isNotNull filter."""
+    idt = _col_type(hashes, id_col)
+    out_schema = f"band int, band_val int, d1 {idt}, d2 {idt}"
+    state_schema = f"keeper {idt}"
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]",
+               state: GroupState) -> "Iterator[pd.DataFrame]":
+        keeper = state.get[0] if state.exists else None
+        ids = set()
+        for pdf in pdfs:
+            ids.update(_py(x) for x in pdf["doc_id"])
+        ids = sorted(ids)
+        if keeper is None and ids:
+            keeper = ids[0]
+        state.update((keeper,))
+        others = [i for i in ids if i != keeper]
+        yield pd.DataFrame({
+            "band": [key[0]] * len(others),
+            "band_val": [key[1]] * len(others),
+            "d1": [min(keeper, o) for o in others],
+            "d2": [max(keeper, o) for o in others]})
+
+    from pyspark.sql import functions as F
+    sig = (hashes.filter(F.col(hash_col).isNotNull())
+                 .select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                          .alias("band", "band_val")))
+    return (sig.groupBy("band", "band_val")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

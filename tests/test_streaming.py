@@ -525,3 +525,87 @@ def test_seq_floor_reseeds_from_disk_after_producer_restart(spark, tmp_path, mon
     C.publish_snapshot(landing2, src, drop_id="post")
     with open(os.path.join(m2, "post.json")) as fh:
         assert _json.loads(fh.readline())["seq"] > high
+
+
+def test_streaming_fp_near_dedup_connectivity_matches_batch(spark, tmp_path):
+    """The streaming fingerprint near-dup arm: candidate star pairs per
+    band bucket, keeper stable across micro-batches, and the streamed
+    candidate graph's connected components EQUAL the batch banded
+    join's candidate components (connectivity equivalence — what
+    clustering consumes). NULL hashes pass through unexamined."""
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates)
+    from tally_database_loader_spark.streaming.stateful import (
+        streaming_fp_near_dedup)
+
+    def row(doc_id, h):
+        u = h & 0xFFFFFFFFFFFFFFFF
+        return (doc_id, int(np.uint64(u).astype(np.int64)),
+                u & 0xFFFF, (u >> 16) & 0xFFFF,
+                (u >> 32) & 0xFFFF, (u >> 48) & 0xFFFF)
+
+    base = 0x1234FEDCBA987654
+    batch1 = [row(1, base), row(2, base ^ (1 << 5)), row(5, 0)]
+    batch2 = [row(3, base ^ (1 << 21)), row(4, base),
+              (6, None, None, None, None, None)]
+    schema = "doc_id long, ahash long, b0 int, b1 int, b2 int, b3 int"
+    src = str(tmp_path / "hashes")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        out: list = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_fp_near_dedup(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _id: out.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return out
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    first = run_once()
+    # docs 1 and 2 share three untouched bands; doc 5 opens its own
+    # buckets and pairs with nobody
+    assert {(r["d1"], r["d2"]) for r in first} == {(1, 2)}
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    second = run_once()
+    pairs = {(r["d1"], r["d2"]) for r in first + second}
+    # keeper stability: doc 1 (batch 1) stays the representative; 3 and
+    # 4 star onto it, never onto each other
+    assert (1, 3) in pairs and (1, 4) in pairs and (3, 4) not in pairs
+
+    # connectivity equivalence vs the batch banded join's candidates
+    # (compare components, not edges: streaming emits a star per bucket)
+    all_rows = [r for r in batch1 + batch2 if r[1] is not None]
+    bdf = spark.createDataFrame(all_rows, schema)
+    batch_pairs = {(r["id_a"], r["id_b"])
+                   for r in ahash_near_duplicates(bdf, max_hamming=3)
+                   .collect()}
+
+    def components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in comp.values()}
+
+    nodes = {r[0] for r in all_rows}
+    # streaming candidates, verified at the same hamming <= 3 threshold
+    # downstream (the documented batch-side verification step)
+    hmap = {r[0]: r[1] & 0xFFFFFFFFFFFFFFFF for r in all_rows}
+    verified = {(a, b) for a, b in pairs
+                if bin(hmap[a] ^ hmap[b]).count("1") <= 3}
+    assert components(verified, nodes) == components(batch_pairs, nodes)
