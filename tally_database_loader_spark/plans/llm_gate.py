@@ -3464,63 +3464,6 @@ def audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal fingerprint dedup pipeline (pairs → clusters → keepers) — r8
-# ---------------------------------------------------------------------------
-
-@gate_query("fingerprint_dedup_pipeline", oracle=f"""
-WITH RECURSIVE {_DD_AHASH}, {_DD_AUDIO_FP},
-ipairs AS (
-  SELECT a.doc_id AS s, b.doc_id AS t
-  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-),
-apairs AS (
-  SELECT a.doc_id AS s, b.doc_id AS t
-  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.fp, b.fp)) <= 3
-),
-edges AS (
-  SELECT s AS src, t AS dst FROM ipairs
-  UNION SELECT t, s FROM ipairs
-  UNION SELECT s, t FROM apairs
-  UNION SELECT t, s FROM apairs
-),
-reach AS (
-  SELECT src AS node, src AS r FROM edges
-  UNION
-  SELECT e.src AS node, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
-)
-SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
-       CAST(CASE WHEN MIN(r) = node THEN 1 ELSE 0 END AS INT) AS keep
-FROM reach GROUP BY node
-""")
-def fingerprint_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production path the fingerprint pair lists feed (round 8):
-    image-aHash and audio-energy-delta near-dup pairs (both REAL-decoder
-    extractions, both lossless banded Hamming joins) union into one
-    duplicate-evidence edge set — a document is a duplicate if EITHER
-    modality says so — then pointer-doubling connected components
-    (llm/dedup.py dup_clusters) assign cluster ids and elect one keeper
-    per cluster (keep = doc_id == cluster_id). This is the step that
-    keeps pair-listing output off the sink at 100 TB: pairs exist only
-    as the shuffle feeding the O(log diameter) label-propagation rounds.
-    The oracle replays both fingerprint derivations, both brute-force
-    pair sets, and the component closure as one recursive CTE."""
-    from ..llm.dedup import dup_clusters
-    img = mm.ahash_near_duplicates(ahash_table(spark, sf_dir),
-                                   max_hamming=3)
-    aud = mm.ahash_near_duplicates(audio_fp_table(spark, sf_dir),
-                                   max_hamming=3, hash_col="fp")
-    edges = (img.select("id_a", "id_b")
-                .unionByName(aud.select("id_a", "id_b")))
-    cl = dup_clusters(edges, id_cols=("id_a", "id_b"))
-    return cl.select(F.col("doc_id").cast("long"),
-                     F.col("cluster_id").cast("long"),
-                     (F.col("doc_id") == F.col("cluster_id"))
-                     .cast("int").alias("keep"))
-
-
-# ---------------------------------------------------------------------------
 # incremental substring dedup (batch vs corpus gram index) — round 8
 # ---------------------------------------------------------------------------
 
@@ -3693,3 +3636,72 @@ def video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     parm = pairs.select(F.lit("pair").alias("arm"), "id_a", "id_b",
                         F.col("hamming").cast("bigint").alias("val"))
     return farm.unionByName(parm)
+
+
+# ---------------------------------------------------------------------------
+# multimodal fingerprint dedup pipeline (pairs → clusters → keepers) — r8
+# ---------------------------------------------------------------------------
+
+@gate_query("fingerprint_dedup_pipeline", oracle=f"""
+WITH RECURSIVE {_DD_AHASH}, {_DD_AUDIO_FP}, {_DD_VIDEO_FP},
+ipairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+),
+apairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+vpairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+edges AS (
+  SELECT s AS src, t AS dst FROM ipairs
+  UNION SELECT t, s FROM ipairs
+  UNION SELECT s, t FROM apairs
+  UNION SELECT t, s FROM apairs
+  UNION SELECT s, t FROM vpairs
+  UNION SELECT t, s FROM vpairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = node THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY node
+""")
+def fingerprint_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path the fingerprint pair lists feed (round 8):
+    image-aHash, audio-energy-delta AND temporal-video near-dup pairs
+    (all REAL-decoder extractions, all lossless banded Hamming joins)
+    union into one duplicate-evidence edge set — a document is a
+    duplicate if ANY modality says so — then pointer-doubling connected
+    components
+    (llm/dedup.py dup_clusters) assign cluster ids and elect one keeper
+    per cluster (keep = doc_id == cluster_id). This is the step that
+    keeps pair-listing output off the sink at 100 TB: pairs exist only
+    as the shuffle feeding the O(log diameter) label-propagation rounds.
+    The oracle replays all three fingerprint derivations, all three
+    brute-force pair sets, and the component closure as one recursive
+    CTE."""
+    from ..llm.dedup import dup_clusters
+    img = mm.ahash_near_duplicates(ahash_table(spark, sf_dir),
+                                   max_hamming=3)
+    aud = mm.ahash_near_duplicates(audio_fp_table(spark, sf_dir),
+                                   max_hamming=3, hash_col="fp")
+    vid = mm.ahash_near_duplicates(video_fp_table(spark, sf_dir),
+                                   max_hamming=3, hash_col="fp")
+    edges = (img.select("id_a", "id_b")
+                .unionByName(aud.select("id_a", "id_b"))
+                .unionByName(vid.select("id_a", "id_b")))
+    cl = dup_clusters(edges, id_cols=("id_a", "id_b"))
+    return cl.select(F.col("doc_id").cast("long"),
+                     F.col("cluster_id").cast("long"),
+                     (F.col("doc_id") == F.col("cluster_id"))
+                     .cast("int").alias("keep"))
