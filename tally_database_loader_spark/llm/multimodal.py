@@ -1183,18 +1183,24 @@ def _audio_fp_record(samples: "np.ndarray") -> tuple[int, int, int, int,
                                                      int]:
     """63-bit energy-delta fingerprint (the Haitsma-Kalker bit rule on
     integer frame energies): 64 frames of 4 samples, energy_f = Σ s²
-    exactly in int64, bit i = 1 iff energy[i+1] > energy[i] (strict,
-    ties → 0). Bit 63 is never set, so the value is always a
-    non-negative BIGINT — no sign gymnastics in any engine. Short
-    payloads zero-pad to 256 samples. Returns (fp, band0..band3),
-    bands as in ``_ahash_record``."""
+    exactly, bit i = 1 iff energy[i+1] > energy[i] (strict, ties → 0).
+    Bit 63 is never set, so the value is always a non-negative BIGINT —
+    no sign gymnastics in any engine. Short payloads zero-pad to 256
+    samples. Returns (fp, band0..band3), bands as in ``_ahash_record``.
+
+    Frame energies are computed in arbitrary-precision Python ints, not
+    int64: a width-4 (32-bit PCM) frame at full scale reaches
+    4·(2³¹−1)² ≈ 1.84e19 > int64's 9.22e18, and numpy would wrap
+    silently, breaking the documented energy ordering (a full-scale
+    frame would compare BELOW silence). Only the 256 fingerprinted
+    samples pay the object-arithmetic cost — negligible per payload."""
     need = _FP_FRAMES * _FP_FRAME_LEN
-    s = samples[:need]
-    if s.shape[0] < need:
-        s = np.concatenate([s, np.zeros(need - s.shape[0], dtype=np.int64)])
-    e = (s * s).reshape(_FP_FRAMES, _FP_FRAME_LEN).sum(axis=1)
+    s = [int(x) for x in samples[:need]]
+    s += [0] * (need - len(s))
+    e = [sum(v * v for v in s[f * _FP_FRAME_LEN:(f + 1) * _FP_FRAME_LEN])
+         for f in range(_FP_FRAMES)]
     bits = np.zeros(64, dtype=np.uint64)
-    bits[:63] = (e[1:] > e[:-1]).astype(np.uint64)
+    bits[:63] = [1 if e[i + 1] > e[i] else 0 for i in range(63)]
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     fp = int((bits * weights).sum(dtype=np.uint64))
     bands = [int((bits[16 * j:16 * j + 16]

@@ -3289,8 +3289,28 @@ def substring_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # perceptual image near-dup (llm/multimodal.py image_ahash) — round 8
 # ---------------------------------------------------------------------------
 
-_DD_AHASH = """
-  pimg AS (SELECT doc_id, substr(rpad(text, 768, 'x'), 1, 768) AS s
+# The fingerprint payload builders index text by CHARACTER (rpad /
+# substring) before utf-8 encoding it into a binary payload, and their
+# oracles take unicode() codepoints at character offsets — both sides
+# need chars == bytes, i.e. ASCII. The bench corpus is ASCII, but
+# rather than leave that invariant implicit (ADVICE r8), both sides
+# strip non-ASCII characters up front with the SAME character class, so
+# a multi-byte character can never desynchronize byte vs char offsets
+# and unicode() can never yield a codepoint > 127. The class keeps
+# printable ASCII + tab/newline/CR (all single-byte, codepoint <= 126).
+_ASCII_RE = "[^\\t\\n\\r -~]"
+_DD_ASCII_TEXT = "regexp_replace(text, '[^\\t\\n\\r -~]', '', 'g')"
+
+
+def _ascii_text():
+    """Spark twin of ``_DD_ASCII_TEXT`` — Java regex drops the same
+    characters the oracle's RE2 drops (both parse \\t/\\n/\\r escapes
+    inside a character class)."""
+    return F.regexp_replace(F.col("text"), _ASCII_RE, "")
+
+
+_DD_AHASH = f"""
+  pimg AS (SELECT doc_id, substr(rpad({_DD_ASCII_TEXT}, 768, 'x'), 1, 768) AS s
            FROM documents),
   gpx AS (
     SELECT doc_id, yy, xx,
@@ -3325,7 +3345,7 @@ def ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = d.select(
         "doc_id",
         F.encode(F.concat(F.lit("P6\n16 16\n255\n"),
-                          F.substring(F.rpad(F.col("text"), 768, "x"),
+                          F.substring(F.rpad(_ascii_text(), 768, "x"),
                                       1, 768)),
                  "utf-8").alias("payload"))
     return mm.image_ahash(payload, tier="reference")
@@ -3393,13 +3413,13 @@ def audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = d.select(
         "doc_id",
         F.concat(F.lit(bytearray(_wav_pcm16_header(512))),
-                 F.encode(F.substring(F.rpad(F.col("text"), 512, "x"),
+                 F.encode(F.substring(F.rpad(_ascii_text(), 512, "x"),
                                       1, 512), "utf-8")).alias("payload"))
     return mm.audio_fingerprint(payload)
 
 
-_DD_AUDIO_FP = """
-  pa AS (SELECT doc_id, substr(rpad(text, 512, 'x'), 1, 512) AS s
+_DD_AUDIO_FP = f"""
+  pa AS (SELECT doc_id, substr(rpad({_DD_ASCII_TEXT}, 512, 'x'), 1, 512) AS s
          FROM documents),
   sm AS (
     SELECT doc_id, j,
@@ -3550,7 +3570,7 @@ def video_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled, per-frame real-PPM aHash, strict odd per-bit majority.
     Shared by the gate below and the decade-scale replay."""
     d = load_table(spark, sf_dir, "documents")
-    base = F.rpad(F.substring(F.col("text"), 1, 576), 576, "x")
+    base = F.rpad(F.substring(_ascii_text(), 1, 576), 576, "x")
     payload = d.select("doc_id",
                        F.encode(F.repeat(base, 4), "utf-8").alias("payload"))
     frames = mm.sample_frames(payload, every_n=4, frame_bytes=192)
@@ -3562,8 +3582,8 @@ def video_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_fingerprint(fh)
 
 
-_DD_VIDEO_FP = """
-  pv AS (SELECT doc_id, rpad(substr(text, 1, 576), 576, 'x') AS s
+_DD_VIDEO_FP = f"""
+  pv AS (SELECT doc_id, rpad(substr({_DD_ASCII_TEXT}, 1, 576), 576, 'x') AS s
          FROM documents),
   vg AS (
     SELECT doc_id, o, yy * 8 + xx AS i,

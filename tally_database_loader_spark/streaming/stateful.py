@@ -224,11 +224,19 @@ def streaming_fp_near_dedup(hashes: DataFrame, *, id_col: str = "doc_id",
     equivalent to the batch banded join's candidate set — every bucket
     co-member connects through the representative — which is what
     duplicate clustering consumes. Hamming verification deliberately
-    stays a downstream batch join: a star edge connects two documents
-    through the keeper, so "some bucket co-member within distance d"
-    is NOT decidable from bucket-local keeper state, exactly as
-    exact-Jaccard verification stays batch-side for the MinHash
-    streaming arm. NULL hashes pass through unexamined, like the batch
+    stays downstream and batch-side: "some bucket co-member within
+    distance d" is NOT decidable from bucket-local keeper state,
+    exactly as exact-Jaccard verification stays batch-side for the
+    MinHash streaming arm.
+
+    The downstream verify must be ``fp_stream_verify`` (membership-
+    restricted band join), NEVER a pairwise Hamming filter of the star
+    edges themselves: a star edge runs through the keeper, and a keeper
+    can sit > max_hamming from two co-members that are within
+    max_hamming of each other (they share a band value, so the
+    configuration is reachable) — edge-wise filtering would drop both
+    star edges and lose the true pair, under-clustering vs batch
+    (ADVICE r8). NULL hashes pass through unexamined, like the batch
     operator's isNotNull filter."""
     idt = _col_type(hashes, id_col)
     out_schema = f"band int, band_val int, d1 {idt}, d2 {idt}"
@@ -259,3 +267,49 @@ def streaming_fp_near_dedup(hashes: DataFrame, *, id_col: str = "doc_id",
     return (sig.groupBy("band", "band_val")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def fp_stream_verify(candidates: DataFrame, hashes: DataFrame, *,
+                     max_hamming: int = 3, id_col: str = "doc_id",
+                     hash_col: str = "ahash") -> DataFrame:
+    """Batch Hamming verification of ``streaming_fp_near_dedup`` star
+    candidates, COMPONENT-WISE rather than edge-wise: returns exactly
+    the batch ``ahash_near_duplicates`` pair set (id_a, id_b, hamming)
+    over the streamed corpus, so feeding the result to ``dup_clusters``
+    yields the identical cluster partition the all-batch pipeline would
+    (asserted end-to-end in tests/test_streaming.py for image and audio
+    fingerprints).
+
+    Implementation: restrict the accumulated hash table to documents
+    that appear in ANY star candidate (a left-semi membership probe —
+    the coarsest component-preserving restriction), then run the normal
+    lossless banded join on that restriction. Equality with the batch
+    pair set is provable, not heuristic:
+
+    - every batch pair (a, b) shares a band bucket (pigeonhole at
+      ``max_hamming <= bands - 1``), that bucket has >= 2 members, so
+      both a and b appear in its star edges (as keeper or co-member) —
+      the restriction keeps them, and the band join re-finds the pair;
+    - conversely the restricted join only emits pairs the full-table
+      join emits (a subset scan cannot invent buckets).
+
+    Filtering the star edges THEMSELVES by pairwise Hamming is NOT
+    equivalent: both star edges of a close pair can fail the threshold
+    through a far keeper, losing the pair (ADVICE r8 — the docstring
+    above spells out the reachable configuration). The restriction
+    keeps the verify stage bucketed (never all-pairs), and on a
+    dup-heavy stream it is SMALLER than the full batch join's input:
+    documents whose buckets stayed singletons never re-enter."""
+    from pyspark.sql import functions as F
+
+    from ..llm.multimodal import ahash_near_duplicates
+
+    members = (candidates.select(F.col("d1").alias(id_col))
+               .unionByName(candidates.select(F.col("d2").alias(id_col)))
+               .distinct())
+    # the member set is bounded by documents that ever shared a bucket —
+    # broadcast it so the probe is a map-side semi join, no shuffle of
+    # the accumulated hash table
+    restricted = hashes.join(F.broadcast(members), id_col, "left_semi")
+    return ahash_near_duplicates(restricted, max_hamming=max_hamming,
+                                 hash_col=hash_col)

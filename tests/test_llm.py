@@ -809,6 +809,43 @@ def test_audio_fingerprint_known_samples_and_null(spark):
             | (r["b3"] << 48)) == r["fp"]
 
 
+def test_audio_fingerprint_width4_full_scale_no_overflow(spark):
+    """Width-4 (32-bit PCM) at full scale: one frame's energy is
+    4·(2³¹−1)² ≈ 1.84e19 > int64 max, so an int64 energy sum would wrap
+    NEGATIVE and a full-scale frame would compare BELOW silence
+    (ADVICE r8). The fingerprint computes energies in exact Python
+    ints, so the documented strict energy-delta ordering holds at any
+    supported width."""
+    import io
+    import wave
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        _FP_FRAME_LEN, _FP_FRAMES, audio_fingerprint)
+
+    full = 2**31 - 1
+    # frames alternate silence / full-scale: exact energies alternate
+    # 0 / 1.84e19, so bits alternate 1 (rise), 0 (fall), ...
+    amps = [0 if f % 2 == 0 else full for f in range(_FP_FRAMES)]
+    samples = np.repeat(np.array(amps, dtype="<i4"), _FP_FRAME_LEN)
+    # the wrapped int64 energy really is negative (top bit set after
+    # mod-2^64) — the failure mode this test pins down
+    assert (4 * full * full) % 2**64 >= 2**63
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    [r] = audio_fingerprint(df).collect()
+    want = sum(1 << i for i in range(63) if i % 2 == 0)
+    assert r["fp"] == want
+    assert (r["b0"] | (r["b1"] << 16) | (r["b2"] << 32)
+            | (r["b3"] << 48)) == want
+
+
 def test_video_fingerprint_majority_and_null_frames(spark):
     """video_fingerprint's strict per-bit majority over frame hashes:
     known frame bit patterns -> known majority; NULL frame hashes are

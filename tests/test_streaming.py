@@ -603,9 +603,104 @@ def test_streaming_fp_near_dedup_connectivity_matches_batch(spark, tmp_path):
         return {frozenset(v) for v in comp.values()}
 
     nodes = {r[0] for r in all_rows}
-    # streaming candidates, verified at the same hamming <= 3 threshold
-    # downstream (the documented batch-side verification step)
-    hmap = {r[0]: r[1] & 0xFFFFFFFFFFFFFFFF for r in all_rows}
-    verified = {(a, b) for a, b in pairs
-                if bin(hmap[a] ^ hmap[b]).count("1") <= 3}
-    assert components(verified, nodes) == components(batch_pairs, nodes)
+    # streaming candidates through the documented downstream verify —
+    # fp_stream_verify's membership-restricted band join, NOT a pairwise
+    # filter of the star edges (edge-wise is not batch-equivalent: see
+    # test_fp_stream_verify_component_wise_end_to_end) — must reproduce
+    # the batch pair set exactly, hamming values included
+    from tally_database_loader_spark.streaming.stateful import (
+        fp_stream_verify)
+    cand_df = spark.createDataFrame(
+        [(r["d1"], r["d2"]) for r in first + second], "d1 long, d2 long")
+    verified = {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in fp_stream_verify(cand_df, bdf).collect()}
+    batch_full = {(r["id_a"], r["id_b"]): r["hamming"]
+                  for r in ahash_near_duplicates(bdf, max_hamming=3)
+                  .collect()}
+    assert verified == batch_full
+    assert components(set(verified), nodes) == components(batch_pairs, nodes)
+
+
+def test_fp_stream_verify_component_wise_end_to_end(spark, tmp_path):
+    """End-to-end stream→batch cluster equality on the ADVICE-r8
+    adversarial configuration: a bucket keeper K sits Hamming > 3 from
+    two co-members M1, M2 that are within 3 of EACH OTHER and share no
+    other bucket. Edge-wise filtering of the star edges drops both
+    (through-the-keeper distances 6 and 9) and loses the true pair;
+    fp_stream_verify's component-wise (membership-restricted band join)
+    verification recovers it, and the final clusters equal the all-batch
+    pipeline's — for both the image (ahash) and audio (fp) modalities."""
+    import numpy as np
+    from tally_database_loader_spark.llm.dedup import dup_clusters
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates)
+    from tally_database_loader_spark.streaming.stateful import (
+        fp_stream_verify, streaming_fp_near_dedup)
+
+    K = 0
+    M1 = (1 << 16) | (1 << 17) | (1 << 32) | (1 << 33) | (1 << 48) | (1 << 49)
+    # M2 differs from M1 by ONE bit in each of bands 1..3: hamming 3,
+    # but all three nonzero bands differ, so the ONLY shared bucket is
+    # band 0 (value 0) — the bucket K keeps
+    M2 = M1 ^ (1 << 18) ^ (1 << 34) ^ (1 << 50)
+    assert bin(M1 ^ M2).count("1") == 3
+    assert bin(K ^ M1).count("1") == 6 and bin(K ^ M2).count("1") == 9
+
+    def row(doc_id, h):
+        return (doc_id, int(np.uint64(h).astype(np.int64)),
+                h & 0xFFFF, (h >> 16) & 0xFFFF,
+                (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF)
+
+    for hash_col in ("ahash", "fp"):
+        schema = f"doc_id long, {hash_col} long, b0 int, b1 int, " \
+                 f"b2 int, b3 int"
+        src = str(tmp_path / f"hashes_{hash_col}")
+        ck = str(tmp_path / f"ck_{hash_col}")
+        out: list = []
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (streaming_fp_near_dedup(stream, hash_col=hash_col)
+                 .writeStream.foreachBatch(
+                     lambda df, _id: out.extend(df.collect()))
+                 .outputMode("update")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        # K arrives first (becomes the band-0 bucket keeper), M1/M2 later
+        spark.createDataFrame([row(1, K)], schema) \
+             .write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame([row(2, M1), row(3, M2)], schema) \
+             .write.mode("append").parquet(src)
+        run_once()
+
+        star = {(r["d1"], r["d2"]) for r in out}
+        assert star == {(1, 2), (1, 3)}, star
+        # the hazard is real: every star edge fails a pairwise Hamming
+        # filter, so edge-wise verification would emit NOTHING
+        hmap = {1: K, 2: M1, 3: M2}
+        assert all(bin(hmap[a] ^ hmap[b]).count("1") > 3 for a, b in star)
+
+        hashes = spark.createDataFrame(
+            [row(1, K), row(2, M1), row(3, M2)], schema)
+        cand = spark.createDataFrame(sorted(star), "d1 long, d2 long")
+        verified = fp_stream_verify(cand, hashes, hash_col=hash_col)
+        got_pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                     for r in verified.collect()}
+        assert got_pairs == {(2, 3): 3}
+
+        # final clusters equal the all-batch pipeline's
+        stream_clusters = {(r["doc_id"], r["cluster_id"])
+                           for r in dup_clusters(
+                               verified.select("id_a", "id_b"),
+                               id_cols=("id_a", "id_b")).collect()}
+        batch_clusters = {(r["doc_id"], r["cluster_id"])
+                          for r in dup_clusters(
+                              ahash_near_duplicates(
+                                  hashes, max_hamming=3,
+                                  hash_col=hash_col)
+                              .select("id_a", "id_b"),
+                              id_cols=("id_a", "id_b")).collect()}
+        assert stream_clusters == batch_clusters == {(2, 2), (3, 2)}
