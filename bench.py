@@ -137,6 +137,13 @@ HEADLINE = [
     # temporal video fingerprint (frame sampling → per-frame aHash →
     # odd-majority vote → banded Hamming join)
     "video_fp_dups",
+    # round-9 additions (new slots): cross-modal dedup — text MinHash
+    # edges unioned with the image/audio/video fingerprint edges into
+    # one pointer-doubling component closure — and the quality-aware
+    # keeper election over those clusters (argmax quality score per
+    # cluster as one partial-aggregated groupBy)
+    "cross_modal_dedup",
+    "cross_modal_keeper_election",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state

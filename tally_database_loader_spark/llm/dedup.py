@@ -274,6 +274,43 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("d1", "d2"),
                          F.col("label").alias("cluster_id"))
 
 
+def elect_keepers(clusters: DataFrame, scores: DataFrame,
+                  id_col: str = "doc_id",
+                  score_col: str = "score") -> DataFrame:
+    """Quality-aware keeper election over duplicate clusters: keep the
+    HIGHEST-scoring member of each cluster (tie → min ``id_col``),
+    instead of ``dup_clusters``' min-id convention — "keep the best
+    copy", the CCNet-style refinement where the retained duplicate is
+    chosen by a quality signal (perplexity, length, heuristic score)
+    rather than by id accident.
+
+    ``clusters`` is ``dup_clusters`` output (doc_id, cluster_id);
+    ``scores`` maps doc_id → a numeric score (rows without a score drop
+    out via the inner join — a cluster member the scorer never saw
+    cannot be elected OR counted, keeping both engines' views equal).
+    Returns (doc_id, cluster_id, keeper_id, keep).
+
+    Plan shape: the argmax is ONE partial-aggregated groupBy —
+    ``max(struct(score, -id))`` — so the election is a map-side-combined
+    shuffle on cluster_id plus a broadcast-joinable (clusters-sized)
+    keeper table; no window over the full membership, no skew beyond
+    what cluster sizes already impose."""
+    j = clusters.join(scores.select(F.col(id_col),
+                                    F.col(score_col).alias("__score")),
+                      id_col)
+    best = (j.groupBy("cluster_id")
+             .agg(F.max(F.struct(F.col("__score").alias("s"),
+                                 (-F.col(id_col)).alias("neg_id")))
+                   .alias("b"))
+             .select("cluster_id",
+                     (-F.col("b.neg_id")).alias("keeper_id")))
+    return (j.join(best, "cluster_id")
+             .select(F.col(id_col), F.col("cluster_id"),
+                     F.col("keeper_id"),
+                     (F.col(id_col) == F.col("keeper_id"))
+                     .cast("int").alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

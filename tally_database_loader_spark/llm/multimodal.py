@@ -1188,19 +1188,30 @@ def _audio_fp_record(samples: "np.ndarray") -> tuple[int, int, int, int,
     no sign gymnastics in any engine. Short payloads zero-pad to 256
     samples. Returns (fp, band0..band3), bands as in ``_ahash_record``.
 
-    Frame energies are computed in arbitrary-precision Python ints, not
-    int64: a width-4 (32-bit PCM) frame at full scale reaches
-    4·(2³¹−1)² ≈ 1.84e19 > int64's 9.22e18, and numpy would wrap
-    silently, breaking the documented energy ordering (a full-scale
-    frame would compare BELOW silence). Only the 256 fingerprinted
-    samples pay the object-arithmetic cost — negligible per payload."""
+    A width-4 (32-bit PCM) frame at full scale reaches 4·(2³¹−1)² ≈
+    1.84e19 > int64's 9.22e18, and numpy would wrap silently, breaking
+    the documented energy ordering (a full-scale frame would compare
+    BELOW silence — ADVICE r8). The vectorized int64 path is provably
+    exact while max|s| < 2³⁰ (4·(2³⁰)² = 2⁶² < 2⁶³−1), which covers
+    every width ≤ 3 payload (|s| ≤ 2²³) and quiet width-4 audio; hotter
+    width-4 samples fall back to arbitrary-precision Python ints over
+    the 256 fingerprinted samples. Both paths compute the same exact
+    energies, so the branch is value-invisible."""
     need = _FP_FRAMES * _FP_FRAME_LEN
-    s = [int(x) for x in samples[:need]]
-    s += [0] * (need - len(s))
-    e = [sum(v * v for v in s[f * _FP_FRAME_LEN:(f + 1) * _FP_FRAME_LEN])
-         for f in range(_FP_FRAMES)]
+    sa = samples[:need]
+    if sa.shape[0] < need:
+        sa = np.concatenate([sa, np.zeros(need - sa.shape[0],
+                                          dtype=np.int64)])
     bits = np.zeros(64, dtype=np.uint64)
-    bits[:63] = [1 if e[i + 1] > e[i] else 0 for i in range(63)]
+    if sa.size == 0 or int(np.abs(sa).max()) < 1 << 30:
+        e = (sa * sa).reshape(_FP_FRAMES, _FP_FRAME_LEN).sum(axis=1)
+        bits[:63] = (e[1:] > e[:-1]).astype(np.uint64)
+    else:
+        s = [int(x) for x in sa]
+        e = [sum(v * v
+                 for v in s[f * _FP_FRAME_LEN:(f + 1) * _FP_FRAME_LEN])
+             for f in range(_FP_FRAMES)]
+        bits[:63] = [1 if e[i + 1] > e[i] else 0 for i in range(63)]
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     fp = int((bits * weights).sum(dtype=np.uint64))
     bands = [int((bits[16 * j:16 * j + 16]

@@ -113,7 +113,15 @@ _WINDOW = [
     "curation_pipeline",
     # text analysis (6 families in one pass, incl. Gopher rule filters)
     # + dedup modalities
-    "text_profile", "minhash_lsh_dedup",
+    # Round-9 flagship: cross_modal_dedup — text MinHash edges unioned
+    # with the image/audio/video fingerprint edges under ONE recursive-
+    # CTE closure oracle. It displaces minhash_lsh_dedup, whose
+    # banding + exact-Jaccard verification the flagship's oracle embeds
+    # VERBATIM as its tpairs CTE (and two_tier_dedup's tier 1 replays
+    # the same operator with the same constants), so the MinHash family
+    # keeps two in-window rows; minhash_lsh_dedup stays registered and
+    # oracle-replayed by tests/test_gate_queries.py.
+    "text_profile", "cross_modal_dedup",
     "dedup_clusters", "incremental_dedup",
     # round-6 flagships: guarded SemDeDup, the MinHash→SemDeDup two-tier
     # composition and the real-decoder value-hash gate; round 7 adds the

@@ -3725,3 +3725,168 @@ def fingerprint_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cluster_id").cast("long"),
                      (F.col("doc_id") == F.col("cluster_id"))
                      .cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# cross-modal dedup: text MinHash edges join the fingerprint closure — r9
+# ---------------------------------------------------------------------------
+
+@gate_query("cross_modal_dedup", oracle=f"""
+WITH RECURSIVE tpairs AS ({_DD_MINHASH}),
+{_DD_AHASH}, {_DD_AUDIO_FP}, {_DD_VIDEO_FP},
+ipairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+),
+apairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+vpairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM tpairs
+  UNION SELECT d2, d1 FROM tpairs
+  UNION SELECT s, t FROM ipairs
+  UNION SELECT t, s FROM ipairs
+  UNION SELECT s, t FROM apairs
+  UNION SELECT t, s FROM apairs
+  UNION SELECT s, t FROM vpairs
+  UNION SELECT t, s FROM vpairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = node THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY node
+""")
+def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus dedup (round 9, VERDICT r8 #4): a real
+    curation run feeds TEXT duplicate evidence into the same component
+    closure as the perceptual fingerprints — a document is a duplicate
+    if its text is a MinHash near-copy OR any of its image/audio/video
+    renditions fingerprint-match. Edges:
+
+    - text: MinHash(16) + LSH(4×4) candidates verified at exact Jaccard
+      >= 0.7 (llm/dedup.py minhash_near_duplicates — the md5-parity arm
+      so the oracle replays the banding and the verification);
+    - image / audio / video: the three lossless banded Hamming joins
+      over the real-decoder fingerprints (llm/multimodal.py).
+
+    All four edge sets union into one graph, pointer-doubling connected
+    components assign cluster ids, and the min-id member is elected
+    keeper — so a text near-copy whose image clone lives in a THIRD
+    document collapses all three into one cluster, which no per-modality
+    pass can do. The oracle replays the MinHash banding + Jaccard
+    verify, all three fingerprint derivations, the three brute-force
+    pair sets, and the closure as one recursive CTE. At 100 TB every
+    edge stage stays bucketed (LSH bands / distinct-value Hamming
+    buckets), and pair listings exist only as the shuffle feeding the
+    O(log diameter) label-propagation rounds — the same shape the
+    decade replay measures for fingerprint_dedup_pipeline, plus one
+    more bounded edge source."""
+    from ..llm.dedup import dup_clusters, minhash_near_duplicates
+    d = load_table(spark, sf_dir, "documents")
+    text = (minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
+                                    k=16, bands=4, n=3, parity_hash=True)
+            .select(F.col("d1").alias("id_a"), F.col("d2").alias("id_b")))
+    img = mm.ahash_near_duplicates(ahash_table(spark, sf_dir),
+                                   max_hamming=3)
+    aud = mm.ahash_near_duplicates(audio_fp_table(spark, sf_dir),
+                                   max_hamming=3, hash_col="fp")
+    vid = mm.ahash_near_duplicates(video_fp_table(spark, sf_dir),
+                                   max_hamming=3, hash_col="fp")
+    edges = (text
+             .unionByName(img.select("id_a", "id_b"))
+             .unionByName(aud.select("id_a", "id_b"))
+             .unionByName(vid.select("id_a", "id_b")))
+    cl = dup_clusters(edges, id_cols=("id_a", "id_b"))
+    return cl.select(F.col("doc_id").cast("long"),
+                     F.col("cluster_id").cast("long"),
+                     (F.col("doc_id") == F.col("cluster_id"))
+                     .cast("int").alias("keep"))
+
+
+@gate_query("cross_modal_keeper_election", oracle=f"""
+WITH RECURSIVE tpairs AS ({_DD_MINHASH}),
+{_DD_AHASH}, {_DD_AUDIO_FP}, {_DD_VIDEO_FP},
+ipairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+),
+apairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+vpairs AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM tpairs
+  UNION SELECT d2, d1 FROM tpairs
+  UNION SELECT s, t FROM ipairs
+  UNION SELECT t, s FROM ipairs
+  UNION SELECT s, t FROM apairs
+  UNION SELECT t, s FROM apairs
+  UNION SELECT s, t FROM vpairs
+  UNION SELECT t, s FROM vpairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst
+),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         least(1.0, n_tokens / 100.0) * 0.5
+         + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+         + least(1.0, stopword_ratio * 5.0) * 0.2 AS score
+  FROM ({_DD_QUALITY})
+),
+rr AS (
+  SELECT cl.doc_id, cl.cluster_id,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.score DESC, cl.doc_id) AS rn
+  FROM cl JOIN q USING (doc_id)
+),
+k AS (SELECT cluster_id, doc_id AS keeper_id FROM rr WHERE rn = 1)
+SELECT CAST(rr.doc_id AS BIGINT) AS doc_id,
+       CAST(rr.cluster_id AS BIGINT) AS cluster_id,
+       CAST(k.keeper_id AS BIGINT) AS keeper_id,
+       CAST(CASE WHEN rr.doc_id = k.keeper_id THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM rr JOIN k USING (cluster_id)
+""")
+def cross_modal_keeper_election(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election over the cross-modal clusters
+    (round 9): instead of ``dup_clusters``' min-id keeper, each cluster
+    keeps its HIGHEST-quality member (the composite text-quality score,
+    tie → min doc_id) — the CCNet-style "keep the best copy" refinement
+    a real curation run applies after duplicate evidence is merged
+    (llm/dedup.py elect_keepers over llm/text.py quality_columns). The
+    oracle replays the full cross-modal closure, the quality score, and
+    the argmax as a window rank; the engine's election is ONE
+    partial-aggregated groupBy (max(struct(score, -id))), never a
+    window over full membership. Scores are the SAME doubles on both
+    engines (text_quality is hash-verified), so the DESC ordering and
+    the tie-break agree exactly."""
+    from ..llm.dedup import elect_keepers
+    cl = cross_modal_dedup(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents")
+    cols = tx.quality_columns(F.col("text"))
+    scores = d.select("doc_id", cols["quality_score"].alias("score"))
+    return elect_keepers(cl, scores)

@@ -134,6 +134,11 @@ def test_driver_window_covers_all_families():
         # asof_latest_view + report_daily_cash_movement's spine;
         # segment_pivot stays registered + oracle-replayed
         "video_fp_dups", "fingerprint_dedup_pipeline",
+        # round-9 flagship: text MinHash edges + the three fingerprint
+        # edge sets under one recursive-CTE closure (displaced
+        # minhash_lsh_dedup's banding+verify is embedded verbatim in
+        # this oracle's tpairs CTE and in two_tier_dedup's tier 1)
+        "cross_modal_dedup",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

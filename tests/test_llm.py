@@ -845,6 +845,25 @@ def test_audio_fingerprint_width4_full_scale_no_overflow(spark):
     assert (r["b0"] | (r["b1"] << 16) | (r["b2"] << 32)
             | (r["b3"] << 48)) == want
 
+    # the magnitude-gated fast/exact branch is value-invisible: the same
+    # sample pattern scaled to sit just below and just above the 2^30
+    # gate must produce the SAME relative bit pattern, each arm agreeing
+    # with a pure-python recomputation
+    from tally_database_loader_spark.llm.multimodal import _audio_fp_record
+
+    def py_fp(sm):
+        sm = list(sm) + [0] * (_FP_FRAMES * _FP_FRAME_LEN - len(sm))
+        e = [sum(int(v) * int(v) for v in sm[4 * f:4 * f + 4])
+             for f in range(_FP_FRAMES)]
+        return sum(1 << i for i in range(63) if e[i + 1] > e[i])
+
+    pattern = [(f * 37) % 64 - 32 for f in range(_FP_FRAMES)
+               for _ in range(_FP_FRAME_LEN)]
+    for scale in ((1 << 30) // 64 - 1, (1 << 30) // 32 + 1):
+        sm = np.array([p * scale for p in pattern], dtype=np.int64)
+        fp, *_ = _audio_fp_record(sm)
+        assert fp == py_fp(sm.tolist()), scale
+
 
 def test_video_fingerprint_majority_and_null_frames(spark):
     """video_fingerprint's strict per-bit majority over frame hashes:
@@ -2907,3 +2926,28 @@ def test_ppm_wide_maxval_decode_and_resize(spark):
     assert bytes(rows[1].payload) == b"P6\n2 1\n255\n" \
         + want.astype(np.uint8).tobytes()
     assert rows[2].payload is None
+
+
+def test_elect_keepers_argmax_ties_and_missing_scores(spark):
+    """elect_keepers: highest score wins, exact-tie falls back to min
+    doc_id, cluster members without a score drop out (inner join), and
+    keep marks exactly the keeper row per cluster."""
+    from tally_database_loader_spark.llm.dedup import elect_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),      # scores 0.2 < 0.9 -> keeper 2
+         (10, 10), (11, 10),          # exact tie -> min id 10
+         (20, 20), (21, 20)],         # 21 unscored -> drops; keeper 20
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5),
+         (10, 0.7), (11, 0.7),
+         (20, 0.1)],
+        "doc_id long, score double")
+    got = {(r["doc_id"]): (r["cluster_id"], r["keeper_id"], r["keep"])
+           for r in elect_keepers(clusters, scores).collect()}
+    assert got == {
+        1: (1, 2, 0), 2: (1, 2, 1), 3: (1, 2, 0),
+        10: (10, 10, 1), 11: (10, 10, 0),
+        20: (20, 20, 1),
+    }

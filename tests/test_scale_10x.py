@@ -26,5 +26,12 @@ def test_synthetic_decade_bounds_and_hashes(spark, tmp_path):
     # slack=10: the hash/count/bound MECHANISM runs in-suite, but a CI
     # GC pause or noisy neighbor on the small 4x corpus must not flake
     # a correctness test; the committed CLI log keeps the tight 3x.
-    lines, failures = check(spark, dst, SF_CORRECTNESS, slack=10.0)
+    # inc_mod=2003 so the 4x-sf0.01 voucher population yields a real
+    # mutation batch (tens of modifies/deletes, not ~3), inc_buckets=64
+    # so the bucket audit has carried-forward buckets to prove.
+    lines, failures = check(spark, dst, SF_CORRECTNESS, slack=10.0,
+                            inc_buckets=64, inc_mod=2003, inc_inserts=10)
     assert failures == 0, "\n".join(lines)
+    # the E-protocol slot must have exercised every mutation class
+    inc = [ln for ln in lines if "incremental E-protocol" in ln]
+    assert inc and "deleted=0" not in inc[0] and "appended=0" not in inc[0]
