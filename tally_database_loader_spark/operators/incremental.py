@@ -586,14 +586,24 @@ class IncrementalSync:
             modified = (target.join(diff, "guid")
                               .filter(F.col("alterid") != F.col("src_alterid"))
                               .select("guid"))
-            remove = deletes.unionByName(modified).distinct()
+            # the changed-set is mutation-sized; MATERIALIZE it once
+            # (eager localCheckpoint, same device as dup_clusters) — it
+            # is consumed by the scoped write, the touched-bucket probe,
+            # the stats counts and the cascade edges, and without the
+            # checkpoint each consumer re-runs the full target⋈source
+            # diff join (measured 97s → ~half at the 10×sf0.1 decade
+            # replay, where the diff scans 7.7M rows to find ~10³ keys)
+            remove = (deletes.unionByName(modified).distinct()
+                      .localCheckpoint(eager=True))
             removed_keys[name] = remove
             # E6: apply removal (anti-join rewrite ≡ DELETE WHERE IN)
             kept = target.join(remove, "guid", "left_anti")
             # E8: fresh rows — alterid beyond the sink watermark (C8), or
             # re-extraction of modified rows (their alterid > old one too)
-            fresh = frames[name].join(kept.select("guid"), "guid", "left_anti") \
-                                .filter(F.col("alterid") > wm)
+            fresh = (frames[name].join(kept.select("guid"), "guid",
+                                       "left_anti")
+                                 .filter(F.col("alterid") > wm)
+                                 .localCheckpoint(eager=True))
             merged = kept.unionByName(fresh)
             # partition-scoped commit: only buckets holding a removed or
             # fresh guid are rewritten; the rest carry forward by manifest reference
@@ -604,9 +614,14 @@ class IncrementalSync:
             stats["appended"][name] = fresh.count()
 
             # E7: cascade delete through FK edges; children of fresh
-            # (new/modified) parents are re-derived from the source
+            # (new/modified) parents are re-derived from the source.
+            # Mutation-sized and consumed once per child edge by three
+            # joins — materialize like remove/fresh above (skipped when
+            # the table has no cascade edges to feed)
             fresh_parents = (frames[name].filter(F.col("alterid") > wm)
                                          .select("guid"))
+            if spec.cascade_delete:
+                fresh_parents = fresh_parents.localCheckpoint(eager=True)
             for child, fk in spec.cascade_delete.items():
                 if not self.store.exists(child):
                     continue
