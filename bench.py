@@ -144,6 +144,9 @@ HEADLINE = [
     # cluster as one partial-aggregated groupBy)
     "cross_modal_dedup",
     "cross_modal_keeper_election",
+    # incremental fingerprint probe: batch vs corpus DISTINCT-value band
+    # index (the perceptual twin of incremental_dedup's signature index)
+    "incremental_fp_dedup",
 ]
 
 # METHODOLOGY IS FROZEN from round 3 on (VERDICT r3 #8): steady-state

@@ -1326,6 +1326,76 @@ def ahash_near_duplicates(hashes: DataFrame,
     return within.unionByName(cross)
 
 
+def incremental_fp_dedup(corpus: DataFrame, batch: DataFrame,
+                         max_hamming: int = 3,
+                         hash_col: str = "ahash") -> DataFrame:
+    """Incremental fingerprint near-dup: every pair (Hamming ≤
+    ``max_hamming``) that INVOLVES a batch document — batch↔corpus and
+    batch↔batch — without re-pairing the corpus against itself. The
+    fingerprint twin of ``incremental_dedup`` (MinHash) and
+    ``incremental_substring_dedup`` (gram index): as batches commit, the
+    corpus side reduces to its DISTINCT-fingerprint index (values +
+    band split, plus the value→id expansion map — both persistable and
+    append-only), and the per-batch cost is a batch-sized probe of the
+    band buckets, never a corpus×corpus join.
+
+    Equivalence contract (pinned in tests/test_llm.py): the result
+    equals ``ahash_near_duplicates(corpus ∪ batch)`` minus its
+    corpus-internal pairs — same lossless banding (pigeonhole at
+    ``max_hamming <= 3``), same exact-clone collapse (value pairs are
+    found over DISTINCT fingerprints, then expanded to id pairs by
+    equi-joins). At 100 TB the corpus band index is the big static
+    side: pre-partitioned by (band_idx, band_val) it is probed, not
+    reshuffled, and the probe volume is the batch's 4 bands per
+    distinct value."""
+    def prep(df):
+        return (df.filter(F.col(hash_col).isNotNull())
+                  .select("doc_id", F.col(hash_col).alias("ahash"),
+                          "b0", "b1", "b2", "b3"))
+
+    c, b = prep(corpus), prep(batch).localCheckpoint(eager=True)
+    c_ids = c.select("doc_id", "ahash")
+    b_ids = b.select("doc_id", "ahash")
+
+    def bands(vals):
+        return vals.select(
+            "ahash", F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                      .alias("band_idx", "band_val"))
+
+    c_vals = c.select("ahash", "b0", "b1", "b2", "b3").distinct()
+    b_vals = b.select("ahash", "b0", "b1", "b2", "b3").distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+
+    # batch value ↔ corpus value candidates through the band buckets
+    # (hamming >= 1; equal values pair by the cheaper equi-join below)
+    cb, bbnd = bands(c_vals).alias("c"), bands(b_vals).alias("b")
+    cross_vals = (bbnd.join(cb, (F.col("b.band_idx") == F.col("c.band_idx"))
+                                & (F.col("b.band_val") == F.col("c.band_val"))
+                                & (F.col("b.ahash") != F.col("c.ahash")))
+                      .select(F.col("b.ahash").alias("ha"),
+                              F.col("c.ahash").alias("hb"))
+                      .distinct()
+                      .select("ha", "hb", ham.alias("hamming"))
+                      .filter(F.col("hamming") <= max_hamming))
+    cross = (cross_vals
+             .join(b_ids.select(F.col("doc_id").alias("da"),
+                                F.col("ahash").alias("ha")), "ha")
+             .join(c_ids.select(F.col("doc_id").alias("db"),
+                                F.col("ahash").alias("hb")), "hb")
+             .select(F.least("da", "db").alias("id_a"),
+                     F.greatest("da", "db").alias("id_b"), "hamming"))
+    # batch value == corpus value: exact clones across the boundary
+    eq = (b_ids.select(F.col("doc_id").alias("da"), "ahash")
+               .join(c_ids.select(F.col("doc_id").alias("db"), "ahash"),
+                     "ahash")
+               .select(F.least("da", "db").alias("id_a"),
+                       F.greatest("da", "db").alias("id_b"),
+                       F.lit(0).cast("int").alias("hamming")))
+    # batch-internal pairs: the normal operator over the batch alone
+    within = ahash_near_duplicates(b, max_hamming=max_hamming)
+    return within.unionByName(eq).unionByName(cross)
+
+
 def video_fingerprint(frame_hashes: DataFrame,
                       id_col: str = "doc_id") -> DataFrame:
     """Temporal video fingerprint from per-frame perceptual hashes: one

@@ -3903,3 +3903,32 @@ def cross_modal_keeper_election(spark: SparkSession,
     cols = tx.quality_columns(F.col("text"))
     scores = d.select("doc_id", cols["quality_score"].alias("score"))
     return elect_keepers(cl, scores)
+
+
+@gate_query("incremental_fp_dedup", oracle=f"""
+WITH {_DD_AHASH}
+SELECT CAST(least(a.doc_id, b.doc_id) AS BIGINT) AS id_a,
+       CAST(greatest(a.doc_id, b.doc_id) AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+  AND NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+""")
+def incremental_fp_dedup_gate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental fingerprint near-dup (round 9): the odd-doc_id half
+    of the image corpus arrives as a NEW batch and is paired against
+    the even-half corpus INDEX plus itself
+    (llm/multimodal.py incremental_fp_dedup) — the fingerprint twin of
+    incremental_dedup (MinHash signature index) and
+    incremental_substring_dedup (gram index), completing the
+    incremental grid for the perceptual modalities. The corpus reduces
+    to its DISTINCT-fingerprint band index; the per-batch cost is a
+    band-bucket probe, never corpus×corpus. The oracle brute-forces
+    every pair involving a batch document (all pairs minus
+    corpus-internal), which the lossless banding provably equals at
+    Hamming <= 3."""
+    hs = ahash_table(spark, sf_dir)
+    corpus = hs.filter(F.col("doc_id") % 2 == 0)
+    batch = hs.filter(F.col("doc_id") % 2 == 1)
+    return mm.incremental_fp_dedup(corpus, batch, max_hamming=3)

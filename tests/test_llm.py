@@ -2951,3 +2951,57 @@ def test_elect_keepers_argmax_ties_and_missing_scores(spark):
         10: (10, 10, 1), 11: (10, 10, 0),
         20: (20, 20, 1),
     }
+
+
+def test_incremental_fp_dedup_equals_full_minus_corpus_pairs(spark):
+    """incremental_fp_dedup's equivalence contract: the result equals
+    ahash_near_duplicates(corpus ∪ batch) minus corpus-internal pairs,
+    hamming values included — on randomized hashes dense enough to
+    produce exact clones, near-dups within the batch, across the
+    boundary, and beyond-radius non-pairs. NULL hashes pass through."""
+    import itertools
+    import random
+
+    import numpy as np
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates, incremental_fp_dedup)
+
+    rng = random.Random(90902)
+    base = [rng.getrandbits(64) for _ in range(6)]
+    hashes = {}
+    for d in range(1, 41):
+        h = rng.choice(base)
+        for _ in range(rng.randrange(6)):     # 0..5 bit flips
+            h ^= 1 << rng.randrange(64)
+        hashes[d] = h
+
+    def row(d, h):
+        return (d, int(np.uint64(h).astype(np.int64)),
+                h & 0xFFFF, (h >> 16) & 0xFFFF,
+                (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF)
+
+    schema = "doc_id long, ahash long, b0 int, b1 int, b2 int, b3 int"
+    rows = [row(d, h) for d, h in hashes.items()]
+    rows.append((99, None, None, None, None, None))
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 0], schema)
+    batch = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 1], schema)
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in incremental_fp_dedup(corpus, batch).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        if a % 2 == 0 and b % 2 == 0:
+            continue  # corpus-internal: not the increment's job
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want and want, "fixture must produce pairs"
+    # sanity: the contract phrasing itself — full minus corpus-internal
+    full = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in ahash_near_duplicates(
+                spark.createDataFrame(rows, schema)).collect()}
+    corp_int = {k: v for k, v in full.items()
+                if k[0] % 2 == 0 and k[1] % 2 == 0}
+    assert got == {k: v for k, v in full.items() if k not in corp_int}
