@@ -169,11 +169,15 @@ def streaming_near_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     spanning star per bucket: connectivity-equivalent to the batch
     ``lsh_candidates`` pair set (every bucket co-member connects through
     the representative), which is what duplicate CLUSTERING consumes;
-    downstream exact-Jaccard verification stays a batch join. Documents
-    shorter than the shingle width produce no signatures and pass
-    through unexamined, exactly like the batch path. The pair columns
-    mirror the caller's id type (string doc ids work; min-wins becomes
-    lexicographic)."""
+    downstream exact-Jaccard verification stays batch-side and must be
+    ``minhash_stream_verify`` (membership-restricted re-run), NEVER a
+    pairwise Jaccard filter of the star edges — the same non-equivalence
+    as the fingerprint arm (see ``fp_stream_verify``): a keeper can sit
+    below threshold against two co-members that clear it against each
+    other. Documents shorter than the shingle width produce no
+    signatures and pass through unexamined, exactly like the batch
+    path. The pair columns mirror the caller's id type (string doc ids
+    work; min-wins becomes lexicographic)."""
     idt = _col_type(docs, id_col)
     nd_out = f"band int, bsig string, d1 {idt}, d2 {idt}"
     nd_state = f"keeper {idt}"
@@ -313,3 +317,40 @@ def fp_stream_verify(candidates: DataFrame, hashes: DataFrame, *,
     restricted = hashes.join(F.broadcast(members), id_col, "left_semi")
     return ahash_near_duplicates(restricted, max_hamming=max_hamming,
                                  hash_col=hash_col)
+
+
+def minhash_stream_verify(candidates: DataFrame, docs: DataFrame, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.7, k: int = 16,
+                          bands: int = 4, n: int = 3) -> DataFrame:
+    """Batch exact-Jaccard verification of ``streaming_near_dedup`` star
+    candidates — the MinHash twin of ``fp_stream_verify``, closing the
+    same hazard preemptively: filtering the star edges THEMSELVES by
+    pairwise Jaccard is not batch-equivalent (a bucket keeper can sit
+    below threshold against two co-members that clear it against each
+    other), so the verify restricts the corpus to documents appearing
+    in ANY star candidate and re-runs the normal pipeline on the
+    restriction. Returns exactly
+    ``minhash_near_duplicates(docs, parity_hash=True)``:
+
+    - every batch pair shared an LSH bucket, so both endpoints appear
+      in that bucket's star edges; their per-document signatures are
+      unchanged under restriction, so the restricted banding re-finds
+      the candidate and the same shingle sets pass the same threshold;
+    - conversely a subset corpus produces a subset of the full
+      candidate set, so nothing new can pass.
+
+    Uses the md5-parity base hash — the SAME family ``band_signatures``
+    streams with — so the restricted banding reproduces the stream's
+    buckets exactly."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import minhash_near_duplicates
+
+    members = (candidates.select(F.col("d1").alias(id_col))
+               .unionByName(candidates.select(F.col("d2").alias(id_col)))
+               .distinct())
+    restricted = docs.join(F.broadcast(members), id_col, "left_semi")
+    return minhash_near_duplicates(restricted, id_col, text_col,
+                                   threshold=threshold, k=k, bands=bands,
+                                   n=n, parity_hash=True)

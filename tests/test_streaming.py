@@ -371,9 +371,31 @@ def test_streaming_near_dedup_stars_and_stable_keeper(spark, tmp_path):
 
     # doc 2 shares every shingle with doc 1 -> same buckets -> pair (1, 2);
     # keeper stayed 1 across the restart from checkpoint
-    spark.createDataFrame([(2, text_a)], "my_id bigint, body string") \
+    spark.createDataFrame([(2, text_a), (4, text_a + " woof")],
+                          "my_id bigint, body string") \
          .write.mode("append").parquet(src)
-    assert run_once() == {(1, 2)}
+    stars = run_once()
+    assert (1, 2) in stars and (1, 4) in stars and (2, 4) not in stars
+
+    # downstream verification through minhash_stream_verify equals the
+    # batch pipeline exactly (pairs AND jaccard values) — r9, the
+    # MinHash twin of fp_stream_verify's component-wise guarantee
+    from tally_database_loader_spark.llm.dedup import (
+        minhash_near_duplicates)
+    from tally_database_loader_spark.streaming.stateful import (
+        minhash_stream_verify)
+    all_docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_c), (4, text_a + " woof")],
+        "my_id bigint, body string")
+    cand = spark.createDataFrame(sorted(stars), "d1 bigint, d2 bigint")
+    got = {(r["d1"], r["d2"]): round(r["jaccard"], 12)
+           for r in minhash_stream_verify(
+               cand, all_docs, id_col="my_id", text_col="body").collect()}
+    want = {(r["d1"], r["d2"]): round(r["jaccard"], 12)
+            for r in minhash_near_duplicates(
+                all_docs, "my_id", "body", threshold=0.7,
+                parity_hash=True).collect()}
+    assert got == want and (1, 2) in want
 
     import pytest
     with pytest.raises(ValueError):
