@@ -464,6 +464,14 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
     lines.append(f"| compact(trn_accounting) | "
                  f"{'HASH-OK' if ok_compact else 'STATE CHANGED'} "
                  f"| {t_compact:.1f}s | one file per bucket | |")
+    # ...and vacuum reclaims every superseded version the compacted
+    # snapshot no longer references, without touching live state
+    reclaimed = store.vacuum("trn_accounting", keep_last=1)
+    ok_vac = state_hash(store.read(spark, "trn_accounting")) == want
+    failures += 0 if ok_vac else 1
+    lines.append(f"| vacuum(trn_accounting) | "
+                 f"{'HASH-OK' if ok_vac else 'STATE CHANGED'} "
+                 f"| reclaimed {len(reclaimed)} superseded versions | | |")
     return lines, failures
 
 
