@@ -121,6 +121,14 @@ _WINDOW = [
     # the same operator with the same constants), so the MinHash family
     # keeps two in-window rows; minhash_lsh_dedup stays registered and
     # oracle-replayed by tests/test_gate_queries.py.
+    # The two SECONDARY r9 gates stay registered-not-windowed by the
+    # same embedding rule the round-8 displacements used:
+    # cross_modal_keeper_election composes the in-window cross_modal
+    # closure with the in-window text_profile quality family (its only
+    # new logic, the argmax election, is oracle-replayed in the full
+    # registry), and incremental_fp_dedup composes the in-window
+    # image_ahash_dups banding with the in-window incremental_dedup
+    # batch-vs-index shape.
     "text_profile", "cross_modal_dedup",
     "dedup_clusters", "incremental_dedup",
     # round-6 flagships: guarded SemDeDup, the MinHash→SemDeDup two-tier
