@@ -137,15 +137,17 @@ HEADLINE = [
     # temporal video fingerprint (frame sampling → per-frame aHash →
     # odd-majority vote → banded Hamming join)
     "video_fp_dups",
-    # round-9 additions (new slots): cross-modal dedup — text MinHash
-    # edges unioned with the image/audio/video fingerprint edges into
-    # one pointer-doubling component closure — and the quality-aware
-    # keeper election over those clusters (argmax quality score per
-    # cluster as one partial-aggregated groupBy)
-    "cross_modal_dedup",
-    "cross_modal_keeper_election",
-    # incremental fingerprint probe: batch vs corpus DISTINCT-value band
-    # index (the perceptual twin of incremental_dedup's signature index)
+    # round-9 addition (new slot): incremental fingerprint probe —
+    # batch vs corpus DISTINCT-value band index (the perceptual twin of
+    # incremental_dedup's signature index).
+    # cross_modal_dedup / cross_modal_keeper_election are deliberately
+    # NOT bench slots, same rationale as fingerprint_dedup_pipeline
+    # (r8): dup_clusters materializes its rounds eagerly via
+    # localCheckpoint at plan CONSTRUCTION, so a noop re-write measures
+    # only the final projection (~0.02s) — a misleading number. The
+    # closure is measured where it is honest: the decade replay's
+    # fp_pipeline slot (sparse edges ×788 vs the pair listing, closure
+    # 7.5s at 10×sf0.1 — scale_logs/scale10x_r9_fp_pipeline.log).
     "incremental_fp_dedup",
 ]
 

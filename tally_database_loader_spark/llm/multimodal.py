@@ -1326,6 +1326,58 @@ def ahash_near_duplicates(hashes: DataFrame,
     return within.unionByName(cross)
 
 
+def fp_cluster_edges(hashes: DataFrame, max_hamming: int = 3,
+                     hash_col: str = "ahash") -> DataFrame:
+    """Connectivity-equivalent SPARSE edge set for fingerprint
+    CLUSTERING — the clone collapse extended from the pair stage to the
+    closure: instead of feeding ``dup_clusters`` the full near-dup pair
+    listing (output-quadratic in clone count: Σ c² id pairs), emit
+
+    - one VALUE-pair edge between the min-id representatives of each
+      surviving distinct-value pair (bounded by distinct-value bucket
+      occupancy, like the band join itself), and
+    - one STAR edge from each clone to its value's representative
+      (≤ one edge per input row).
+
+    Components are PROVABLY identical to the full listing's: every
+    sparse edge is itself a true near-dup pair (star edges are Hamming
+    0; representative edges passed the Hamming check), so the sparse
+    graph is a subgraph of the full one — and every full edge (a, b)
+    is covered by the path a—rep(val(a))—rep(val(b))—b, so the full
+    graph is contained in the sparse graph's transitive closure.
+    Identical components ⇒ identical min-id cluster labels ⇒ identical
+    keepers. Use this for the clustering pipelines; the pair-LISTING
+    gates keep ``ahash_near_duplicates`` because the listing IS their
+    semantics. Returns (id_a, id_b)."""
+    h = (hashes.filter(F.col(hash_col).isNotNull())
+               .select("doc_id", F.col(hash_col).alias("ahash"),
+                       "b0", "b1", "b2", "b3")
+               .localCheckpoint(eager=True))
+    vmin = (h.groupBy("ahash", "b0", "b1", "b2", "b3")
+             .agg(F.min("doc_id").alias("vid_min")))
+    stars = (h.join(vmin.select("ahash", "vid_min"), "ahash")
+              .filter(F.col("doc_id") != F.col("vid_min"))
+              .select(F.least("doc_id", "vid_min").alias("id_a"),
+                      F.greatest("doc_id", "vid_min").alias("id_b")))
+    b = vmin.select("vid_min", "ahash",
+                    F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                     .alias("band_idx", "band_val"))
+    x, y = b.alias("x"), b.alias("y")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    rep_edges = (x.join(y, (F.col("x.band_idx") == F.col("y.band_idx"))
+                           & (F.col("x.band_val") == F.col("y.band_val"))
+                           & (F.col("x.ahash") < F.col("y.ahash")))
+                  .select(F.col("x.ahash").alias("ha"),
+                          F.col("y.ahash").alias("hb"),
+                          F.col("x.vid_min").alias("va"),
+                          F.col("y.vid_min").alias("vb"))
+                  .distinct()
+                  .filter(ham <= max_hamming)
+                  .select(F.least("va", "vb").alias("id_a"),
+                          F.greatest("va", "vb").alias("id_b")))
+    return stars.unionByName(rep_edges).distinct()
+
+
 def incremental_fp_dedup(corpus: DataFrame, batch: DataFrame,
                          max_hamming: int = 3,
                          hash_col: str = "ahash") -> DataFrame:

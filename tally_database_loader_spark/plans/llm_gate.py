@@ -3724,15 +3724,17 @@ def fingerprint_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pair sets, and the component closure as one recursive
     CTE."""
     from ..llm.dedup import dup_clusters
-    img = mm.ahash_near_duplicates(ahash_table(spark, sf_dir),
-                                   max_hamming=3)
-    aud = mm.ahash_near_duplicates(audio_fp_table(spark, sf_dir),
-                                   max_hamming=3, hash_col="fp")
-    vid = mm.ahash_near_duplicates(video_fp_table(spark, sf_dir),
-                                   max_hamming=3, hash_col="fp")
-    edges = (img.select("id_a", "id_b")
-                .unionByName(aud.select("id_a", "id_b"))
-                .unionByName(vid.select("id_a", "id_b")))
+    # the closure consumes the SPARSE connectivity-equivalent edge set
+    # (per-value representatives + clone stars, fp_cluster_edges), not
+    # the output-quadratic pair listing — identical components, so the
+    # recursive-CTE oracle (which brute-forces the full pair sets)
+    # hash-matches by theorem; the pair-LISTING gates keep the listing
+    img = mm.fp_cluster_edges(ahash_table(spark, sf_dir), max_hamming=3)
+    aud = mm.fp_cluster_edges(audio_fp_table(spark, sf_dir),
+                              max_hamming=3, hash_col="fp")
+    vid = mm.fp_cluster_edges(video_fp_table(spark, sf_dir),
+                              max_hamming=3, hash_col="fp")
+    edges = img.unionByName(aud).unionByName(vid)
     cl = dup_clusters(edges, id_cols=("id_a", "id_b"))
     return cl.select(F.col("doc_id").cast("long"),
                      F.col("cluster_id").cast("long"),
@@ -3811,16 +3813,16 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = (minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
                                     k=16, bands=4, n=3, parity_hash=True)
             .select(F.col("d1").alias("id_a"), F.col("d2").alias("id_b")))
-    img = mm.ahash_near_duplicates(ahash_table(spark, sf_dir),
-                                   max_hamming=3)
-    aud = mm.ahash_near_duplicates(audio_fp_table(spark, sf_dir),
-                                   max_hamming=3, hash_col="fp")
-    vid = mm.ahash_near_duplicates(video_fp_table(spark, sf_dir),
-                                   max_hamming=3, hash_col="fp")
-    edges = (text
-             .unionByName(img.select("id_a", "id_b"))
-             .unionByName(aud.select("id_a", "id_b"))
-             .unionByName(vid.select("id_a", "id_b")))
+    # fingerprint edges enter the closure SPARSE (fp_cluster_edges:
+    # per-value representatives + clone stars — identical components to
+    # the full pair listings, O(D + N) edges instead of Σ c²); text
+    # edges are already verified id-level pairs
+    img = mm.fp_cluster_edges(ahash_table(spark, sf_dir), max_hamming=3)
+    aud = mm.fp_cluster_edges(audio_fp_table(spark, sf_dir),
+                              max_hamming=3, hash_col="fp")
+    vid = mm.fp_cluster_edges(video_fp_table(spark, sf_dir),
+                              max_hamming=3, hash_col="fp")
+    edges = (text.unionByName(img).unionByName(aud).unionByName(vid))
     cl = dup_clusters(edges, id_cols=("id_a", "id_b"))
     return cl.select(F.col("doc_id").cast("long"),
                      F.col("cluster_id").cast("long"),

@@ -3005,3 +3005,72 @@ def test_incremental_fp_dedup_equals_full_minus_corpus_pairs(spark):
     corp_int = {k: v for k, v in full.items()
                 if k[0] % 2 == 0 and k[1] % 2 == 0}
     assert got == {k: v for k, v in full.items() if k not in corp_int}
+
+
+def test_fp_cluster_edges_components_equal_full_listing(spark):
+    """fp_cluster_edges (per-value representatives + clone stars) must
+    produce the SAME connected components — hence the same dup_clusters
+    output — as the full ahash_near_duplicates pair listing, while
+    emitting far fewer edges on a clone-heavy input; and every sparse
+    edge must itself be a true near-dup pair (subgraph property)."""
+    import itertools
+    import random
+
+    import numpy as np
+    from tally_database_loader_spark.llm.dedup import dup_clusters
+    from tally_database_loader_spark.llm.multimodal import (
+        ahash_near_duplicates, fp_cluster_edges)
+
+    rng = random.Random(90903)
+    base = [rng.getrandbits(64) for _ in range(5)]
+    hashes = {}
+    for d in range(1, 61):
+        h = rng.choice(base)
+        if d % 3 == 0:                      # 2/3 exact clones
+            for _ in range(rng.randrange(5)):
+                h ^= 1 << rng.randrange(64)
+        hashes[d] = h
+
+    def row(d, h):
+        return (d, int(np.uint64(h).astype(np.int64)),
+                h & 0xFFFF, (h >> 16) & 0xFFFF,
+                (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF)
+
+    schema = "doc_id long, ahash long, b0 int, b1 int, b2 int, b3 int"
+    df = spark.createDataFrame(
+        [row(d, h) for d, h in hashes.items()]
+        + [(99, None, None, None, None, None)], schema)
+
+    full = ahash_near_duplicates(df, max_hamming=3)
+    sparse = fp_cluster_edges(df, max_hamming=3)
+    sparse_pairs = {(r["id_a"], r["id_b"]) for r in sparse.collect()}
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    # subgraph: every sparse edge is a genuine near-dup pair
+    assert sparse_pairs <= full_pairs
+    # sparser on a clone-heavy corpus (the point of the operator)
+    assert len(sparse_pairs) < len(full_pairs)
+
+    def clusters(pairs_df):
+        return {(r["doc_id"], r["cluster_id"])
+                for r in dup_clusters(pairs_df,
+                                      id_cols=("id_a", "id_b")).collect()}
+
+    got, want = clusters(sparse), clusters(full.select("id_a", "id_b"))
+    assert got == want and want
+    # cross-check against a pure-python union-find over the full listing
+    parent = {d: d for d in hashes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3:
+            parent[find(a)] = find(b)
+    comp = {}
+    for d in hashes:
+        comp.setdefault(find(d), []).append(d)
+    py = {(d, min(m)) for m in comp.values() if len(m) > 1 for d in m}
+    assert got == py

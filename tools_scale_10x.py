@@ -635,6 +635,60 @@ def check(spark, duck_dir: str, src_dir: str,
             f"| spark {t_src:.1f}s→{t_pair:.1f}s "
             f"(factor² bound {pair_bound:.0f}s "
             f"{'OK' if ok_pg else 'EXCEEDED'}) | |")
+    # --- fingerprint clustering at the decade over SPARSE edges (r9):
+    # the clone collapse extended to the CLOSURE — fp_cluster_edges
+    # feeds dup_clusters per-value representative edges + clone stars
+    # instead of the output-quadratic pair listing. Correctness is
+    # hash-pinned at sf0.01/sf0.1 (fingerprint_dedup_pipeline /
+    # cross_modal_dedup gates vs the brute-force recursive-CTE oracle);
+    # here the decade asserts (a) the sparsification ratio vs the exact
+    # pair COUNT, (b) the closure output is a true fixed point (every
+    # edge's endpoints share a label) with min-id labels, (c) a wall
+    # bound on the closure itself.
+    if want("fp_pipeline"):
+        from tally_database_loader_spark.llm.dedup import dup_clusters
+        from tally_database_loader_spark.llm.multimodal import (
+            fp_cluster_edges)
+        from tally_database_loader_spark.plans import llm_gate
+        hs = llm_gate.ahash_table(spark, duck_dir)
+        t0 = time.perf_counter()
+        edges = fp_cluster_edges(hs, max_hamming=3).localCheckpoint(
+            eager=True)
+        n_edges = edges.count()
+        t_edges = time.perf_counter() - t0
+        n_pairs = duck.sql(f"""
+            WITH {getattr(llm_gate, '_DD_AHASH')},
+            vals AS (SELECT ahash AS h, count(*) AS c FROM hs
+                     GROUP BY ahash)
+            SELECT CAST(
+              (SELECT COALESCE(sum(c * (c - 1) // 2), 0) FROM vals)
+            + (SELECT COALESCE(sum(a.c * b.c), 0) FROM vals a JOIN vals b
+                 ON a.h < b.h AND bit_count(xor(a.h, b.h)) <= 3)
+            AS BIGINT) AS n""").fetchone()[0]
+        t0 = time.perf_counter()
+        labels = dup_clusters(edges, id_cols=("id_a", "id_b")) \
+            .localCheckpoint(eager=True)
+        t_close = time.perf_counter() - t0
+        la = labels.withColumnRenamed("doc_id", "id_a") \
+                   .withColumnRenamed("cluster_id", "ca")
+        lb = labels.withColumnRenamed("doc_id", "id_b") \
+                   .withColumnRenamed("cluster_id", "cb")
+        n_split = (edges.join(la, "id_a").join(lb, "id_b")
+                        .filter(F.col("ca") != F.col("cb")).count())
+        n_badmin = (labels.groupBy("cluster_id")
+                          .agg(F.min("doc_id").alias("m"))
+                          .filter(F.col("m") != F.col("cluster_id"))
+                          .count())
+        ok_fix = n_split == 0 and n_badmin == 0
+        ok_sparse = n_edges < n_pairs // 10   # order-of-magnitude claim
+        failures += (0 if ok_fix else 1) + (0 if ok_sparse else 1)
+        lines.append(
+            f"| fp_pipeline closure (image) | sparse edges {n_edges} vs "
+            f"{n_pairs} listed pairs (×{n_pairs / max(n_edges, 1):.0f} "
+            f"{'OK' if ok_sparse else 'NOT SPARSE'}) "
+            f"| closure {t_close:.1f}s, edges {t_edges:.1f}s "
+            f"| fixed-point {'OK' if ok_fix else f'VIOLATED split={n_split} badmin={n_badmin}'} "
+            f"| clustered={labels.count()} |")
     duck.close()
 
     # --- incremental E-protocol at the decade (round 9, VERDICT r8 #2)
