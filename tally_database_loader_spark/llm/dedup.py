@@ -274,6 +274,34 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("d1", "d2"),
                          F.col("label").alias("cluster_id"))
 
 
+def incremental_dup_clusters(prev: DataFrame, new_pairs: DataFrame,
+                             id_cols: tuple[str, str] = ("d1", "d2"),
+                             max_iter: int = 25) -> DataFrame:
+    """Incremental connected components: merge a NEW batch's duplicate
+    evidence into existing cluster assignments without re-deriving (or
+    even retaining) the historical pair evidence. ``prev`` is a prior
+    ``dup_clusters`` output (doc_id, cluster_id); each assignment
+    re-enters the graph as ONE star edge (member → its cluster label) —
+    a spanning star per old cluster, connectivity-equivalent to every
+    previously verified pair — and the union with the new edges goes
+    through one pointer-doubling closure.
+
+    The result is IDENTICAL to re-running ``dup_clusters`` over the full
+    historical pair set: old evidence connects only old documents, so
+    the full graph's components are exactly the components of
+    (old-evidence components ∪ new edges), and the star encoding
+    preserves the former. min-id labels compose because every old
+    cluster label IS the member minimum. Cost per batch:
+    O(prev assignments + new edges) rows into O(log diameter) rounds —
+    the persisted state is the label table itself, not pair lists."""
+    d1, d2 = id_cols
+    stars = (prev.filter(F.col("doc_id") != F.col("cluster_id"))
+                 .select(F.least("doc_id", "cluster_id").alias(d1),
+                         F.greatest("doc_id", "cluster_id").alias(d2)))
+    return dup_clusters(stars.unionByName(new_pairs.select(d1, d2)),
+                        id_cols=id_cols, max_iter=max_iter)
+
+
 def elect_keepers(clusters: DataFrame, scores: DataFrame,
                   id_col: str = "doc_id",
                   score_col: str = "score") -> DataFrame:

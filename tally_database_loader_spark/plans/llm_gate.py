@@ -3934,3 +3934,75 @@ def incremental_fp_dedup_gate(spark: SparkSession,
     corpus = hs.filter(F.col("doc_id") % 2 == 0)
     batch = hs.filter(F.col("doc_id") % 2 == 1)
     return mm.incremental_fp_dedup(corpus, batch, max_hamming=3)
+
+
+from .gate import ORACLES as _ORACLES  # noqa: E402  (oracle reuse below)
+
+
+@gate_query("incremental_cross_modal_dedup",
+            oracle=_ORACLES["cross_modal_dedup"])
+def incremental_cross_modal_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental CLUSTERING closes the incremental grid end-to-end
+    (round 9): the even-doc_id half of the corpus is the already-synced
+    state — its cross-modal closure is the PERSISTED label table — and
+    the odd half arrives as a new batch. New duplicate evidence comes
+    only from batch-involving probes (llm/multimodal.py
+    incremental_fp_dedup per fingerprint modality; MinHash pairs
+    filtered to batch-involving — at production the corpus signature
+    table is the persisted index), prior assignments re-enter as star
+    edges (llm/dedup.py incremental_dup_clusters), and ONE closure over
+    O(prev assignments + new edges) rows yields the final labels.
+
+    The oracle is ``cross_modal_dedup``'s VERBATIM — the strongest
+    possible statement of the contract: the incremental path must be
+    value-IDENTICAL to re-running the whole-corpus batch closure,
+    because old evidence connects only old documents (the graph
+    decomposes exactly into prev-closure ∪ batch-involving edges) and
+    star encoding preserves the former's connectivity. No tolerance,
+    no 'approximately incremental'."""
+    from ..llm.dedup import (dup_clusters, incremental_dup_clusters,
+                             minhash_near_duplicates)
+    d = load_table(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
+
+    hs_i = ahash_table(spark, sf_dir).localCheckpoint(eager=True)
+    hs_a = audio_fp_table(spark, sf_dir).localCheckpoint(eager=True)
+    hs_v = video_fp_table(spark, sf_dir).localCheckpoint(eager=True)
+
+    # the synced state: cross-modal closure over the even half only
+    # (sparse closure edges + even-internal text pairs)
+    text_even = (minhash_near_duplicates(d.filter(even), "doc_id",
+                                         "text", threshold=0.7, k=16,
+                                         bands=4, n=3, parity_hash=True)
+                 .select(F.col("d1").alias("id_a"),
+                         F.col("d2").alias("id_b")))
+    prev_edges = (text_even
+                  .unionByName(mm.fp_cluster_edges(hs_i.filter(even)))
+                  .unionByName(mm.fp_cluster_edges(hs_a.filter(even),
+                                                   hash_col="fp"))
+                  .unionByName(mm.fp_cluster_edges(hs_v.filter(even),
+                                                   hash_col="fp")))
+    prev = dup_clusters(prev_edges, id_cols=("id_a", "id_b"))
+
+    # batch-involving evidence: fingerprint probes against the corpus
+    # index + MinHash pairs touching an odd doc
+    text_all = (minhash_near_duplicates(d, "doc_id", "text",
+                                        threshold=0.7, k=16, bands=4,
+                                        n=3, parity_hash=True)
+                .filter((F.col("d1") % 2 == 1) | (F.col("d2") % 2 == 1))
+                .select(F.col("d1").alias("id_a"),
+                        F.col("d2").alias("id_b")))
+    new_edges = text_all
+    for hs, hc in ((hs_i, "ahash"), (hs_a, "fp"), (hs_v, "fp")):
+        new_edges = new_edges.unionByName(
+            mm.incremental_fp_dedup(hs.filter(even),
+                                    hs.filter(~even), max_hamming=3,
+                                    hash_col=hc).select("id_a", "id_b"))
+
+    cl = incremental_dup_clusters(prev, new_edges,
+                                  id_cols=("id_a", "id_b"))
+    return cl.select(F.col("doc_id").cast("long"),
+                     F.col("cluster_id").cast("long"),
+                     (F.col("doc_id") == F.col("cluster_id"))
+                     .cast("int").alias("keep"))

@@ -3074,3 +3074,42 @@ def test_fp_cluster_edges_components_equal_full_listing(spark):
         comp.setdefault(find(d), []).append(d)
     py = {(d, min(m)) for m in comp.values() if len(m) > 1 for d in m}
     assert got == py
+
+
+def test_incremental_dup_clusters_equals_full_reclustering(spark):
+    """incremental_dup_clusters(prev labels, new edges) must equal
+    dup_clusters over the FULL edge history — on random graphs where
+    new edges merge old clusters, attach new docs to old clusters, form
+    new-only clusters, and leave some old clusters untouched."""
+    import random
+
+    from tally_database_loader_spark.llm.dedup import (
+        dup_clusters, incremental_dup_clusters)
+
+    rng = random.Random(90904)
+    for trial in range(4):
+        old_docs = list(range(1, 31))
+        new_docs = list(range(31, 46))
+        old_edges = [(a, rng.choice([x for x in old_docs if x != a]))
+                     for a in old_docs if rng.random() < 0.5]
+        new_edges = []
+        for b in new_docs:
+            if rng.random() < 0.7:   # attach to anything, incl. old
+                t = rng.choice(old_docs + new_docs)
+                if t != b:
+                    new_edges.append((min(b, t), max(b, t)))
+        # a merge edge between two old docs arriving late
+        if len(old_docs) >= 2:
+            new_edges.append((old_docs[0], old_docs[-1]))
+        old_df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in old_edges] or
+            [(1, 2)], "d1 long, d2 long")
+        new_df = spark.createDataFrame(new_edges or [(31, 32)],
+                                       "d1 long, d2 long")
+        prev = dup_clusters(old_df)
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in incremental_dup_clusters(prev, new_df).collect()}
+        want = {(r["doc_id"], r["cluster_id"])
+                for r in dup_clusters(
+                    old_df.unionByName(new_df)).collect()}
+        assert got == want and want, f"trial {trial}"
