@@ -316,23 +316,28 @@ def elect_keepers(clusters: DataFrame, scores: DataFrame,
     ``scores`` maps doc_id → a numeric score (rows without a score drop
     out via the inner join — a cluster member the scorer never saw
     cannot be elected OR counted, keeping both engines' views equal).
+    Ids may be any orderable type — numeric OR string (``dup_clusters``
+    and the streaming dedup arm both support string ids): the tie-break
+    is a two-step max-score / min-id aggregation, never an id negation,
+    which would NULL out non-numeric ids (ADVICE r9).
     Returns (doc_id, cluster_id, keeper_id, keep).
 
-    Plan shape: the argmax is ONE partial-aggregated groupBy —
-    ``max(struct(score, -id))`` — so the election is a map-side-combined
-    shuffle on cluster_id plus a broadcast-joinable (clusters-sized)
-    keeper table; no window over the full membership, no skew beyond
+    Plan shape: two partial-aggregated groupBys on cluster_id — the
+    max-score table (clusters-sized, broadcast back onto the
+    membership) followed by ``min(id)`` over the score-tied rows — so
+    the election is map-side-combined shuffles plus broadcast-joinable
+    keeper tables; no window over the full membership, no skew beyond
     what cluster sizes already impose."""
     j = clusters.join(scores.select(F.col(id_col),
                                     F.col(score_col).alias("__score")),
                       id_col)
-    best = (j.groupBy("cluster_id")
-             .agg(F.max(F.struct(F.col("__score").alias("s"),
-                                 (-F.col(id_col)).alias("neg_id")))
-                   .alias("b"))
-             .select("cluster_id",
-                     (-F.col("b.neg_id")).alias("keeper_id")))
-    return (j.join(best, "cluster_id")
+    best_score = (j.groupBy("cluster_id")
+                   .agg(F.max("__score").alias("__best")))
+    keeper = (j.join(best_score, "cluster_id")
+               .filter(F.col("__score") == F.col("__best"))
+               .groupBy("cluster_id")
+               .agg(F.min(id_col).alias("keeper_id")))
+    return (j.join(keeper, "cluster_id")
              .select(F.col(id_col), F.col("cluster_id"),
                      F.col("keeper_id"),
                      (F.col(id_col) == F.col("keeper_id"))

@@ -1405,7 +1405,14 @@ def incremental_fp_dedup(corpus: DataFrame, batch: DataFrame,
                   .select("doc_id", F.col(hash_col).alias("ahash"),
                           "b0", "b1", "b2", "b3"))
 
-    c, b = prep(corpus), prep(batch).localCheckpoint(eager=True)
+    # the corpus side is consumed twice (the DISTINCT-value band index
+    # and the value→id expansion join), so materialize the slim prepped
+    # projection once — otherwise an expensive upstream (a real image
+    # decode) re-runs per scan (ADVICE r9). In production the persisted
+    # corpus index makes this a cheap snapshot read; here the checkpoint
+    # is the in-session equivalent.
+    c = prep(corpus).localCheckpoint(eager=True)
+    b = prep(batch).localCheckpoint(eager=True)
     c_ids = c.select("doc_id", "ahash")
     b_ids = b.select("doc_id", "ahash")
 

@@ -3310,8 +3310,12 @@ _ASCII_RE = "[^\\t\\n\\r -~]"
 
 
 def _dd_ascii_text(n: int) -> str:
+    # the SQL literal is BUILT FROM _ASCII_RE (ADVICE r9): one character
+    # class feeds both engines, so an edit cannot silently desynchronize
+    # the Spark payload from the DuckDB oracle payload (both regex
+    # dialects parse \t/\n/\r escapes inside a class identically)
     return (f"regexp_replace(substr(text, 1, {4 * n}), "
-            f"'[^\\t\\n\\r -~]', '', 'g')")
+            f"'{_ASCII_RE}', '', 'g')")
 
 
 def _ascii_text(n: int):

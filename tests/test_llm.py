@@ -2953,6 +2953,29 @@ def test_elect_keepers_argmax_ties_and_missing_scores(spark):
     }
 
 
+def test_elect_keepers_string_ids(spark):
+    """elect_keepers on STRING doc ids (ADVICE r9): dup_clusters and the
+    streaming dedup arm support string ids, so the election's tie-break
+    must too — the old -id argmax cast strings to double and produced
+    NULL keepers. Ties break to the lexicographic minimum id."""
+    from tally_database_loader_spark.llm.dedup import elect_keepers
+
+    clusters = spark.createDataFrame(
+        [("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+         ("x-1", "x-1"), ("x-2", "x-1")],
+        "doc_id string, cluster_id string")
+    scores = spark.createDataFrame(
+        [("doc-a", 0.1), ("doc-b", 0.8), ("doc-c", 0.8),
+         ("x-1", 0.5), ("x-2", 0.5)],
+        "doc_id string, score double")
+    got = {r["doc_id"]: (r["keeper_id"], r["keep"])
+           for r in elect_keepers(clusters, scores).collect()}
+    assert got == {
+        "doc-a": ("doc-b", 0), "doc-b": ("doc-b", 1), "doc-c": ("doc-b", 0),
+        "x-1": ("x-1", 1), "x-2": ("x-1", 0),
+    }
+
+
 def test_incremental_fp_dedup_equals_full_minus_corpus_pairs(spark):
     """incremental_fp_dedup's equivalence contract: the result equals
     ahash_near_duplicates(corpus ∪ batch) minus corpus-internal pairs,
