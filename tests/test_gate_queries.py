@@ -89,8 +89,10 @@ def test_driver_window_covers_all_families():
         # round-2 suites (several families per slot)
         "lm_score_suite", "token_stats_suite", "normalize_suite",
         "selection_suite",
-        # end-to-end composition (filter ∪ dedup ∪ packing in one hash)
-        "curation_pipeline",
+        # end-to-end composition (filter ∪ dedup ∪ clustering ∪ quality
+        # keeper election ∪ packing in one hash; v2 replaced v1
+        # in-window round 10 — v1's stages run verbatim inside it)
+        "curation_pipeline_v2",
         # round-3 curation: merged suites give every round-2 flagship a
         # driver row, and the real-report twins carry the F1/F7/F12/F15
         # families the displaced synthetic variants covered
@@ -139,6 +141,12 @@ def test_driver_window_covers_all_families():
         # minhash_lsh_dedup's banding+verify is embedded verbatim in
         # this oracle's tpairs CTE and in two_tier_dedup's tier 1)
         "cross_modal_dedup",
+        # round-10 curation (VERDICT r9 #2): the incremental-clustering
+        # flagship — star-edge label reentry, oracle = cross_modal_dedup
+        # verbatim so the driver checks incremental ≡ batch as a hash.
+        # Displaced dedup_clusters' closure runs inside this gate,
+        # cross_modal_dedup and fingerprint_dedup_pipeline.
+        "incremental_cross_modal_dedup",
     ]
     missing = [n for n in must_have if n not in window]
     assert not missing, f"families fell out of the driver window: {missing}"

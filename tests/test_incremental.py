@@ -166,6 +166,48 @@ def test_untouched_buckets_carried_forward_across_sync(spark, stores):
     assert rewritten > 0, "no rewritten bucket files — nothing committed?"
 
 
+def test_column_max_footer_stats_probe(spark, tmp_path):
+    """ParquetStore.column_max: the E2 watermark probe served from
+    parquet footer statistics — must equal F.max over the data across a
+    full write AND a scoped commit (carried-forward + fresh files mix),
+    return None for non-integer / missing columns (caller falls back to
+    a scan), and sink_max_alterid must agree with the scan path."""
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.operators.incremental import (
+        ParquetStore, sink_max_alterid)
+
+    store = ParquetStore(str(tmp_path / "s"), n_buckets=4)
+    df = spark.createDataFrame(
+        [(f"g-{i}", i * 7, f"n{i}") for i in range(1, 40)],
+        "guid string, alterid long, name string")
+    store.write(df, "t")
+    assert store.column_max("t", "alterid") == 39 * 7
+    # scoped commit: one key bumped past the old max — the new version
+    # mixes carried-forward files with one fresh bucket
+    upd = df.withColumn(
+        "alterid", F.when(F.col("guid") == "g-3", F.lit(1000))
+                    .otherwise(F.col("alterid")))
+    store.write_scoped(upd, "t", spark.createDataFrame(
+        [("g-3",)], "guid string"))
+    assert store.column_max("t", "alterid") == 1000
+    got = store.read(spark, "t").agg(F.max("alterid")).collect()[0][0]
+    assert got == 1000
+    # untrusted / unusable stats → None (scan fallback)
+    assert store.column_max("t", "name") is None       # string: truncatable
+    assert store.column_max("t", "nope") is None       # missing column
+    assert store.column_max("absent", "alterid") is None
+    # the probe and the scan agree through the public entry point
+    assert sink_max_alterid(spark, store, ["t"]) == 1000
+    # all-NULL integer column: no usable max anywhere → None, and the
+    # scan path coalesces to 0
+    null_df = spark.createDataFrame(
+        [("x-1", None)], "guid string, alterid long")
+    store.write(null_df, "t2")
+    assert store.column_max("t2", "alterid") is None
+    assert sink_max_alterid(spark, store, ["t2"]) == 0
+
+
 def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
     """Direct unit check: 1 touched key ⇒ exactly 1 bucket rewritten and
     the merged table reads back correctly."""
