@@ -5,8 +5,11 @@ scale). This is the scale-determinism evidence SCALE.md cites: the
 decimal-money, integer-sketch, fixed-point-ln and fold-ordering
 contracts must hold as data grows, not just at the gate's SF.
 
-Usage: python tools_replay_sf.py [sf_dir] [--window]
+Usage: python tools_replay_sf.py [sf_dir] [--window] [--from=NAME]
   --window: only the driver's 50-query window (faster); default all.
+  --from=NAME: resume the sorted sweep at NAME (inclusive) — lets a
+    timed-out run continue into a second log instead of repaying the
+    slow recursive-CTE oracles it already passed.
 """
 from __future__ import annotations
 
@@ -30,6 +33,13 @@ def main() -> int:
     if "--window" in sys.argv:
         from tally_database_loader_spark import plans
         names = list(plans.QUERIES)[:50]
+    for a in sys.argv[1:]:
+        if a.startswith("--from="):
+            start = a[len("--from="):]
+            if start not in names:
+                print(f"--from={start}: not a registered query")
+                return 1
+            names = names[names.index(start):]
 
     spark = get_spark("replay")
     duck = duckdb.connect()
