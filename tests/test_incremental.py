@@ -208,6 +208,46 @@ def test_column_max_footer_stats_probe(spark, tmp_path):
     assert sink_max_alterid(spark, store, ["t2"]) == 0
 
 
+def test_scoped_base_reads_only_touched_buckets(spark, tmp_path):
+    """The read-side twin of the scoped-commit audit (VERDICT r9 #1):
+    `scoped_base` must physically open ONLY the manifest files of
+    buckets holding a touched key — checked at the FILE level via
+    inputFiles(), not just by row content — while returning exactly
+    those buckets' rows; and the Delta-shaped default (TableFormat)
+    returns exactly the touched keys' rows."""
+    from pyspark.sql import functions as F
+
+    from tally_database_loader_spark.operators.incremental import ParquetStore
+    from tally_database_loader_spark.operators.table_format import TableFormat
+
+    store = ParquetStore(str(tmp_path / "s"), n_buckets=8)
+    df = spark.createDataFrame(
+        [(f"g-{i}", i, f"n{i}") for i in range(64)],
+        "guid string, alterid long, name string")
+    store.write(df, "t")
+    touched = spark.createDataFrame([("g-7",)], "guid string")
+    base = store.scoped_base(spark, "t", touched)
+    # file-level: every opened file lives under the touched key's bucket
+    b7 = store._bucket_col("guid")
+    want_bucket = (spark.createDataFrame([("g-7",)], "guid string")
+                   .select(b7.alias("b")).collect()[0][0])
+    opened = base.inputFiles()
+    assert opened, "scoped_base opened no files"
+    assert all(f"__bucket={want_bucket}/" in f or
+               f"__bucket={want_bucket}%2F" in f for f in opened), opened
+    all_files = store.read(spark, "t").inputFiles()
+    assert len(opened) < len(all_files)
+    # row-level: exactly the touched bucket's rows, schema preserved
+    got = {r["guid"] for r in base.collect()}
+    want = {r["guid"] for r in store.read(spark, "t")
+            .filter(b7 == want_bucket).collect()}
+    assert got == want and "g-7" in got
+    assert base.columns == ["guid", "alterid", "name"]
+    # the keyed default (what a MERGE backend inherits): touched keys only
+    keyed = TableFormat.scoped_base(store, spark, "t", touched)
+    assert {r["guid"] for r in keyed.collect()} == {"g-7"}
+
+
 def test_write_scoped_rewrites_only_touched_buckets(spark, tmp_path):
     """Direct unit check: 1 touched key ⇒ exactly 1 bucket rewritten and
     the merged table reads back correctly."""
