@@ -205,6 +205,40 @@ HEADLINE = [
 #     (common-query totals + per-query deltas), never hand-written prose.
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work host-speed witness (VERDICT r10 "Next round" #2).
+
+    Round 10's official bench read 1.21× of round 9 on code later
+    proven unchanged-performance (the round-11 control: the bit-
+    identical r9 tree measured 1.209× of its own record on the same
+    box — bench_logs/R11_BENCH_REPORT.md). Every record therefore
+    carries two pinned single-stream timings so any future comparison
+    can separate box speed from plan speed without a worktree control
+    experiment:
+
+    - ``python_s``: a fixed 2M-iteration pure-CPython arithmetic loop
+      (one core, no allocation) — raw single-core speed;
+    - ``spark_1core_s``: a fixed 50M-row single-partition Spark
+      aggregate (one task, whole-stage codegen) — JVM/codegen speed
+      through the same session the queries use.
+
+    Both are deterministic work, timed AFTER the JVM/catalog warmup so
+    they measure the box, not initialization. tools_bench_compare.py
+    prints the calibration ratio next to the query ratio."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 31 + i) % 1000003
+    py = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (spark.range(0, 50_000_000, 1, 1)
+          .agg(F.sum((F.col("id") * 2654435761) % 1000003)).collect())
+    sp = round(time.perf_counter() - t0, 3)
+    return {"python_s": py, "spark_1core_s": sp}
+
+
 def main() -> None:
     from tally_database_loader_spark.plans import gate
     from tally_database_loader_spark.plans.bench_plans import BENCH_PLANS
@@ -229,6 +263,7 @@ def main() -> None:
     from tally_database_loader_spark.plans.report_gate import tally_catalog
     for df in tally_catalog(spark, SF_DIR).values():
         df.count()
+    calibration = _calibrate(spark)
 
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -276,6 +311,7 @@ def main() -> None:
                 "sf_dir": SF_DIR, "n_runs": n_runs,
                 "loadavg_before": load_before, "loadavg_after": load_after,
                 "per_query_runs": raw, "pass_totals": pass_totals,
+                "calibration": calibration,
             }, fh, indent=1)
     except OSError:
         log_path = None  # read-only checkout: still print the one line
@@ -287,6 +323,7 @@ def main() -> None:
         "sf": sf,
         "protocol": f"median-of-{n_runs}",
         "runs": pass_totals,
+        "calibration": calibration,
         "loadavg": [round(x, 2) for x in load_after],
         "raw_log": log_path,
     }

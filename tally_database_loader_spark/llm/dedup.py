@@ -316,6 +316,13 @@ def elect_keepers(clusters: DataFrame, scores: DataFrame,
     ``scores`` maps doc_id → a numeric score (rows without a score drop
     out via the inner join — a cluster member the scorer never saw
     cannot be elected OR counted, keeping both engines' views equal).
+    A NULL score is treated exactly like a missing score row (ADVICE
+    r10): the member is excluded up front, so a mixed NULL/non-NULL
+    cluster elects deterministically among the scored members, and a
+    cluster whose members are ALL unscored produces no output rows at
+    all — by design, never a keeper chosen on no evidence. Callers
+    filtering ``keep == 0`` must treat absence as "not electable", not
+    "keep everything"; the returned membership is the SCORED membership.
     Ids may be any orderable type — numeric OR string (``dup_clusters``
     and the streaming dedup arm both support string ids): the tie-break
     is a two-step max-score / min-id aggregation, never an id negation,
@@ -328,7 +335,8 @@ def elect_keepers(clusters: DataFrame, scores: DataFrame,
     the election is map-side-combined shuffles plus broadcast-joinable
     keeper tables; no window over the full membership, no skew beyond
     what cluster sizes already impose."""
-    j = clusters.join(scores.select(F.col(id_col),
+    j = clusters.join(scores.filter(F.col(score_col).isNotNull())
+                            .select(F.col(id_col),
                                     F.col(score_col).alias("__score")),
                       id_col)
     best_score = (j.groupBy("cluster_id")

@@ -521,11 +521,18 @@ class ParquetStore(TableFormat):
             return best
 
         from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
         try:
             with ThreadPoolExecutor(max_workers=32) as pool:
                 maxes = [m for m in pool.map(fmax, files) if m is not None]
-        except ValueError:
-            return None  # any unusable footer → the caller scans
+        except (ValueError, OSError, pa.ArrowException):
+            # any unusable footer → the caller scans. pyarrow raises
+            # ArrowInvalid/ArrowIOError (both under ArrowException) or
+            # OSError for truncated/corrupt footers — those must degrade
+            # to the column scan exactly like the ValueError cases, not
+            # abort the sync (ADVICE r10)
+            return None
         return max(maxes) if maxes else None
 
     def compact(self, spark: SparkSession, table: str,
@@ -707,11 +714,25 @@ class IncrementalSync:
                             # gone (no source row — E4's anti-join) or
                             # version-mismatched (E5; the strict != keeps
                             # NULL-alterid rows, matching the two-join
-                            # form this replaces)
+                            # form this replaces). A NULL-alterid sink row
+                            # is additionally flagged when its source twin
+                            # is beyond the watermark: E8 below derives
+                            # fresh rows from the source alone, so that
+                            # twin WILL be appended — without this clause
+                            # the stale NULL row would survive alongside
+                            # it, a duplicate guid the two-join form never
+                            # produced (ADVICE r10, medium)
                             .filter(F.col("__in_src").isNull()
                                     | (F.col("alterid")
-                                       != F.col("src_alterid")))
-                            .select("guid")
+                                       != F.col("src_alterid"))
+                                    | (F.col("alterid").isNull()
+                                       & (F.col("src_alterid") > wm)))
+                            # .distinct(): a malformed source carrying
+                            # duplicate guids multiplies sink rows through
+                            # the left join — without it stats["deleted"]
+                            # and the broadcast anti-join/union inputs
+                            # hold duplicate guids (ADVICE r10)
+                            .select("guid").distinct()
                             .localCheckpoint(eager=True))
             removed_keys[name] = remove
             # E8: fresh rows — alterid beyond the sink watermark (C8), or

@@ -134,8 +134,14 @@ def test_driver_window_covers_all_families():
         # round-9 curation: the two r8 flagships that had no driver row
         # (VERDICT r8 #1) — displaced gap_fill_locf's family stays via
         # asof_latest_view + report_daily_cash_movement's spine;
-        # segment_pivot stays registered + oracle-replayed
-        "video_fp_dups", "fingerprint_dedup_pipeline",
+        # segment_pivot stays registered + oracle-replayed.
+        # Round-11 curation (VERDICT r10 #4): fingerprint_dedup_pipeline
+        # rotated out for incremental_fp_multibatch — the fingerprint
+        # edges→closure→keeper shape stays in-window verbatim inside
+        # cross_modal_dedup and incremental_cross_modal_dedup, while the
+        # multi-batch label-table recurrence (3 batches, star re-entry,
+        # from-scratch-closure oracle) gains its driver row
+        "video_fp_dups", "incremental_fp_multibatch",
         # round-9 flagship: text MinHash edges + the three fingerprint
         # edge sets under one recursive-CTE closure (displaced
         # minhash_lsh_dedup's banding+verify is embedded verbatim in

@@ -804,3 +804,78 @@ def test_delta_write_scoped_emits_the_exact_merge_triple(spark, tmp_path,
     # first-write fallback: scoped commit on a missing table snapshots
     assert store.write_scoped(new, "t2", touched) == -1
     assert len(_FakeDeltaTable.merges) == 1   # no merge for the snapshot
+
+
+def test_null_alterid_sink_row_replaced_not_duplicated(spark, tmp_path):
+    """ADVICE r10 (medium): the r10 source-only fresh derivation (E8)
+    assumed every sink row has alterid <= wm. A sink row with NULL
+    alterid broke that proof: the strict ``!=`` mismatch test evaluates
+    NULL, so the row was never flagged by ``remove``, while its source
+    twin (alterid > wm) IS appended by the source-only fresh — a
+    duplicate guid in the committed snapshot. The fixed remove filter
+    additionally flags NULL-alterid sink rows whose source twin moved
+    past the watermark; a NULL sink row whose twin stayed at-or-below
+    the watermark keeps the old semantics (retained, stale)."""
+    specs = default_tables()
+    store = ParquetStore(str(tmp_path / "s"), n_buckets=4)
+    store.write(spark.createDataFrame(
+        [("v-1", 5, "a"), ("v-2", None, "b"), ("v-3", None, "c")],
+        "guid string, alterid long, narration string"), "trn_voucher")
+    eng = IncrementalSync(spark, store, specs)
+    # wm = 5 (NULLs coalesce to 0 in the probe). v-2's twin moved past
+    # the watermark (re-extracted), v-3's did not, v-1 is untouched.
+    src = spark.createDataFrame(
+        [("v-1", 5, "a"), ("v-2", 7, "b2"), ("v-3", 4, "c2")],
+        "guid string, alterid long, narration string")
+    stats = eng.incremental_sync_frames({"trn_voucher": src})
+    got = sorted((r["guid"], r["alterid"], r["narration"])
+                 for r in store.read(spark, "trn_voucher").collect())
+    assert got == [("v-1", 5, "a"),
+                   ("v-2", 7, "b2"),     # replaced, NOT duplicated
+                   ("v-3", None, "c")], got  # below-wm twin: kept stale
+    assert stats["deleted"]["trn_voucher"] == 1    # the NULL v-2 row
+    assert stats["appended"]["trn_voucher"] == 1   # its re-extraction
+
+
+def test_duplicate_source_guids_do_not_inflate_counts(spark, tmp_path):
+    """ADVICE r10: the fused E4+E5 left-outer pass dropped the old
+    ``.distinct()``, so a malformed source carrying duplicate guids
+    multiplied sink rows through the join — inflating stats["deleted"]
+    and the broadcast anti-join/union inputs. The changed-set is
+    distinct again; converged state still equals a full resync of the
+    (malformed) source."""
+    specs = default_tables()
+    store = ParquetStore(str(tmp_path / "s"), n_buckets=4)
+    store.write(spark.createDataFrame(
+        [("v-1", 5, "old"), ("v-9", 3, "keep")],
+        "guid string, alterid long, narration string"), "trn_voucher")
+    eng = IncrementalSync(spark, store, specs)
+    src = spark.createDataFrame(
+        [("v-1", 9, "x"), ("v-1", 9, "x"), ("v-9", 3, "keep")],
+        "guid string, alterid long, narration string")
+    stats = eng.incremental_sync_frames({"trn_voucher": src})
+    assert stats["deleted"]["trn_voucher"] == 1, stats   # ONE sink row
+    # fresh is the raw source filter — resync parity keeps both copies
+    assert stats["appended"]["trn_voucher"] == 2, stats
+    got = sorted((r["guid"], r["alterid"], r["narration"])
+                 for r in store.read(spark, "trn_voucher").collect())
+    assert got == [("v-1", 9, "x"), ("v-1", 9, "x"), ("v-9", 3, "keep")]
+
+
+def test_column_max_corrupt_footer_falls_back_to_none(spark, tmp_path):
+    """ADVICE r10: a truncated/corrupt parquet footer makes pyarrow
+    raise ArrowInvalid (an ArrowException) or OSError, not ValueError —
+    column_max must degrade to None (the caller then scans) instead of
+    letting the exception abort the whole sync."""
+    import os as _os
+
+    store = ParquetStore(str(tmp_path / "s"), n_buckets=2)
+    store.write(spark.createDataFrame(
+        [("g-1", 5), ("g-2", 9)], "guid string, alterid long"), "t")
+    assert store.column_max("t", "alterid") == 9
+    # truncate one committed data file to a 4-byte stub (bad footer)
+    man = store._read_manifest("t", store._versions("t")[-1])
+    rel = next(rel for rels in man.values() for rel in rels)
+    with open(_os.path.join(store.root, "t", rel), "wb") as fh:
+        fh.write(b"PAR1")
+    assert store.column_max("t", "alterid") is None

@@ -2976,6 +2976,28 @@ def test_elect_keepers_string_ids(spark):
     }
 
 
+def test_elect_keepers_null_scores_excluded_like_missing(spark):
+    """ADVICE r10: a NULL score must behave exactly like a MISSING score
+    row — excluded up front — so a mixed NULL/non-NULL cluster elects
+    deterministically among the scored members, and an all-NULL cluster
+    produces no output rows (no keeper chosen on no evidence), same as
+    an all-unscored cluster. Before the fix the NULL==NULL best-score
+    filter dropped all-NULL clusters AFTER membership had entered the
+    join tree, which was accidental rather than specified."""
+    from tally_database_loader_spark.llm.dedup import elect_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),       # 1 NULL-scored; 3 wins on score
+         (10, 10), (11, 10)],          # ALL members NULL-scored
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, None), (2, 0.5), (3, 0.9), (10, None), (11, None)],
+        "doc_id long, score double")
+    got = {(r["doc_id"], r["cluster_id"], r["keeper_id"], r["keep"])
+           for r in elect_keepers(clusters, scores).collect()}
+    assert got == {(2, 1, 3, 0), (3, 1, 3, 1)}
+
+
 def test_incremental_fp_dedup_equals_full_minus_corpus_pairs(spark):
     """incremental_fp_dedup's equivalence contract: the result equals
     ahash_near_duplicates(corpus ∪ batch) minus corpus-internal pairs,

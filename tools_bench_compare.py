@@ -56,6 +56,7 @@ def _from_raw_log(path: str, why: str,
                for n, t in raw["per_query_runs"].items()}
     rec = {"queries": queries, "runs": raw.get("pass_totals"),
            "loadavg": raw.get("loadavg_after"),
+           "calibration": raw.get("calibration"),
            "protocol": f"median-of-{raw.get('n_runs')} "
                        f"(recomputed from {os.path.basename(pick)})"}
     return queries, rec
@@ -74,6 +75,7 @@ def load(path: str) -> tuple[dict[str, float], dict]:
         return queries, {"queries": queries,
                          "runs": rec.get("pass_totals"),
                          "loadavg": rec.get("loadavg_after"),
+                         "calibration": rec.get("calibration"),
                          "protocol": f"median-of-{rec.get('n_runs')} "
                                      f"(raw log given directly)"}
     if "queries" not in rec and "tail" in rec:
@@ -121,6 +123,21 @@ def main() -> None:
     print(f"new total      : {tb:8.2f}s  ({args.new},"
           f" protocol={rb.get('protocol', 'single-run')})")
     print(f"ratio new/old  : {tb / ta:8.3f}x" if ta else "ratio: n/a")
+    # box-speed witness (VERDICT r10 #2): fixed-work calibration timed at
+    # each bench's start — a query ratio tracking the calibration ratio
+    # is host drift, not a plan change (bench_logs/R11_BENCH_REPORT.md)
+    ca, cb = ra.get("calibration"), rb.get("calibration")
+    if ca and cb:
+        parts = []
+        for key in ("python_s", "spark_1core_s"):
+            if ca.get(key) and cb.get(key):
+                parts.append(f"{key} {ca[key]:.2f}s -> {cb[key]:.2f}s "
+                             f"({cb[key] / ca[key]:.2f}x)")
+        if parts:
+            print(f"calibration    : {'; '.join(parts)}")
+    elif cb:
+        print(f"calibration    : new-side only {cb} (old record predates "
+              f"the r11 calibration field)")
     if rb.get("runs"):
         print(f"new pass totals: {rb['runs']} (loadavg {rb.get('loadavg')})")
     if added:

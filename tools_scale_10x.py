@@ -146,7 +146,8 @@ def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
 
 def build_tally_frames(spark, sf_dir: str, factor: int = 10,
                        mutated: bool = False, mod: int = 20011,
-                       inserts: int = 30):
+                       inserts: int = 30, clustered: bool = False,
+                       span: int = 1200):
     """Synthesize flat 22-table-model frames (the XML-dump entry shape of
     ``IncrementalSync.incremental_sync_frames``) at ``factor``× the bench
     scale, deterministically, from the bench tables:
@@ -171,6 +172,18 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
     ``trn_accounting.ledger`` consistent with the renamed ledger — what a
     re-extraction from Tally would return — so a full resync of the
     mutated source is the exact expected converged state.
+
+    ``clustered=True`` (VERDICT r10 "Next round" #3) reshapes the SAME
+    mutation mix into what a real Tally CDC batch looks like: vouchers
+    are modified/deleted from the TAIL of the id range only (``vid >
+    v_max - span``, odd→modified, even→deleted — recent, AlterId-
+    correlated work, since Tally hands out ids and AlterIds
+    monotonically), inserts are unchanged, and the ledger RENAME is
+    dropped — a master rename is a rare administrative event, not part
+    of a recent-voucher batch, and in the uniform mix it is exactly the
+    corpus-wide cascade edge (every accounting row referencing the
+    renamed ledger) that drags hundreds of extra buckets into the
+    touched set. The rename regime stays covered by the uniform mode.
 
     Returns ``(frames, mutation_keys)`` where ``mutation_keys`` maps
     table → single-column guid DataFrame of every key the mutation batch
@@ -199,7 +212,7 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
     lid = (F.col("c_custkey") + F.col("k") * ID_STRIDE).alias("lid")
     led = cust.crossJoin(ks).select(lid, "c_nationkey")
     base_name = F.concat(F.lit("LED-"), F.col("lid").cast("string"))
-    if mutated:
+    if mutated and not clustered:
         led_name = F.when(F.col("lid") == 1, F.lit("LED-1-R1")) \
                     .otherwise(base_name)
         led_alter = F.when(F.col("lid") == 1, F.lit(m_max + 1).cast("long")) \
@@ -224,8 +237,13 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
     v_max = (factor - 1) * ID_STRIDE + max_ord    # transaction watermark
     vid = (F.col("o_orderkey") + F.col("k") * ID_STRIDE).alias("vid")
     v = orders.crossJoin(ks).select(vid, "o_orderdate", "o_custkey")
-    is_mod = F.col("vid") % mod == 1
-    is_del = F.col("vid") % mod == 2
+    if clustered:
+        recent = F.col("vid") > F.lit(v_max - span)
+        is_mod = recent & (F.col("vid") % 2 == 1)
+        is_del = recent & (F.col("vid") % 2 == 0)
+    else:
+        is_mod = F.col("vid") % mod == 1
+        is_del = F.col("vid") % mod == 2
     v_guid = F.concat(F.lit("vch-"), F.col("vid").cast("string"))
     # party_name deliberately stays the PRE-rename ledger name on both
     # sides: trn_voucher has no cascade_update edge for it, so the
@@ -271,7 +289,7 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
         ((F.col("l_partkey") % n_led_base) + 1).alias("alid"),
         "l_extendedprice")
     a_lname = F.concat(F.lit("LED-"), F.col("alid").cast("string"))
-    if mutated:
+    if mutated and not clustered:
         a_lname = F.when(F.col("alid") == 1, F.lit("LED-1-R1")) \
                    .otherwise(a_lname)
     acc_cols = [
@@ -307,14 +325,21 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
                          F.concat(F.lit("vch-"),
                                   F.col("vid").cast("string"))
                           .alias("guid"))))
-        touched_a = touched_v.unionByName(
-            a.filter(F.col("alid") == 1)
-             .select(F.concat(F.lit("vch-"), F.col("vid").cast("string"))
-                      .alias("guid"))).distinct()
+        if clustered:
+            # no rename → no corpus-wide cascade edge: the touched
+            # accounting rows are exactly the mutated vouchers' children
+            touched_a = touched_v.distinct()
+            led_keys = spark.createDataFrame([], "guid string")
+        else:
+            touched_a = touched_v.unionByName(
+                a.filter(F.col("alid") == 1)
+                 .select(F.concat(F.lit("vch-"),
+                                  F.col("vid").cast("string"))
+                          .alias("guid"))).distinct()
+            led_keys = spark.createDataFrame([("led-1",)], "guid string")
         mutation_keys = {
             "trn_voucher": touched_v.distinct(),
-            "mst_ledger": spark.createDataFrame([("led-1",)],
-                                                "guid string"),
+            "mst_ledger": led_keys,
             "trn_accounting": touched_a,
             "mst_group": spark.createDataFrame([], "guid string"),
             "mst_vouchertype": spark.createDataFrame([], "guid string"),
@@ -325,7 +350,8 @@ def build_tally_frames(spark, sf_dir: str, factor: int = 10,
 def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
                       n_buckets: int = 4096, mod: int = 20011,
                       inserts: int = 30,
-                      speed_slack: float = 1.0
+                      speed_slack: float = 1.0,
+                      clustered: bool = False, span: int = 1200
                       ) -> tuple[list[str], int]:
     """Decade replay of the incremental E-protocol (VERDICT r8 #2): build
     a ``factor``× store from the bench tables, apply a ≤1% deterministic
@@ -361,7 +387,14 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
 
     Timings are split engine-side (incremental merge) vs oracle-side
     (the full resync that defines expected state), mirroring the other
-    decade slots' Spark/oracle split."""
+    decade slots' Spark/oracle split.
+
+    ``clustered=True`` swaps in the realistic CDC batch shape (see
+    ``build_tally_frames``): tail-of-id-range modifies/deletes, no
+    master rename — the regime VERDICT r10 #3 asks to measure, where
+    the touched-bucket set shrinks to the mutated vouchers' own
+    buckets. Run via ``--sweep-incremental=256,1024,4096`` (both modes
+    per bucket count) or ``--inc-clustered`` for a single leg."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -402,7 +435,8 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
     n_rows = {name: store.read(spark, name).count() for name in frames}
 
     frames2, mutation_keys = build_tally_frames(
-        spark, src_dir, factor, mutated=True, mod=mod, inserts=inserts)
+        spark, src_dir, factor, mutated=True, mod=mod, inserts=inserts,
+        clustered=clustered, span=span)
     # extraction is shared work: materialize the mutated source ONCE,
     # outside both timers — both protocols then consume the same
     # already-extracted batch (see docstring)
@@ -423,7 +457,9 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
         full.write(bucketed(df, n_buckets), name)
     t_resync = time.perf_counter() - t0
 
-    lines.append(f"| incremental E-protocol | store ×{factor} "
+    mode = (f"clustered tail span={span}, no rename" if clustered
+            else f"uniform mod={mod} + rename")
+    lines.append(f"| incremental E-protocol [{mode}] | store ×{factor} "
                  f"({sum(n_rows.values())} rows, {n_buckets} buckets) "
                  f"| mutation batch {n_mutated} keys ({mut_pct:.3f}% "
                  f"{'OK' if ok_pct else 'EXCEEDS 1%'}) "
@@ -886,6 +922,170 @@ def check(spark, duck_dir: str, src_dir: str,
             f"| validity {'OK' if ok_elect else f'VIOLATED bad_keeper={n_bad_keeper} multi={n_multi}'} "
             f"(argmax re-derived independently; scores hash-verified "
             f"at sf0.01/sf0.1) | |")
+
+    # --- the user-facing end-to-end curation composition at the decade
+    # (round 11, VERDICT r10 "Next round" #5): Gopher filter → exact
+    # dedup → MinHash clustering → quality keeper election → packing —
+    # curation_pipeline_v2's exact stage chain at 10×sf0.1. Its stages
+    # have individual decade evidence (cross_modal closure/election,
+    # pack_sequences linearity); this slot verifies the COMPOSITION:
+    # (a) count-oracles: each reduction stage's survivor/pair count
+    #     equals the SAME CTE chain the sf0.01/sf0.1 value-hash oracle
+    #     uses (gm/gpass/cd/mp verbatim from the gate's oracle), run in
+    #     DuckDB over the decade parquet — the recursive closure itself
+    #     is deliberately NOT re-run oracle-side at this scale (the r9
+    #     fp_pipeline rationale); its fixed-point is asserted instead;
+    # (b) closure fixed point + election validity, re-derived
+    #     independently in Spark (exactly one keeper per cluster,
+    #     keeper = max score, min-id among ties);
+    # (c) packing conservation per shard: Σ tok_sum == Σ n_chars of the
+    #     final survivors and seq count == ceil(total/512) — the
+    #     arithmetic the sf-scale hash oracle pins, recomputed at 10×;
+    # (d) the growth bound on the pipeline's Spark wall time.
+    if want("curation"):
+        from tally_database_loader_spark.llm import text as tx
+        from tally_database_loader_spark.llm.dedup import (
+            dup_clusters, elect_keepers, minhash_near_duplicates)
+        from tally_database_loader_spark.plans.llm_gate import (
+            _DD_GOPHER_METRICS, _DD_MINHASH)
+        from tally_database_loader_spark.sources.catalog import fan_out
+
+        # seed-scale end-to-end timing (the growth-bound baseline)
+        t0 = time.perf_counter()
+        n_seed = len(gate.QUERIES["curation_pipeline_v2"](
+            spark, src_dir).collect())
+        t_src = time.perf_counter() - t0
+
+        # decade pipeline, stage by stage — the gate's code shape with
+        # intermediates exposed (same operators, same constants)
+        from tally_database_loader_spark.llm.packing import pack_sequences
+        t0 = time.perf_counter()
+        d10 = fan_out(load_table(spark, duck_dir, "documents"))
+        g = tx.gopher_columns(F.col("text"), min_words=20)
+        gp = (g["r_word_count"] & g["r_mean_word_len"]
+              & g["r_symbol_ratio"] & g["r_alpha_words"])
+        kept = (d10.filter(gp)
+                   .select("doc_id", "source", "n_chars", "text",
+                           F.md5("text").alias("fp")))
+        keep_ids = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        surv = (kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+                    .select("doc_id", "source", "n_chars", "text")
+                    .localCheckpoint(eager=True))
+        pairs = minhash_near_duplicates(surv, "doc_id", "text",
+                                        threshold=0.7, k=16, bands=4,
+                                        n=3, parity_hash=True) \
+            .localCheckpoint(eager=True)
+        cl = dup_clusters(pairs)
+        scores = surv.select(
+            "doc_id",
+            tx.quality_columns(F.col("text"))["quality_score"]
+            .alias("score")).localCheckpoint(eager=True)
+        elected = elect_keepers(cl, scores).localCheckpoint(eager=True)
+        drop = elected.filter(F.col("keep") == 0).select("doc_id")
+        final = surv.join(drop, "doc_id", "left_anti") \
+                    .localCheckpoint(eager=True)
+        packed = pack_sequences(final, "source", "doc_id", "n_chars",
+                                seq_len=512).localCheckpoint(eager=True)
+        n_packed_rows = packed.count()
+        t_decade = time.perf_counter() - t0
+        bound = row_f * slack * max(t_src, 1.0)
+        ok_growth = t_decade <= bound
+        failures += 0 if ok_growth else 1
+
+        # (a) stage count-oracles: the gate oracle's own CTE chain
+        gcte = f"""gm AS ({_DD_GOPHER_METRICS}),
+gpass AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN gm ON gm.doc_id = d.doc_id
+  WHERE gm.n_words >= 20 AND gm.n_words <= 100000
+    AND gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0
+    AND gm.symbol_ratio <= 0.1 AND gm.alpha_frac >= 0.8
+)"""
+        n_gpass = kept.count()
+        t0 = time.perf_counter()
+        n_gpass_o = duck.sql(
+            f"WITH {gcte} SELECT count(*) FROM gpass").fetchone()[0]
+        n_exact_o = duck.sql(
+            f"WITH {gcte} SELECT count(DISTINCT md5(text)) FROM gpass"
+        ).fetchone()[0]
+        t_duck_g = time.perf_counter() - t0
+        n_exact = surv.count()
+        ok_g = n_gpass == n_gpass_o
+        ok_e = n_exact == n_exact_o
+        failures += (0 if ok_g else 1) + (0 if ok_e else 1)
+        lines.append(
+            f"| curation gopher→exact | gopher {n_gpass} vs oracle "
+            f"{n_gpass_o} {'COUNT-OK' if ok_g else 'MISMATCH'} "
+            f"| exact keepers {n_exact} vs oracle {n_exact_o} "
+            f"{'COUNT-OK' if ok_e else 'MISMATCH'} "
+            f"| oracle {t_duck_g:.1f}s | |")
+        n_pairs = pairs.count()
+        t0 = time.perf_counter()
+        n_pairs_o = duck.sql(f"""
+            WITH {gcte},
+            cd AS (
+              SELECT g.doc_id FROM gpass g
+              JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                    FROM gpass GROUP BY 1) k ON k.doc_id = g.doc_id),
+            mp AS ({_DD_MINHASH})
+            SELECT count(*) FROM mp
+            JOIN cd a ON a.doc_id = mp.d1
+            JOIN cd b ON b.doc_id = mp.d2""").fetchone()[0]
+        t_duck_p = time.perf_counter() - t0
+        ok_p = n_pairs == n_pairs_o
+        failures += 0 if ok_p else 1
+        lines.append(
+            f"| curation near-dup pairs | spark {n_pairs} vs oracle "
+            f"{n_pairs_o} {'COUNT-OK' if ok_p else 'MISMATCH'} "
+            f"(MinHash+verify CTE over exact survivors, the gate "
+            f"oracle's mp⋈cd verbatim) | oracle {t_duck_p:.1f}s | | |")
+
+        # (b) closure fixed point + election validity
+        la = cl.withColumnRenamed("doc_id", "d1") \
+               .withColumnRenamed("cluster_id", "ca")
+        lb = cl.withColumnRenamed("doc_id", "d2") \
+               .withColumnRenamed("cluster_id", "cb")
+        n_split = (pairs.select("d1", "d2").join(la, "d1").join(lb, "d2")
+                        .filter(F.col("ca") != F.col("cb")).count())
+        j = elected.join(scores, "doc_id")
+        best = j.groupBy("cluster_id").agg(F.max("score").alias("best"))
+        tie_min = (j.join(best, "cluster_id")
+                    .filter(F.col("score") == F.col("best"))
+                    .groupBy("cluster_id")
+                    .agg(F.min("doc_id").alias("want_keeper")))
+        n_bad_keeper = (j.filter(F.col("keep") == 1)
+                         .join(best, "cluster_id").join(tie_min, "cluster_id")
+                         .filter((F.col("score") != F.col("best"))
+                                 | (F.col("doc_id")
+                                    != F.col("want_keeper"))).count())
+        n_multi = (elected.groupBy("cluster_id")
+                          .agg(F.sum("keep").alias("k"))
+                          .filter(F.col("k") != 1).count())
+        ok_fix = n_split == 0 and n_bad_keeper == 0 and n_multi == 0
+        failures += 0 if ok_fix else 1
+
+        # (c) packing conservation per shard
+        n_final = final.count()
+        shard_tok = (packed.groupBy("shard")
+                     .agg(F.sum(F.col("tok_to") - F.col("tok_from"))
+                          .alias("toks"),
+                          (F.max("seq_idx") + 1).alias("n_seq")))
+        shard_src = (final.filter(F.col("n_chars") > 0).groupBy("source")
+                     .agg(F.sum("n_chars").alias("want_toks")))
+        n_bad_shard = (shard_tok.join(
+            shard_src, shard_tok.shard == shard_src.source)
+            .filter((F.col("toks") != F.col("want_toks"))
+                    | (F.col("n_seq")
+                       != F.ceil(F.col("want_toks") / 512))).count())
+        ok_pack = n_bad_shard == 0
+        failures += 0 if ok_pack else 1
+        lines.append(
+            f"| curation closure→election→pack | fixed-point+election "
+            f"{'OK' if ok_fix else f'VIOLATED split={n_split} badk={n_bad_keeper} multi={n_multi}'} "
+            f"| final {n_final} survivors → {n_packed_rows} packed rows, "
+            f"per-shard Σtok & ceil(Σ/512) "
+            f"{'OK' if ok_pack else f'VIOLATED shards={n_bad_shard}'} "
+            f"| pipeline {t_src:.1f}s→{t_decade:.1f}s (bound {bound:.0f}s "
+            f"{'OK' if ok_growth else 'EXCEEDED'}) | seed rows {n_seed} |")
     duck.close()
 
     # --- incremental E-protocol at the decade (round 9, VERDICT r8 #2)
@@ -912,6 +1112,31 @@ def check(spark, duck_dir: str, src_dir: str,
     return lines, failures
 
 
+def sweep_incremental(spark, src_dir: str, workroot: str,
+                      buckets: list[int], factor: int = 10,
+                      span: int = 1200,
+                      speed_slack: float = 1.0) -> tuple[list[str], int]:
+    """The n_buckets × batch-shape sweep (VERDICT r10 "Next round" #3):
+    run ``check_incremental`` at every bucket count in ``buckets``, in
+    BOTH mutation regimes (uniform+rename — r9's accidental-crossover
+    shape — and the clustered recent-voucher CDC batch), asserting
+    state-hash equality and the bucket audit everywhere and recording
+    the merge-vs-resync sign per regime. One table out; per-cell store
+    dirs under ``workroot`` are recreated per cell."""
+    lines: list[str] = []
+    failures = 0
+    for b in buckets:
+        for clustered in (False, True):
+            tag = f"b{b}-{'clustered' if clustered else 'uniform'}"
+            sub, f = check_incremental(
+                spark, src_dir, workdir=os.path.join(workroot, tag),
+                factor=factor, n_buckets=b, speed_slack=speed_slack,
+                clustered=clustered, span=span)
+            lines.extend(sub)
+            failures += f
+    return lines, failures
+
+
 def main() -> int:
     from tally_database_loader_spark.session import get_spark
 
@@ -920,6 +1145,30 @@ def main() -> int:
     dst = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scale10x_data")
     factor = int(args[2]) if len(args) > 2 else 10
+    sweep = None
+    sweep_slack = 1.0
+    for a in sys.argv[1:]:
+        if a.startswith("--sweep-incremental="):
+            sweep = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--inc-speed-slack="):
+            sweep_slack = float(a.split("=", 1)[1])
+    if sweep:
+        # sweep-only mode: no synthetic corpus build — the E-protocol
+        # frames derive straight from the bench tables at ``factor``×
+        spark = get_spark("scale-10x-inc-sweep")
+        t0 = time.time()
+        lines, failures = sweep_incremental(
+            spark, src, workroot=os.path.join(dst, "_inc_sweep"),
+            buckets=sweep, factor=factor, speed_slack=sweep_slack)
+        print(f"\nincremental E-protocol sweep ({src} ×{factor}, "
+              f"buckets {sweep}, {time.time() - t0:.0f}s):\n")
+        print("| check | a | b | c | d |")
+        print("|---|---|---|---|---|")
+        for ln in lines:
+            print(ln)
+        print(f"\n{failures} failures")
+        spark.stop()
+        return 1 if failures else 0
     print(f"building {factor}x corpus from {src} at {dst} ...")
     t0 = time.time()
     build_corpus(src, dst, factor)
