@@ -809,3 +809,188 @@ def test_streaming_incremental_clustering_foreachbatch(spark, tmp_path):
         run_once()
     assert checked["batches"] == 3
     assert labelset(state["labels"]), "fixture produced no clusters"
+
+
+def test_streaming_cross_modal_union_state_foreachbatch(spark, tmp_path):
+    """The FULL cross-modal recurrence through Structured Streaming
+    (VERDICT r10 "Next round" #6): documents arrive as micro-batches;
+    a foreachBatch sink maintains the flagship gate's COMPLETE union
+    state — the text corpus feeding the MinHash band index (the
+    production index persists the signature/band table, which derives
+    deterministically from these docs — incremental_dedup's documented
+    index argument), the three fingerprint indexes (image aHash, audio
+    fp, video fp), and ONE label table. Per batch the new evidence is
+    exactly the gate's (plans/llm_gate.py incremental_cross_modal_dedup,
+    generalized to n batches): batch-involving MinHash pairs plus three
+    incremental_fp_dedup band-index probes, merged by
+    incremental_dup_clusters star re-entry. After EVERY micro-batch the
+    maintained labels must equal the from-scratch batch closure
+    (cross_modal_dedup's shape) over everything seen so far.
+
+    A handcrafted chain pins why the UNION matters: 101–102 are text
+    near-dups, 102–103 share an image hash, 103–104 share an audio
+    fingerprint, 104–105 are video near-dups — five documents no
+    single modality connects, asserted to land in ONE cluster, while
+    the text-only closure provably separates them."""
+    import random
+
+    from tally_database_loader_spark.llm.dedup import (
+        dup_clusters, incremental_dup_clusters, minhash_near_duplicates)
+    from tally_database_loader_spark.llm.multimodal import (
+        fp_cluster_edges, incremental_fp_dedup)
+
+    rng = random.Random(20260816)
+    words = [f"w{i:02d}" for i in range(40)]
+    templates = [" ".join(rng.choice(words) for _ in range(24))
+                 for _ in range(4)]
+
+    def mutate(t, k):
+        toks = t.split()
+        for _ in range(k):
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        return " ".join(toks)
+
+    texts = {}
+    for d in range(1, 37):
+        texts[d] = mutate(templates[d % 4], rng.randrange(3))
+    # the cross-modal chain: text(101,102) — image(102,103) —
+    # audio(103,104) — video(104,105); text deliberately disjoint
+    # beyond 101/102 (different templates, heavy mutation)
+    texts[101] = templates[0]
+    texts[102] = templates[0].rsplit(" ", 1)[0] + " zz"
+    texts[103] = mutate(templates[1], 8)
+    texts[104] = mutate(templates[2], 8)
+    texts[105] = mutate(templates[3], 8)
+
+    def bands(h):
+        return (h & 0xFFFF, (h >> 16) & 0xFFFF,
+                (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF)
+
+    def fp_rows(assign):
+        import numpy as np
+        return [(d, int(np.uint64(h).astype(np.int64)), *bands(h))
+                for d, h in assign.items()]
+
+    img, aud, vid = {}, {}, {}
+    base = [rng.getrandbits(64) for _ in range(6)]
+    for d in texts:
+        if rng.random() < 0.7:
+            h = rng.choice(base)
+            for _ in range(rng.randrange(6)):
+                h ^= 1 << rng.randrange(64)
+            img[d] = h
+        if rng.random() < 0.6:
+            aud[d] = rng.getrandbits(64)
+        if rng.random() < 0.6:
+            vid[d] = rng.getrandbits(64)
+    H_IMG, H_AUD, H_VID = (rng.getrandbits(64) for _ in range(3))
+    img[102] = img[103] = H_IMG
+    aud[103] = aud[104] = H_AUD
+    vid[104] = H_VID
+    vid[105] = H_VID ^ 0b101        # hamming 2 <= 3
+    for d in (101, 105):
+        img.pop(d, None)
+    for d in (101, 102, 105):
+        aud.pop(d, None)
+    for d in (101, 102, 103):
+        vid.pop(d, None)
+
+    fschema = "doc_id long, fp long, b0 int, b1 int, b2 int, b3 int"
+    hs_all = {
+        "img": spark.createDataFrame(fp_rows(img), fschema),
+        "aud": spark.createDataFrame(fp_rows(aud), fschema),
+        "vid": spark.createDataFrame(fp_rows(vid), fschema),
+    }
+
+    def text_edges(docs_df, restrict_ids=None):
+        pairs = minhash_near_duplicates(docs_df, "doc_id", "text",
+                                        threshold=0.7, k=16, bands=4, n=3)
+        if restrict_ids is not None:
+            pairs = pairs.filter(F.col("d1").isin(restrict_ids)
+                                 | F.col("d2").isin(restrict_ids))
+        return pairs.select(F.col("d1").alias("id_a"),
+                            F.col("d2").alias("id_b"))
+
+    def batch_closure(docs_df, hs):
+        edges = text_edges(docs_df)
+        for m in ("img", "aud", "vid"):
+            edges = edges.unionByName(
+                fp_cluster_edges(hs[m], max_hamming=3, hash_col="fp"))
+        return dup_clusters(edges, id_cols=("id_a", "id_b"))
+
+    def labelset(df):
+        return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+
+    state = {"docs": None, "img": None, "aud": None, "vid": None,
+             "labels": None}
+    checked = {"batches": 0}
+
+    def absorb(df, _batch_id):
+        batch_docs = df.localCheckpoint(eager=True)
+        if batch_docs.isEmpty():
+            return
+        ids = [r["doc_id"] for r in batch_docs.select("doc_id").collect()]
+        batch_hs = {m: hs_all[m].filter(F.col("doc_id").isin(ids))
+                      .localCheckpoint(eager=True)
+                    for m in ("img", "aud", "vid")}
+        if state["docs"] is None:
+            state["labels"] = batch_closure(batch_docs, batch_hs) \
+                .localCheckpoint(eager=True)
+            state["docs"] = batch_docs
+            for m in ("img", "aud", "vid"):
+                state[m] = batch_hs[m]
+        else:
+            # batch-involving text pairs over index ∪ batch (the corpus
+            # signature table is the persisted index in production)
+            union_docs = state["docs"].unionByName(batch_docs)
+            new_edges = text_edges(union_docs, restrict_ids=ids)
+            for m in ("img", "aud", "vid"):
+                new_edges = new_edges.unionByName(
+                    incremental_fp_dedup(state[m], batch_hs[m],
+                                         max_hamming=3, hash_col="fp")
+                    .select("id_a", "id_b"))
+            state["labels"] = incremental_dup_clusters(
+                state["labels"], new_edges,
+                id_cols=("id_a", "id_b")).localCheckpoint(eager=True)
+            state["docs"] = union_docs.localCheckpoint(eager=True)
+            for m in ("img", "aud", "vid"):
+                state[m] = (state[m].unionByName(batch_hs[m])
+                            .localCheckpoint(eager=True))
+        # the identity holds at every micro-batch boundary
+        want = batch_closure(state["docs"],
+                             {m: state[m] for m in ("img", "aud", "vid")})
+        assert labelset(state["labels"]) == labelset(want), \
+            f"stream batch {checked['batches']} diverged"
+        checked["batches"] += 1
+
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    dschema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(dschema).parquet(src)
+        q = (stream.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # three micro-batches; the chain is spread across all three so every
+    # modality's index is probed incrementally at least once
+    batches = [[d for d in texts if d % 3 == i] for i in range(3)]
+    for i, ids in enumerate(batches):
+        rows = [(d, texts[d]) for d in ids]
+        spark.createDataFrame(rows, dschema).write.mode("append").parquet(src)
+        run_once()
+    assert checked["batches"] == 3
+
+    # the union evidence matters: the handcrafted chain is ONE cluster...
+    final = {d: c for d, c in labelset(state["labels"])}
+    chain = {final.get(d) for d in (101, 102, 103, 104, 105)}
+    assert len(chain) == 1 and None not in chain, chain
+    # ...while the text-only closure cannot put 103 with 101/102
+    text_only = {r["doc_id"]: r["cluster_id"]
+                 for r in dup_clusters(
+                     text_edges(state["docs"]),
+                     id_cols=("id_a", "id_b")).collect()}
+    assert text_only.get(101) == text_only.get(102) is not None
+    assert text_only.get(103) != text_only.get(101)

@@ -351,8 +351,9 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
                       n_buckets: int = 4096, mod: int = 20011,
                       inserts: int = 30,
                       speed_slack: float = 1.0,
-                      clustered: bool = False, span: int = 1200
-                      ) -> tuple[list[str], int]:
+                      clustered: bool = False, span: int = 400,
+                      speed_hard: bool = True
+                      ) -> tuple[list[str], int, dict]:
     """Decade replay of the incremental E-protocol (VERDICT r8 #2): build
     a ``factor``× store from the bench tables, apply a ≤1% deterministic
     mutation batch (inserts + modifies + deletes + a cascade-update
@@ -469,11 +470,18 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
                  f"appended={sum(stats['appended'].values())} |")
 
     ok_speed = t_engine < speed_slack * max(t_resync, 1.0)
-    failures += 0 if ok_speed else 1
+    # the sweep passes speed_hard=False: there the per-cell sign is a
+    # MEASUREMENT (the point is to locate the bucket-granularity
+    # crossover), and sweep_incremental hard-asserts the engineered
+    # regime's sign instead. The single-slot run keeps the strict
+    # exit-1 sign assert (VERDICT r9 #1 / r10 "What's wrong" #2).
+    if speed_hard:
+        failures += 0 if ok_speed else 1
     if not ok_speed:
         lines.append(f"| incremental merge time | {t_engine:.1f}s | "
                      f"NOT FASTER THAN {speed_slack}× resync "
-                     f"{t_resync:.1f}s | | |")
+                     f"{t_resync:.1f}s "
+                     f"{'' if speed_hard else '(sweep: sign recorded, crossover cell)'} | | |")
 
     for name in sorted(frames):
         got = state_hash(store.read(spark, name))
@@ -529,7 +537,8 @@ def check_incremental(spark, src_dir: str, workdir: str, factor: int = 10,
     lines.append(f"| vacuum(trn_accounting) | "
                  f"{'HASH-OK' if ok_vac else 'STATE CHANGED'} "
                  f"| reclaimed {len(reclaimed)} superseded versions | | |")
-    return lines, failures
+    return lines, failures, {"engine": t_engine, "resync": t_resync,
+                             "keys": n_mutated}
 
 
 def check(spark, duck_dir: str, src_dir: str,
@@ -1090,7 +1099,7 @@ gpass AS (
 
     # --- incremental E-protocol at the decade (round 9, VERDICT r8 #2)
     if want("incremental"):
-        inc_lines, inc_fail = check_incremental(
+        inc_lines, inc_fail, _ = check_incremental(
             spark, src_dir,
             workdir=os.path.join(duck_dir, "_inc_store"),
             factor=max(1, round(row_f)), n_buckets=inc_buckets,
@@ -1119,21 +1128,48 @@ def sweep_incremental(spark, src_dir: str, workroot: str,
     """The n_buckets × batch-shape sweep (VERDICT r10 "Next round" #3):
     run ``check_incremental`` at every bucket count in ``buckets``, in
     BOTH mutation regimes (uniform+rename — r9's accidental-crossover
-    shape — and the clustered recent-voucher CDC batch), asserting
-    state-hash equality and the bucket audit everywhere and recording
-    the merge-vs-resync sign per regime. One table out; per-cell store
+    shape — and the clustered recent-voucher CDC batch). State-hash
+    equality, the ≤1% cap and the touched-bucket audit are HARD
+    failures in every cell; the merge-vs-resync sign is a MEASUREMENT
+    per cell (``speed_hard=False``) — the sweep exists to locate the
+    bucket-granularity crossover, and a crossover cell is a documented
+    data point, not a regression. What IS hard-asserted about speed:
+    the LARGEST bucket count (the engineered regime — n_buckets sized
+    so a batch touches ≪ of the buckets) must have merge < slack ×
+    resync in BOTH regimes, which keeps the r10 sign assert executed
+    every time the sweep runs. One summary table out; per-cell store
     dirs under ``workroot`` are recreated per cell."""
     lines: list[str] = []
     failures = 0
+    signs: dict[tuple[int, bool], dict] = {}
     for b in buckets:
         for clustered in (False, True):
             tag = f"b{b}-{'clustered' if clustered else 'uniform'}"
-            sub, f = check_incremental(
+            sub, f, t = check_incremental(
                 spark, src_dir, workdir=os.path.join(workroot, tag),
                 factor=factor, n_buckets=b, speed_slack=speed_slack,
-                clustered=clustered, span=span)
+                clustered=clustered, span=span, speed_hard=False)
             lines.extend(sub)
             failures += f
+            signs[(b, clustered)] = t
+    lines.append("| sweep summary: n_buckets | regime | merge s | "
+                 "resync s | merge/resync |")
+    for (b, clustered), t in sorted(signs.items()):
+        ratio = t["engine"] / max(t["resync"], 0.001)
+        lines.append(f"| {b} | {'clustered' if clustered else 'uniform'} "
+                     f"({t['keys']} keys) | {t['engine']:.1f} "
+                     f"| {t['resync']:.1f} "
+                     f"| {ratio:.2f}x {'WIN' if ratio < speed_slack else 'crossover'} |")
+    top = max(buckets)
+    for clustered in (False, True):
+        t = signs[(top, clustered)]
+        ok = t["engine"] < speed_slack * max(t["resync"], 1.0)
+        failures += 0 if ok else 1
+        if not ok:
+            lines.append(f"| SWEEP FAIL | engineered regime {top} buckets "
+                         f"{'clustered' if clustered else 'uniform'} | "
+                         f"merge {t['engine']:.1f}s NOT < "
+                         f"{speed_slack}× resync {t['resync']:.1f}s | | |")
     return lines, failures
 
 
