@@ -147,7 +147,7 @@ def build_corpus(src_dir: str, dst_dir: str, factor: int = 10) -> None:
 def build_tally_frames(spark, sf_dir: str, factor: int = 10,
                        mutated: bool = False, mod: int = 20011,
                        inserts: int = 30, clustered: bool = False,
-                       span: int = 1200):
+                       span: int = 400):
     """Synthesize flat 22-table-model frames (the XML-dump entry shape of
     ``IncrementalSync.incremental_sync_frames``) at ``factor``× the bench
     scale, deterministically, from the bench tables:
@@ -1123,7 +1123,7 @@ gpass AS (
 
 def sweep_incremental(spark, src_dir: str, workroot: str,
                       buckets: list[int], factor: int = 10,
-                      span: int = 1200,
+                      span: int = 400,
                       speed_slack: float = 1.0) -> tuple[list[str], int]:
     """The n_buckets × batch-shape sweep (VERDICT r10 "Next round" #3):
     run ``check_incremental`` at every bucket count in ``buckets``, in
@@ -1183,11 +1183,14 @@ def main() -> int:
     factor = int(args[2]) if len(args) > 2 else 10
     sweep = None
     sweep_slack = 1.0
+    sweep_span = 400
     for a in sys.argv[1:]:
         if a.startswith("--sweep-incremental="):
             sweep = [int(x) for x in a.split("=", 1)[1].split(",")]
         if a.startswith("--inc-speed-slack="):
             sweep_slack = float(a.split("=", 1)[1])
+        if a.startswith("--inc-span="):
+            sweep_span = int(a.split("=", 1)[1])
     if sweep:
         # sweep-only mode: no synthetic corpus build — the E-protocol
         # frames derive straight from the bench tables at ``factor``×
@@ -1195,7 +1198,8 @@ def main() -> int:
         t0 = time.time()
         lines, failures = sweep_incremental(
             spark, src, workroot=os.path.join(dst, "_inc_sweep"),
-            buckets=sweep, factor=factor, speed_slack=sweep_slack)
+            buckets=sweep, factor=factor, speed_slack=sweep_slack,
+            span=sweep_span)
         print(f"\nincremental E-protocol sweep ({src} ×{factor}, "
               f"buckets {sweep}, {time.time() - t0:.0f}s):\n")
         print("| check | a | b | c | d |")
