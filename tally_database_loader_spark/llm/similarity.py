@@ -175,11 +175,15 @@ def _fold_vec(kind: str):
         if xs.isna().any() or ys.isna().any():
             return _slow(xs, ys)
         try:
-            # clean batches pay no ragged-detection pass: np.stack itself
-            # raises on mixed dims, which routes the (rare) ragged batch
-            # through the bit-equal rowwise path
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+            # clean batches pay no ragged-detection pass: np.array over the
+            # row list raises ValueError on mixed dims, which routes the
+            # (rare) ragged batch through the bit-equal rowwise path.
+            # np.array(list) iterates in C — ~5× faster per batch than the
+            # former np.stack([np.asarray(v) ...]) Python-level loop
+            # (guide §4.2: the boundary cost you control is per-row work);
+            # the produced float64 matrix is bit-identical.
+            A = np.array(list(xs), dtype=np.float64)
+            B = np.array(list(ys), dtype=np.float64)
         except ValueError:
             return _slow(xs, ys)
         if A.shape[1] != B.shape[1]:
@@ -337,8 +341,10 @@ def _int_dot_vec(a: Column, b: Column) -> Column:
                 or any(_has_nan(v) for v in ys):
             return _slow()
         try:
-            A = np.stack([np.asarray(v, dtype=np.int64) for v in xs])
-            B = np.stack([np.asarray(v, dtype=np.int64) for v in ys])
+            # C-level row-list ingestion (see _fold_vec) — NaN inputs never
+            # reach this cast: the _has_nan pre-scan above routed them slow
+            A = np.array(list(xs), dtype=np.int64)
+            B = np.array(list(ys), dtype=np.int64)
         except ValueError:  # mixed dims across the batch
             return _slow()
         if A.shape[1] != B.shape[1]:
@@ -447,7 +453,7 @@ def _srp_bucket_vec(vec: Column, planes: list[list[float]]) -> Column:
                         acc += 1 << p
                 out.append(acc)
             return pd.Series(out)
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+        A = np.array(list(xs), dtype=np.float64)
         projs = np.stack([_seq_fold(A * pl[p]) for p in range(pl.shape[0])],
                          axis=1)                   # n × n_bits
         return pd.Series((~(projs <= 0) @ weights).astype("int64"))
@@ -645,7 +651,7 @@ def _argmin_cell_vec(u: Column, cents: list[list[int]]) -> Column:
     def enc(us: pd.Series) -> pd.Series:
         if len(us) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.stack([np.asarray(x, dtype=np.int64) for x in us]) * 64
+        mat = np.array(list(us), dtype=np.int64) * 64
         d = ((mat * mat).sum(axis=1, keepdims=True)
              - 2 * (mat @ cb.T) + cb2)              # n × k, exact int64
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
@@ -695,7 +701,7 @@ def _assign_cell_tagged(s: Column, su: Column,
             return pd.Series([], dtype="int32")
         out = np.empty(n, dtype=np.int32)
         tv = tags.to_numpy()
-        mat = np.stack([np.asarray(x, dtype=np.int64) for x in us]) * 64
+        mat = np.array(list(us), dtype=np.int64) * 64
         m2 = (mat * mat).sum(axis=1)
         for si, (cb, cb2) in enumerate(zip(cbs, cb2s)):
             mask = tv == si
@@ -761,9 +767,16 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
         new = {(r["cell"], r["pos"]): (64 * r["s"]) // r["cnt"] for r in sums}
         cents = [[new.get((j, p), cents[j][p]) for p in range(dim)]
                  for j in range(n_lists)]
+    # coalesce(-1) marks the column non-nullable (the UDF never returns
+    # null for contract-valid vectors, so -1 is unreachable): without it,
+    # every equi-join on `cell` injects IsNotNull(cell), and the optimizer
+    # evaluates the assignment UDF TWICE per join side — once under the
+    # pushed filter, once in the projection (guide §4.4). The plans for
+    # semantic_dedup went from 4 `enc` ArrowEvalPython nodes to 2.
     assigned = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        _assign_cell(_kmeans_uq(F.col(vec_col)), cents).alias("cell"))
+        F.coalesce(_assign_cell(_kmeans_uq(F.col(vec_col)), cents),
+                   F.lit(-1)).alias("cell"))
     return assigned, cents
 
 
@@ -892,14 +905,28 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
     assigned, key = semantic_cells(corpus, n_lists=n_lists, iters=iters,
                                    id_col=id_col, vec_col=vec_col,
                                    cell_cap=cell_cap)
-    a = assigned.select(F.col("n_id").alias("a_id"), *key,
-                        F.col("n_vec").alias("a_vec"))
-    b = assigned.select(F.col("n_id").alias("b_id"), *key,
-                        F.col("n_vec").alias("b_vec"))
+    # Per-VECTOR norms computed once before the pair join (the
+    # embedding_near_duplicates factoring): cosine(a,b) =
+    # dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))) — sqrt and · are single
+    # correctly-rounded IEEE ops, so n1·n2 here produces bit-for-bit the
+    # same double as the fused 3-fold cosine (and the same algebra the
+    # DuckDB oracle spells out). Moves 2 of the 3 per-PAIR folds to
+    # per-ROW: at corpus²/n_lists pairs that is ~3× less Python-side
+    # arithmetic in the hot stage (guide §4.1 — fewer bytes of work per
+    # boundary row). Zero-norm pin unchanged: den == 0 → NULL → fails
+    # the > threshold filter.
+    an = assigned.withColumn(
+        "__nrm", F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))))
+    a = an.select(F.col("n_id").alias("a_id"), *key,
+                  F.col("n_vec").alias("a_vec"), F.col("__nrm").alias("n1"))
+    b = an.select(F.col("n_id").alias("b_id"), *key,
+                  F.col("n_vec").alias("b_vec"), F.col("__nrm").alias("n2"))
+    den = F.col("n1") * F.col("n2")
+    pair_cos = F.when(den != F.lit(0.0),
+                      dot(F.col("a_vec"), F.col("b_vec")) / den)
     drops = (a.join(b, key)
               .filter(F.col("a_id") < F.col("b_id"))
-              .filter(cosine(F.col("a_vec"), F.col("b_vec"))
-                      > F.lit(float(threshold)))
+              .filter(pair_cos > F.lit(float(threshold)))
               .select(F.col("b_id").alias("drop_id"))
               .distinct())
     return (assigned.join(drops,
