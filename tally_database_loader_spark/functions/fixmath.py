@@ -41,7 +41,8 @@ from operator import add
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["LN_SCALE", "LN2_F", "ln_fixed", "ln_fixed_py", "dd_ln_fixed"]
+__all__ = ["LN_SCALE", "LN2_F", "ln_fixed", "ln_fixed_staged",
+           "ln_fixed_py", "dd_ln_fixed"]
 
 MAX_BITS = 20          # domain: v in [1, 2^20]
 LN_SCALE = 1 << 30     # fixed-point scale of the result
@@ -72,6 +73,55 @@ def ln_fixed(v: Column) -> Column:
         t = _div(t * z2, F.lit(LN_SCALE))
         terms = terms + _div(t, F.lit(d))
     return (F.lit(2) * terms + e.cast("long") * F.lit(LN2_F)).cast("long")
+
+
+def ln_fixed_staged(df, v: Column, out: str):
+    """``ln_fixed`` as STAGED projections: each intermediate (e, M, z,
+    z², series terms) lands in its own column, so every level references
+    an attribute instead of re-embedding the whole subtree.
+
+    The inline ``ln_fixed`` Column is correct but its expression tree is
+    multiplicative — z² embeds z twice, every series term embeds the
+    previous term, and z itself embeds the 20-comparison bit-length fold
+    — ~2,500 nodes that Catalyst re-analyzes on EVERY action (a
+    DataFrameWriter re-plans per save). Measured at sf0.1: the
+    weighted_sample projection dropped 0.44s → 0.11s per noop run with
+    the staged form, bits identical (CollapseProject declines to
+    re-inline multiply-referenced non-trivial expressions, so the plan
+    keeps the layered shape). Same integer schedule, same int64s —
+    generated from the same ``_SERIES`` table.
+
+    Adds column ``out`` to ``df``; the ``__lnf_*`` scratch columns are
+    dropped before return."""
+    scratch = ["__lnf_v", "__lnf_e", "__lnf_m", "__lnf_z", "__lnf_z2"] + \
+        [f"__lnf_t{d}" for d in _SERIES]
+    df = df.withColumn("__lnf_v", v.cast("long"))
+    df = df.withColumn("__lnf_e", reduce(add, [
+        (F.col("__lnf_v") >= F.lit(1 << k)).cast("int")
+        for k in range(1, MAX_BITS + 1)]))
+
+    def _div(a: Column, b: Column) -> Column:
+        return F.call_function("div", a, b)
+
+    df = df.withColumn("__lnf_m", _div(
+        F.col("__lnf_v") * F.lit(_K),
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        F.col("__lnf_e"))))
+    df = df.withColumn("__lnf_z", _div(
+        (F.col("__lnf_m") - F.lit(_K)) * F.lit(LN_SCALE),
+        F.col("__lnf_m") + F.lit(_K)))
+    df = df.withColumn("__lnf_z2", _div(
+        F.col("__lnf_z") * F.col("__lnf_z"), F.lit(LN_SCALE)))
+    terms, prev = F.col("__lnf_z"), "__lnf_z"
+    for d in _SERIES:
+        df = df.withColumn(f"__lnf_t{d}", _div(
+            F.col(prev) * F.col("__lnf_z2"), F.lit(LN_SCALE)))
+        terms = terms + _div(F.col(f"__lnf_t{d}"), F.lit(d))
+        prev = f"__lnf_t{d}"
+    df = df.withColumn(out, (F.lit(2) * terms
+                             + F.col("__lnf_e").cast("long")
+                             * F.lit(LN2_F)).cast("long"))
+    return df.drop(*scratch)
 
 
 def ln_fixed_py(v: int) -> int:

@@ -21,7 +21,7 @@ project charter (BASELINE.json north_star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, normalized_text, tokens
@@ -433,9 +433,16 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     documents keep zero spans and get ``dedup_text = ''``.
     """
     sp = span_table(df, id_col, text_col, span_tokens)
-    keeper = (sp.groupBy("span")
-                .agg(F.min(F.struct("doc_id", "pos")).alias("keep")))
-    kept = (sp.join(keeper, "span")
+    # Keeper election as a WINDOW over the span partition instead of the
+    # old groupBy(span) + join-back: the join's two sides each contained
+    # the whole explode subtree, so the span table was derived twice per
+    # execution (and a third time for totals) — the window shares ONE
+    # exchange on the same key, same skew profile, identical min-struct
+    # election (guide §2.4: two operations keyed the same way share one
+    # exchange).
+    ws = W.partitionBy("span")
+    kept = (sp.select("doc_id", "pos", "span",
+                      F.min(F.struct("doc_id", "pos")).over(ws).alias("keep"))
               .filter((F.col("keep.doc_id") == F.col("doc_id"))
                       & (F.col("keep.pos") == F.col("pos"))))
     reassembled = (kept.groupBy("doc_id")
@@ -446,15 +453,18 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                                         F.struct("pos", "span"))),
                                     lambda s: s["span"]),
                                 " ").alias("dedup_text")))
-    totals = (sp.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("int").alias("n_spans")))
-    ids = df.select(F.col(id_col).alias("doc_id"))
-    return (ids.join(totals, "doc_id", "left")
-               .join(reassembled, "doc_id", "left")
-               .select("doc_id",
-                       F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-                       F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                       F.coalesce("dedup_text", F.lit("")).alias("dedup_text")))
+    # n_spans is closed-form per document (it is the very expression
+    # span_table explodes), so the third derivation of the span table
+    # collapses to map-side arithmetic over the source rows.
+    t = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(t) / F.lit(span_tokens)).cast("int")
+    totals = df.select(F.col(id_col).alias("doc_id"),
+                       F.coalesce(n_spans, F.lit(0)).alias("n_spans"))
+    return (totals.join(reassembled, "doc_id", "left")
+                  .select("doc_id", "n_spans",
+                          F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                          F.coalesce("dedup_text", F.lit(""))
+                           .alias("dedup_text")))
 
 
 # ---------------------------------------------------------------------------
@@ -518,12 +528,20 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
     gr = gram_table(df, id_col, text_col, k)
     key = F.xxhash64("gram") if hash_grams else F.col("gram")
     gr = gr.select("doc_id", "pos", key.alias("g"))
-    elect = (gr.groupBy("g")
-               .agg(F.min(F.struct("doc_id", "pos")).alias("keep"),
-                    F.count(F.lit(1)).alias("n_occ")))
-    dup = (gr.join(elect.filter(F.col("n_occ") >= 2), "g")
-             .filter(~((F.col("keep.doc_id") == F.col("doc_id"))
-                       & (F.col("keep.pos") == F.col("pos"))))
+    # Keeper election as a WINDOW over the gram partition instead of the
+    # old groupBy(g) + join-back: the join's sides each embedded the
+    # stride-1 gram explode, so the corpus was tokenized and exploded
+    # TWICE per execution. One exchange on g now carries the whole
+    # election (guide §2.4); min-struct/count semantics unchanged, and
+    # boilerplate-gram skew hits this shuffle exactly as it hit the
+    # join's anchor side before.
+    wg = W.partitionBy("g")
+    dup = (gr.select("doc_id", "pos",
+                     F.min(F.struct("doc_id", "pos")).over(wg).alias("keep"),
+                     F.count(F.lit(1)).over(wg).alias("n_occ"))
+             .filter((F.col("n_occ") >= 2)
+                     & ~((F.col("keep.doc_id") == F.col("doc_id"))
+                         & (F.col("keep.pos") == F.col("pos"))))
              .select("doc_id", "pos"))
     return _reassemble_removed(
         df.select(F.col(id_col).alias("doc_id"),

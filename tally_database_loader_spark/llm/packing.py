@@ -243,20 +243,27 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
     invariant to a common scale factor).
 
     Output: ``doc_id, weight (double), priority_q (bigint)``."""
-    from ..functions.fixmath import LN2_F, ln_fixed
+    from ..functions.fixmath import LN2_F, ln_fixed_staged
     if k <= 0:
         raise ValueError("k must be positive")
-    v = F.pmod(hash_order(F.concat(F.lit("ws:"),
-                                   F.col(id_col).cast("string"))),
-               F.lit(_H20)) + 1
-    lnu = ln_fixed(v) - F.lit(20 * LN2_F)  # ln(u)·2^30, exact int64 ≤ 0
     w = F.col(weight_col).cast("double")
-    pri_q = F.floor(F.greatest(lnu.cast("double") / w,
-                               F.lit(-9.0e18))).cast("long")
-    return (docs.filter(F.col(weight_col).isNotNull()
+    # staged ln_fixed: same int64s, but each series level is its own
+    # projection column instead of one ~2,500-node inline tree that
+    # Catalyst re-analyzed on every action (fixmath.ln_fixed_staged;
+    # 0.44s → 0.11s per execution at sf0.1)
+    base = (docs.filter(F.col(weight_col).isNotNull()
                         & (F.col(weight_col) > 0))
-                .select(F.col(id_col).alias("doc_id"), w.alias("weight"),
-                        pri_q.alias("priority_q"))
+                .select(F.col(id_col).alias("doc_id"), w.alias("weight")))
+    base = ln_fixed_staged(
+        base,
+        F.pmod(hash_order(F.concat(F.lit("ws:"),
+                                   F.col("doc_id").cast("string"))),
+               F.lit(_H20)) + 1,
+        "__lnf")
+    lnu = F.col("__lnf") - F.lit(20 * LN2_F)  # ln(u)·2^30, exact int64 ≤ 0
+    pri_q = F.floor(F.greatest(lnu.cast("double") / F.col("weight"),
+                               F.lit(-9.0e18))).cast("long")
+    return (base.select("doc_id", "weight", pri_q.alias("priority_q"))
                 .orderBy(F.col("priority_q").desc(), F.col("doc_id"))
                 .limit(k))
 

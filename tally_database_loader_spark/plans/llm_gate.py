@@ -901,7 +901,13 @@ def two_tier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.7,
                                     k=16, bands=4, n=3, parity_hash=True)
     ndrop = pairs.select(F.col("d2").alias("vec_id")).distinct()
-    surv = e.join(ndrop, "vec_id", "left_anti").select("vec_id", "embedding")
+    # survivors are consumed three times by the semantic tier (both pair
+    # sides + the final anti-join base), so materialize them once — the
+    # same "survivors localCheckpointed once for 3 consumers" shape
+    # curation_pipeline_v2 uses; without it the Jaccard verify tail and
+    # the anti-join re-ran per consumer (measured 3 × 0.56s at sf0.1)
+    surv = (e.join(ndrop, "vec_id", "left_anti")
+             .select("vec_id", "embedding").localCheckpoint(eager=True))
     return semantic_dedup(surv, threshold=0.3, n_lists=8, iters=2)
 
 
@@ -3514,7 +3520,13 @@ def image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     gray = r+g+b at the nearest-neighbor grid points (16→8 picks even
     coordinates), the strict 64*g > total threshold, and the signed
     bit-63 packing."""
-    hs = ahash_table(spark, sf_dir)
+    # the hash table feeds BOTH arms: without a checkpoint the real PPM
+    # decode re-runs per consumer (the 'hash' arm re-derived it on every
+    # action while the pair arm read ahash_near_duplicates' internal
+    # checkpoint) — same double-decode shape the ADVICE-r9
+    # incremental_fp_dedup fix removed; in production this table is the
+    # persisted fingerprint index
+    hs = ahash_table(spark, sf_dir).localCheckpoint(eager=True)
     pairs = mm.ahash_near_duplicates(hs, max_hamming=3)
     harm = hs.select(F.lit("hash").alias("arm"),
                      F.col("doc_id").alias("id_a"),
@@ -3609,7 +3621,9 @@ def audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays bucketed. This closes the dedup modality grid: text (exact /
     MinHash / SimHash / substring), embedding (SRP / SemDeDup), image
     (aHash) and audio all share oracle-checked near-dup machinery."""
-    hs = audio_fp_table(spark, sf_dir)
+    # checkpoint: both arms consume the fingerprint table (see
+    # image_ahash_dups — the real WAV decode must not re-run per arm)
+    hs = audio_fp_table(spark, sf_dir).localCheckpoint(eager=True)
     pairs = mm.ahash_near_duplicates(hs, max_hamming=3, hash_col="fp")
     farm = hs.select(F.lit("fp").alias("arm"),
                      F.col("doc_id").alias("id_a"),
@@ -3784,7 +3798,11 @@ def video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     column at the honest tier: container-level frame sampling is real,
     pixel hashing is real, only MP4 codec frame DECODE remains the
     documented loud stub."""
-    v = video_fp_table(spark, sf_dir)
+    # checkpoint: both arms consume the fingerprint table (see
+    # image_ahash_dups — the frame sampling + per-frame decode + 64-sum
+    # majority vote is the slot's dominant subtree and must not re-run
+    # per arm)
+    v = video_fp_table(spark, sf_dir).localCheckpoint(eager=True)
     pairs = mm.ahash_near_duplicates(v, max_hamming=3, hash_col="fp")
     farm = v.select(F.lit("fp").alias("arm"),
                     F.col("doc_id").alias("id_a"),

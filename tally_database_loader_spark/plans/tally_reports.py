@@ -165,16 +165,27 @@ def stock_summary(cat: Catalog) -> DataFrame:
     # blank tracking = no workflow: the text encoding stores '' (the T-SQL
     # original checks NULL; the relational model stores '' — same regime)
     is_note = F.col("vt_parent").isin("Receipt Note", "Delivery Note")
-    reco = (inv.filter(F.col("tracking_number") != "")
-               .groupBy("item", "tracking_number")
-               .agg(F.sum(F.when(is_note, F.abs(F.col("quantity"))).otherwise(F.lit(0))).alias("note"),
-                    F.sum(F.when(~is_note, F.abs(F.col("quantity"))).otherwise(F.lit(0))).alias("invoice")))
-    # NO broadcast hint on reco: it aggregates trn_inventory by
-    # (item, tracking_number), so its cardinality grows with transaction
-    # volume — forcing a broadcast OOMs at 100×. The join key equals
-    # reco's grouping key, so the shuffle is already aligned with the
-    # aggregation's and AQE will still broadcast when reco is small.
-    eff = (inv.join(reco, ["item", "tracking_number"], "left")
+    # Tracking reconciliation as a WINDOW over (item, tracking_number)
+    # instead of the former groupBy + left-join-back (round 11): the
+    # join's two sides each re-derived the full inv subtree (two
+    # broadcast joins over the staging tables, twice), and the SMJ
+    # shuffled/sorted inv by the same key the window needs anyway — one
+    # exchange now carries the whole reconciliation (guide §2.4).
+    # Blank-tracking rows (no workflow) masked to NULL note/invoice,
+    # exactly the old left join's miss (reco excluded them); their
+    # filter branch never reads the values. Sums are over the identical
+    # row groups, so the decimals are bit-identical.
+    wrk = W.partitionBy("item", "tracking_number")
+    has_trk = F.col("tracking_number") != ""
+    note_w = F.when(has_trk, F.sum(
+        F.when(is_note, F.abs(F.col("quantity")))
+         .otherwise(F.lit(0))).over(wrk))
+    invoice_w = F.when(has_trk, F.sum(
+        F.when(~is_note, F.abs(F.col("quantity")))
+         .otherwise(F.lit(0))).over(wrk))
+    eff = (inv.select("item", "tracking_number", "quantity", "vt_parent",
+                      "is_order_voucher",
+                      note_w.alias("note"), invoice_w.alias("invoice"))
               .filter((F.col("is_order_voucher") == 0)
                       & ((F.col("tracking_number") == "")
                          | (~is_note & (F.col("note") == F.col("invoice")))

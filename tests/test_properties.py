@@ -211,6 +211,27 @@ def test_ln_fixed_cross_engine_exhaustive(spark):
     assert tuple(d) == want
 
 
+def test_ln_fixed_staged_exhaustive(spark):
+    """The round-11 STAGED rendering (ln_fixed_staged — each series
+    level its own projection column, so Catalyst stops re-analyzing a
+    ~2,500-node inline tree per action) is int64-identical to the
+    inline Column over the entire [1, 2^20] domain, via the same
+    count+sum+xor checksum as the three original renderings."""
+    from functools import reduce
+
+    from tally_database_loader_spark.functions.fixmath import (
+        ln_fixed_py, ln_fixed_staged)
+
+    top = 1 << 20
+    py_vals = [ln_fixed_py(v) for v in range(1, top + 1)]
+    want = (len(py_vals), sum(py_vals),
+            reduce(lambda a, b: a ^ b, py_vals))
+    df = ln_fixed_staged(spark.range(1, top + 1), F.col("id"), "lnf")
+    row = df.agg(F.count("*").alias("n"), F.sum("lnf").alias("s"),
+                 F.expr("bit_xor(lnf)").alias("x")).first()
+    assert (row["n"], row["s"], row["x"]) == want
+
+
 @given(
     sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1,
                    max_size=3),
