@@ -156,9 +156,15 @@ SELECT doc_id, lang,
 FROM (SELECT doc_id, lang, text, {_DD_TOKENS} AS t FROM documents)
 """)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword/CJK heuristic (llm/text.py)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+    """Language ID via stopword/CJK heuristic (llm/text.py). Tokens
+    staged as a column: the five per-language stopword filters live in
+    when-branches the optimizer cannot hoist a shared tokenize out of
+    (llm/text.py staging note)."""
+    d = load_table(spark, sf_dir, "documents") \
+        .withColumn("__toks", tx.tokens(F.col("text")))
+    return d.select("doc_id", "lang",
+                    tx.lang_id(F.col("text"),
+                               toks=F.col("__toks")).alias("lang_pred"))
 
 
 @gate_query("fingerprints", oracle="""
@@ -1050,8 +1056,9 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism first (the cluster-scale lever is a lower
     ``maxPartitionBytes``, see SCALE.md §1)."""
     from ..sources.catalog import fan_out
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    cols = tx.repetition_columns(F.col("text"))
+    d = fan_out(load_table(spark, sf_dir, "documents")) \
+        .withColumn("__toks", tx.tokens(F.col("text")))
+    cols = tx.repetition_columns(F.col("text"), toks=F.col("__toks"))
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
@@ -2266,18 +2273,26 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    quality = tx.quality_columns(t)
-    repetition = tx.repetition_columns(t)
-    gopher = tx.gopher_columns(t, min_words=20)
+    # STAGE the token array once (round 11): inline, the tokenizing
+    # regex sat inside when-branches of five builders and subexpression
+    # elimination cannot hoist conditional branches, so it re-ran up to
+    # ~10× per row; as a materialized column every consumer references
+    # the attribute. 1.6s → 0.37s at sf0.1, rows identical (see
+    # llm/text.py staging note).
+    d = d.withColumn("__toks", tx.tokens(t))
+    toks = F.col("__toks")
+    quality = tx.quality_columns(t, toks=toks)
+    repetition = tx.repetition_columns(t, toks=toks)
+    gopher = tx.gopher_columns(t, min_words=20, toks=toks)
     gopher.pop("n_words")  # already emitted by word_token_count
     return d.select(
         "doc_id",
         tx.whitespace_token_count(t).alias("n_ws_tokens"),
-        tx.word_token_count(t).alias("n_words"),
+        F.size(toks).alias("n_words"),
         tx.bpe_ish_token_count(t).alias("n_bpe_ish"),
         *[c.alias(n) for n, c in quality.items()],
         "lang",
-        tx.lang_id(t).alias("lang_pred"),
+        tx.lang_id(t, toks=toks).alias("lang_pred"),
         tx.fingerprint_md5(t).alias("fp_md5"),
         tx.fingerprint_rolling(t).alias("fp_rolling"),
         *[c.alias(n) for n, c in repetition.items()],
