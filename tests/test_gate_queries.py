@@ -14,7 +14,20 @@ def _pairs():
     return sorted(plans.QUERIES)
 
 
-@pytest.mark.parametrize("name", _pairs())
+# bpe_train_batched's recursive rank-walk oracle replay costs ~113 s at
+# sf0.01 — the second-heaviest item in the whole suite. It is IN the
+# driver's 50-slot window, so the driver itself hash-checks it at two
+# SFs every round; the in-suite replay moves to the slow set
+# (SPARK_GRAFT_RUN_SLOW=1) rather than double-paying inside the default
+# run's budget (VERDICT r11 #1). Every other registration — including
+# all displaced/non-window queries, whose ONLY oracle check is this
+# suite — stays in the default run.
+_SLOW_GATES = {"bpe_train_batched"}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_GATES else n
+    for n in _pairs()])
 def test_gate_query_matches_oracle(name, spark, duck):
     from tally_database_loader_spark.plans import gate
     df = gate.QUERIES[name](spark, SF_CORRECTNESS)

@@ -91,6 +91,7 @@ def _rows(spark, store, table):
                   key=lambda t: tuple(str(x) for x in t))
 
 
+@pytest.mark.slow  # multi-version store E2E (~90 s fixture) — driver-window budget, VERDICT r11 #1; sync E2E stays default-covered by tests/test_cli.py and the E-protocol gate oracles
 def test_sync_not_skipped(stores):
     _, _, stats, _ = stores
     assert not stats["skipped"]
@@ -100,6 +101,7 @@ def test_sync_not_skipped(stores):
     assert stats["appended"].get("mst_ledger", 0) == 1   # re-extracted l-005
 
 
+@pytest.mark.slow  # multi-version store E2E (~90 s fixture) — driver-window budget, VERDICT r11 #1; sync E2E stays default-covered by tests/test_cli.py and the E-protocol gate oracles
 def test_incremental_converges_to_full_resync(spark, stores):
     inc_store, full_store, _, specs = stores
     mismatches = []
@@ -115,6 +117,7 @@ def test_incremental_converges_to_full_resync(spark, stores):
     assert not mismatches, f"diverged: {mismatches}"
 
 
+@pytest.mark.slow  # multi-version store E2E (~90 s fixture) — driver-window budget, VERDICT r11 #1; sync E2E stays default-covered by tests/test_cli.py and the E-protocol gate oracles
 def test_noop_sync_is_skipped(spark, stores, tmp_path_factory):
     specs = default_tables()
     store = ParquetStore(str(tmp_path_factory.mktemp("noop")))
@@ -125,6 +128,7 @@ def test_noop_sync_is_skipped(spark, stores, tmp_path_factory):
     assert stats["skipped"]  # AlterIds unchanged ⇒ change gate short-circuits
 
 
+@pytest.mark.slow  # multi-version store E2E (~90 s fixture) — driver-window budget, VERDICT r11 #1; sync E2E stays default-covered by tests/test_cli.py and the E-protocol gate oracles
 def test_untouched_buckets_carried_forward_across_sync(spark, stores):
     """The scoped commit must not rewrite untouched partitions: for every
     table with >1 version, the newest version's manifest must reference

@@ -175,6 +175,7 @@ def test_bigram_logprob_total_mass_and_nulls(spark, texts):
             assert r.lm2_score <= 0.0
 
 
+@pytest.mark.slow  # driver-window budget (VERDICT r11 #1 / ADVICE r11); runs under SPARK_GRAFT_RUN_SLOW=1
 def test_ln_fixed_cross_engine_exhaustive(spark):
     """The three renderings of the fixed-point ln (Spark Column, DuckDB
     SQL, Python reference) produce the IDENTICAL int64 over the ENTIRE
@@ -211,6 +212,7 @@ def test_ln_fixed_cross_engine_exhaustive(spark):
     assert tuple(d) == want
 
 
+@pytest.mark.slow  # driver-window budget (VERDICT r11 #1 / ADVICE r11); runs under SPARK_GRAFT_RUN_SLOW=1
 def test_ln_fixed_staged_exhaustive(spark):
     """The round-11 STAGED rendering (ln_fixed_staged — each series
     level its own projection column, so Catalyst stops re-analyzing a
@@ -239,6 +241,9 @@ def test_ln_fixed_staged_exhaustive(spark):
 )
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # 6 hypothesis examples × a full Lloyd fit ≈ 66 s; the
+# cell_cap pair-stage bound stays default-tested on the bench corpus by
+# tests/test_llm.py::test_semantic_dedup_cell_cap_bounds_pair_stage
 def test_semantic_cell_cap_properties(spark, sizes, cap):
     """Round-5 hot-cluster guard, property-checked: for ANY corpus shape
     and cap, (a) the pair stage is bounded — every (cell, sub) bucket

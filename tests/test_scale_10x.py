@@ -15,7 +15,16 @@ tools_scale_10x.py``); this test keeps the mechanism from rotting.
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_CORRECTNESS
+
+# ~500 s: the single heaviest test in the suite — the decade replay that
+# VERDICT r11 #1 names for the slow set. Runs under
+# SPARK_GRAFT_RUN_SLOW=1 (executed and logged green in the round-12
+# builder log); the same mechanism also runs from the committed CLI
+# (tools_scale_10x.py → SCALE.md).
+pytestmark = pytest.mark.slow
 
 
 def test_synthetic_decade_bounds_and_hashes(spark, tmp_path):

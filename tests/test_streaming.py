@@ -58,6 +58,7 @@ def synced(spark, tmp_path_factory):
     return spark, store, cts, src2, specs
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_converges_to_full_resync(synced, tmp_path_factory):
     spark, store, cts, src2, specs = synced
     full_store = ParquetStore(str(tmp_path_factory.mktemp("full")))
@@ -68,6 +69,7 @@ def test_converges_to_full_resync(synced, tmp_path_factory):
         assert got[t] == want[t], f"divergence in {t}"
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_exactly_once_replay(synced):
     spark, store, cts, src2, specs = synced
     seen = [(s["batch_id"], s["drop_id"]) for s in cts.batch_stats]
@@ -428,6 +430,7 @@ def test_bloom_positions_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_same_batch_drops_merge_in_publication_order(spark, tmp_path):
     """Review r4: two snapshot drops landing in ONE micro-batch must
     apply in PUBLICATION order (the manifest's monotonic seq), not
@@ -495,6 +498,7 @@ def test_stateful_operators_accept_string_keys(spark, tmp_path):
     assert got == {"fp1": ("doc-a", 1), "fp2": ("doc-c", 0)}  # min-wins
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_seq_floor_reseeds_from_disk_after_producer_restart(spark, tmp_path, monkeypatch):
     """ADVICE r4: the monotonic seq floor is process-local, so a producer
     restart combined with a backwards wall-clock step (NTP) could
@@ -643,6 +647,7 @@ def test_streaming_fp_near_dedup_connectivity_matches_batch(spark, tmp_path):
     assert components(set(verified), nodes) == components(batch_pairs, nodes)
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_fp_stream_verify_component_wise_end_to_end(spark, tmp_path):
     """End-to-end stream→batch cluster equality on the ADVICE-r8
     adversarial configuration: a bucket keeper K sits Hamming > 3 from
@@ -728,6 +733,7 @@ def test_fp_stream_verify_component_wise_end_to_end(spark, tmp_path):
         assert stream_clusters == batch_clusters == {(2, 2), (3, 2)}
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_streaming_incremental_clustering_foreachbatch(spark, tmp_path):
     """The multi-batch incremental-clustering recurrence driven through
     Structured Streaming (VERDICT r9 #4, the stream/batch gap): hash
@@ -811,6 +817,7 @@ def test_streaming_incremental_clustering_foreachbatch(spark, tmp_path):
     assert labelset(state["labels"]), "fixture produced no clusters"
 
 
+@pytest.mark.slow  # heavy recurrence — driver-window budget, VERDICT r11 #1; runs under SPARK_GRAFT_RUN_SLOW=1
 def test_streaming_cross_modal_union_state_foreachbatch(spark, tmp_path):
     """The FULL cross-modal recurrence through Structured Streaming
     (VERDICT r10 "Next round" #6): documents arrive as micro-batches;
