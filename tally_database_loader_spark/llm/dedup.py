@@ -60,16 +60,20 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  density: float = 1.0) -> DataFrame:
     """(doc_id, shingle) exploded long table — input to Jaccard/MinHash.
 
-    The input is fanned out to the cluster's parallelism first when the
-    scan arrived narrower (sources/catalog.fan_out): shingling cost scales
-    with exploded tokens (~100× the input bytes), so a few-MB parquet
-    would otherwise pin the whole explode+hash pipeline to a couple of
-    cores."""
+    The input is fanned out first when the scan arrived narrower
+    (sources/catalog.fan_out, byte-derived width since round 12):
+    shingling cost scales with exploded tokens (~100× the input bytes),
+    so a few-MB parquet would otherwise pin the whole explode+hash
+    pipeline to a couple of cores. ``density`` forwards the CONSUMER's
+    per-byte compute multiplier (SimHash's 64 conditional sums per
+    shingle pass 8; the MinHash pipeline, whose heavy stages are
+    construction-time checkpoints, keeps 1)."""
     from ..sources.catalog import fan_out
-    df = fan_out(df, id_col)
+    df = fan_out(df, id_col, density=density)
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(shingles(F.col(text_col), n)).alias("shingle")))
 
@@ -369,7 +373,10 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
     ``parity_hash``: 60-bit md5-prefix base (SQL-oracle-reproducible,
     always positive) instead of the 64-bit xxhash64 production hash."""
-    sh = shingle_table(df, id_col, text_col, n)
+    # density=8: 64 conditional sums per exploded shingle — measured
+    # fastest at full width while byte-derived ~10 partitions cost ~1.8×
+    # (OPTIMIZATION_r12.md fan-out sweep)
+    sh = shingle_table(df, id_col, text_col, n, density=8.0)
     h = _parity_base(F.col("shingle")) if parity_hash \
         else F.xxhash64(F.col("shingle"))
     n_bits = 60 if parity_hash else 64
@@ -423,11 +430,22 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     (``array_sort`` of (pos, span) structs), so no per-document window
     or secondary sort stage is needed.
 
-    Plan: one explode (map-side) → one groupBy(span) shuffle to elect
-    keepers → one groupBy(doc) shuffle to reassemble. The span election
-    is a self-contained aggregation — no join of the span table against
-    itself, so span frequency skew (boilerplate spans repeated millions
-    of times) collapses map-side via partial aggregation.
+    Plan: one explode (map-side) → one WINDOW over partitionBy(span) to
+    elect keepers (round 11; previously a groupBy(span) + join-back whose
+    two sides each re-derived the explode subtree) → one groupBy(doc)
+    shuffle to reassemble. Skew profile of the window election: a
+    boilerplate span repeated millions of times lands in ONE window
+    partition — it spills and completes but, unlike the old SMJ
+    join-back, AQE's skew-join splitting cannot divide it; at that
+    corpus shape prefer hashing spans and salting the election
+    (``substring_dedup``'s ``hash_grams`` discipline) over reverting to
+    the double-derivation join.
+
+    Contract: ``id_col`` must be unique in ``df`` (every caller passes a
+    primary key). ``n_spans`` is computed per ROW in closed form
+    (``ceil(size(tokens)/span_tokens)``, round 11); under duplicate ids
+    the pre-r11 groupBy(doc).count() would have summed spans across the
+    id's rows instead — same values only under the uniqueness contract.
 
     Returns (doc_id, n_spans, n_kept, dedup_text); fully-duplicate
     documents keep zero spans and get ``dedup_text = ''``.
@@ -481,7 +499,9 @@ def gram_table(df: DataFrame, id_col: str, text_col: str,
     Documents shorter than ``k`` tokens contribute no anchors. ``pos`` is
     the 0-based token index of the window start."""
     from ..sources.catalog import fan_out
-    df = fan_out(df, id_col)
+    # density=k: stride-1 windows amplify bytes ~×k before the gram
+    # shuffle — measured fastest at full width (fan-out sweep, r12)
+    df = fan_out(df, id_col, density=float(k))
     t = tokens(F.col(text_col))
     grams = F.when(F.size(t) < k, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
@@ -511,11 +531,13 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
     - surviving tokens are re-joined in order.
 
     Plan shape: one explode (map-side, stride-1 so bytes amplify ~×k —
-    the same ×k a suffix array pays in pointers), one groupBy(gram)
-    shuffle whose boilerplate skew collapses via partial aggregation
-    (min-struct + count are both combinable), one join back to anchors,
-    and one groupBy(doc) to assemble the removal set. No self-join of
-    the anchor table, no window over the corpus-wide gram stream.
+    the same ×k a suffix array pays in pointers), one WINDOW over
+    partitionBy(gram) electing keepers (round 11; previously a
+    groupBy(gram) + join-back whose sides each re-ran the explode), and
+    one groupBy(doc) to assemble the removal set. Skew note: a
+    boilerplate gram repeated millions of times lands in one window
+    partition (spills, completes, but AQE cannot split it) — at that
+    corpus shape, pre-salt the election or special-case the hot grams.
 
     ``hash_grams=True`` (the 100 TB path) shuffles 8-byte ``xxhash64``
     keys instead of k-token strings; ``False`` keeps raw strings so a

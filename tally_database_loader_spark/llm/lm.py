@@ -44,14 +44,22 @@ _H = 1 << 20    # hash-threshold denominator for sampling
 
 
 def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram distribution (no smoothing needed — every scored token was
     counted). Output: ``doc_id, n_tokens, lm_score`` with ``lm_score =
     Σ floor(ln(count(t)/N)·1e6) / (1e6·n)`` (NULL for token-less docs);
-    more negative = more surprising under the corpus model."""
+    more negative = more surprising under the corpus model.
+
+    ``tokens_col`` names a pre-staged token-array column to score instead
+    of re-running the tokenizer regex over ``text_col`` — callers that
+    run several scorers over one corpus (lm_score_suite) materialize the
+    token arrays ONCE and every scorer reads them (the round-11 staging
+    discipline of llm/text.py, extended across operators in round 12)."""
+    toks_arr = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
     tok = docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+                      F.explode(toks_arr).alias("tok"))
     # vocabulary-sized model table, checkpointed: the N probe folds from
     # it (Σc == token count) and the broadcast build reads the same
     # blocks — ONE corpus tokenize pass builds the model instead of three
@@ -75,7 +83,8 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
 
 def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", add_k: int = 1,
-                   broadcast_model: bool = True) -> DataFrame:
+                   broadcast_model: bool = True,
+                   tokens_col: str | None = None) -> DataFrame:
     """Per-document mean *bigram* conditional log-probability with add-k
     smoothing — the context-sensitive upgrade of ``unigram_logprob``
     (KenLM-style perplexity filters score with an n-gram model; bigrams
@@ -105,7 +114,7 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     """
     if add_k <= 0:
         raise ValueError("add_k must be positive")
-    toks = _tokens(F.col(text_col))
+    toks = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
     n = F.size(toks)
     # adjacent pairs via slice+zip_with (two O(n) array walks) — ~40%
     # faster than element_at-per-index, which re-derives positions
@@ -146,7 +155,8 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
 
 
 def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
-                    top_k: int = 100) -> DataFrame:
+                    top_k: int = 100,
+                    tokens_col: str | None = None) -> DataFrame:
     """Adjacent character-pair frequencies — the statistic a BPE tokenizer
     trainer computes at every merge step (the highest-count pair becomes
     the next merge rule). One relational round = one training iteration's
@@ -164,7 +174,8 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
     """
     if top_k <= 0:
         raise ValueError("top_k must be positive")
-    words = (docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+    toks_arr = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
+    words = (docs.select(F.explode(toks_arr).alias("w"))
                  .groupBy("w").agg(F.count("*").alias("wc")))
     ln = F.length("w")
     # sequence(1, len-1) would DESCEND for 1-char words (Spark extends
@@ -483,7 +494,8 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
 def dsir_importance(docs: DataFrame, target: Column,
                     n_buckets: int = 4096, add_k: int = 1,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much more likely its
     hashed-unigram features are under a *target* domain than under the
@@ -516,9 +528,10 @@ def dsir_importance(docs: DataFrame, target: Column,
     """
     if n_buckets <= 0 or add_k <= 0:
         raise ValueError("n_buckets and add_k must be positive")
+    toks_arr = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
     tok = docs.select(F.col(id_col).alias("doc_id"),
                       target.alias("is_t"),
-                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+                      F.explode(toks_arr).alias("tok"))
     tok = tok.withColumn(
         "bkt", F.pmod(hash_order(F.col("tok")), F.lit(n_buckets)))
     # n_buckets-row model table, checkpointed: the totals probe and the
@@ -640,7 +653,8 @@ def temperature_resample(docs: DataFrame, group_col: str, id_col: str,
 
 def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", window: int = 2,
-                     min_count: int = 3) -> DataFrame:
+                     min_count: int = 3,
+                     tokens_col: str | None = None) -> DataFrame:
     """Directional token co-occurrence counts + pointwise mutual
     information within a ±``window`` token neighborhood — the corpus
     statistic word-embedding training starts from (word2vec/GloVe build
@@ -659,7 +673,7 @@ def cooccurrence_pmi(docs: DataFrame, id_col: str = "doc_id",
     """
     if window < 1:
         raise ValueError("window must be positive")
-    toks = _tokens(F.col(text_col))
+    toks = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
     n = F.size(toks)
     # pairs at distance o for o = 1..window, each as a slice+zip_with of
     # the array against its own o-shifted tail — O(window·n) array walks

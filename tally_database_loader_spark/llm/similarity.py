@@ -773,10 +773,22 @@ def kmeans_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
     # evaluates the assignment UDF TWICE per join side — once under the
     # pushed filter, once in the projection (guide §4.4). The plans for
     # semantic_dedup went from 4 `enc` ArrowEvalPython nodes to 2.
+    # The inner when/raise_error makes a NULL input vector fail LOUDLY on
+    # BOTH assignment paths (ADVICE r11): the vectorized UDF raises on
+    # its own, but the relational fallback (VECTORIZED_ASSIGN=False)
+    # returned NULL — which the -1 sentinel would have silently merged
+    # into one shared pair cell instead of the old never-equi-joins
+    # behavior. raise_error sits only on the contract-violating branch,
+    # so valid rows pay one isNotNull test.
     assigned = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        F.coalesce(_assign_cell(_kmeans_uq(F.col(vec_col)), cents),
-                   F.lit(-1)).alias("cell"))
+        F.coalesce(
+            F.when(F.col(vec_col).isNotNull(),
+                   _assign_cell(_kmeans_uq(F.col(vec_col)), cents))
+             .otherwise(F.raise_error(F.lit(
+                 "kmeans_cells: NULL vector violates the non-null "
+                 "vector contract"))),
+            F.lit(-1)).alias("cell"))
     return assigned, cents
 
 
@@ -955,6 +967,15 @@ def semantic_cells(corpus: DataFrame, n_lists: int | None = 8,
         n_lists = max(8, min(65536, -(-n // (cell_cap or 20_000))))
     assigned, _ = kmeans_cells(corpus, n_lists=n_lists, iters=iters,
                                id_col=id_col, vec_col=vec_col)
+    # NOT checkpointed (round 12, measured): every semantic_dedup
+    # execution reads `assigned` three times (both pair sides + the
+    # anti-join base), but materializing it means writing/reading the
+    # full embedding vectors (n_vec rides every consumer) — cold-run
+    # A/B at bench SF put the localCheckpoint variant ~15% SLOWER than
+    # re-running the Arrow-batched assignment UDF per consumer
+    # (tools_isolate_slot.py --cold; OPTIMIZATION_r12.md). The cheap
+    # model table inside kmeans_cells stays checkpointed — it is
+    # centroid-sized; this table is corpus-sized.
     key = ["cell"]
     if cell_cap is not None:
         sizes = (assigned.groupBy("cell")

@@ -40,12 +40,21 @@ from .text import tokens
 __all__ = ["postings", "doc_freq", "tfidf_table", "bm25_table"]
 
 
-def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(term, doc_id, tf) — the inverted index in relational form."""
-    from ..sources.catalog import fan_out
-    df = fan_out(df, id_col)
+def postings(df: DataFrame, id_col: str, text_col: str,
+             tokens_col: str | None = None) -> DataFrame:
+    """(term, doc_id, tf) — the inverted index in relational form.
+
+    ``tokens_col`` names a pre-staged token-array column: the caller
+    already fanned out and tokenized, so this just explodes — no second
+    regex pass, no second repartition."""
+    if tokens_col is None:
+        from ..sources.catalog import fan_out
+        df = fan_out(df, id_col)
+        toks = tokens(F.col(text_col))
+    else:
+        toks = F.col(tokens_col)
     return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(tokens(F.col(text_col))).alias("term"))
+                      F.explode(toks).alias("term"))
               .groupBy("term", "doc_id")
               .agg(F.count(F.lit(1)).cast("int").alias("tf")))
 
@@ -57,7 +66,14 @@ def doc_freq(post: DataFrame) -> DataFrame:
 
 def _corpus_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[int, float]:
     """(N, avgdl) via one tiny aggregate — exact long sum, then one double
-    division, so avgdl is bit-deterministic."""
+    division, so avgdl is bit-deterministic.
+
+    Deliberately aggregates the RAW scan, not the fanned-out/staged
+    form: round 12 measured routing this probe (and bm25's doc-length
+    side) through the fan-out exchange at ~1.7× the whole slot's time —
+    a count+sum folds fine at natural scan width, and a shared staged
+    subtree was strictly slower in every variant tried (the
+    checkpoint/reuse table in OPTIMIZATION_r12.md)."""
     row = df.agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.size(tokens(F.col(text_col)))).alias("toks")).collect()[0]
     n = int(row["n"])
@@ -86,6 +102,7 @@ def bm25_table(df: DataFrame, id_col: str, text_col: str,
     post = postings(df, id_col, text_col)
     n, avgdl = _corpus_stats(df, id_col, text_col)
     dfreq = doc_freq(post)
+    # dl off the RAW scan (no fan-out exchange): see _corpus_stats note
     dl = (df.select(F.col(id_col).alias("doc_id"),
                     F.size(tokens(F.col(text_col))).cast("int").alias("dl")))
     tf = F.col("tf").cast("double")

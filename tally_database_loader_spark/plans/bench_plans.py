@@ -55,6 +55,9 @@ def sketch_suite_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sketch import bloom_build, cms_build, hll_distinct
     docs = load_table(spark, sf_dir, "documents")
     d = fan_out(docs)
+    # The CMS/HLL/Bloom arms each re-run the token explode above the
+    # shared fan-out exchange — measured faster at bench SF than
+    # materializing the token arrays once (OPTIMIZATION_r12.md)
     tok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     cms = cms_build(tok, "tok", d=4, w=4096).select(
         F.lit("cms").alias("family"),

@@ -508,13 +508,19 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number ... ORDER BY date DESC, keep 1). Deterministic tiebreak on the
     key so the oracle hash is stable."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return (o.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") == 1)
+    # Latest-row-per-key as a max-STRUCT aggregation instead of the
+    # ranking window (round 12, guide §2.3 — same rewrite as
+    # workflow_dedup): max(struct) compares lexicographically on
+    # (o_orderdate, o_orderkey) — exactly the window's DESC, DESC order,
+    # unique per row — so the elected row is identical while the
+    # shuffle becomes a sort-free partial-agg'd hash aggregate.
+    best = F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice"))
+    return (o.groupBy("o_custkey")
+             .agg(best.alias("k"))
              .select(F.col("o_custkey").alias("custkey"),
-                     F.col("o_orderkey").alias("orderkey"),
-                     F.col("o_orderdate").cast("date").alias("date"),
-                     F.col("o_totalprice").alias("total")))
+                     F.col("k.o_orderkey").alias("orderkey"),
+                     F.col("k.o_orderdate").cast("date").alias("date"),
+                     F.col("k.o_totalprice").alias("total")))
 
 
 # ---------------------------------------------------------------------------
@@ -537,14 +543,25 @@ def workflow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports/mssql/stock-voucher-view.sql:16): ROW_NUMBER PARTITION BY
     tracking keys ORDER BY date, keep repetition 1."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_partkey", "l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    return (li.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
+    # Keep-first as a min-STRUCT aggregation instead of the ranking
+    # window (round 12, guide §2.3 "aggregate before you shuffle"): the
+    # window shuffled then SORTED every row on both sides of the
+    # exchange (WindowGroupLimit bounded the rows but not the sorts);
+    # min(struct) is a sort-free hash aggregate with map-side partials —
+    # at 100 TB the shuffle carries one candidate per (key, mapper)
+    # instead of per row. Identical election: struct comparison is
+    # lexicographic on (l_shipdate, l_orderkey, l_linenumber) — the
+    # window's exact ORDER BY, unique per row, so the carried
+    # l_quantity never decides and the kept row is the same.
+    best = F.min(F.struct("l_shipdate", "l_orderkey", "l_linenumber",
+                          "l_quantity"))
+    return (li.groupBy("l_partkey", "l_suppkey")
+              .agg(best.alias("k"))
               .select(F.col("l_partkey").alias("partkey"),
                       F.col("l_suppkey").alias("suppkey"),
-                      F.col("l_orderkey").alias("orderkey"),
-                      F.col("l_shipdate").cast("date").alias("shipdate"),
-                      F.col("l_quantity").alias("quantity")))
+                      F.col("k.l_orderkey").alias("orderkey"),
+                      F.col("k.l_shipdate").cast("date").alias("shipdate"),
+                      F.col("k.l_quantity").alias("quantity")))
 
 
 # ---------------------------------------------------------------------------

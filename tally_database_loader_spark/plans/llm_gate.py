@@ -1340,8 +1340,21 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus, so it is broadcast — the 100 TB side is
     probed map-side with no shuffle; the only shuffle is the per-doc
     aggregation of hit counts."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d, "doc_id", "text")
+    from ..llm.dedup import shingles
+    from ..sources.catalog import fan_out
+    # density=8: shingling (tokenize + 3-gram transform + concat) is
+    # compute-dense like simhash's fold — at byte-derived ~10 partitions
+    # this slot ran 1.5× slower than full width (isolate A/B, r12)
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id",
+                density=8.0)
+    # The bench arm (broadcast-side distinct) and the probe arm each
+    # re-derive the shingle explode above the SHARED fan-out exchange.
+    # Round 12 measured the single-derivation alternative — doc-level
+    # shingle arrays behind a localCheckpoint — and it lost at bench SF
+    # (reading materialized string-array blocks costs more than the
+    # codegen'd tokenize+concat; OPTIMIZATION_r12.md).
+    sh = d.select("doc_id",
+                  F.explode(shingles(F.col("text"), 3)).alias("shingle"))
     bench = (sh.filter(F.col("doc_id") % 97 == 0)
                .select("shingle").distinct()
                .withColumn("hit", F.lit(1)))
@@ -1823,6 +1836,12 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sketch import cms_build, cms_estimate
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Each arm (sketch build, exact-candidate) re-derives the token
+    # explode inside its own codegen stage above the SHARED fan-out
+    # exchange. Round 12 measured the materialized alternative — a
+    # localCheckpoint of the token arrays read by both arms — ~2× slower
+    # at bench SF than the duplicated regex (string-array block reads
+    # cost more than the codegen'd tokenizer; OPTIMIZATION_r12.md).
     tok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     sketch = cms_build(tok, "tok", d=4, w=4096)
     cand = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
@@ -1879,6 +1898,9 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sketch import bloom_build, bloom_contains
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    # build/candidate/exact arms each re-run the token explode above the
+    # shared fan-out exchange — measured faster than materializing the
+    # token arrays once (cms_token_counts note; OPTIMIZATION_r12.md)
     even = (d.filter(F.col("doc_id") % 2 == 0)
              .select(F.explode(_tokens(F.col("text"))).alias("tok")))
     bloom = bloom_build(even, "tok", m=4096, k=4)
@@ -2981,13 +3003,25 @@ def lm_score_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.lm import bigram_logprob, dsir_importance, unigram_logprob
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    uni = unigram_logprob(d).select(
+    # One LAZY staged token column feeds all three scorers (round 12,
+    # guide §4): within each scorer's projection the array is computed
+    # once (CollapseProject keeps the multiply-referenced non-trivial
+    # expression staged — the ln_fixed_staged discipline), where the
+    # inline form re-ran the tokenizer regex per reference (bigram alone
+    # references it 4×). Across scorer branches the regex still runs
+    # once per branch: materializing the arrays instead (localCheckpoint)
+    # measured ~2× slower at bench SF (OPTIMIZATION_r12.md — string-array
+    # block reads cost more than the codegen'd regex).
+    staged = d.select("doc_id", "lang",
+                      tx.tokens(F.col("text")).alias("__toks"))
+    uni = unigram_logprob(staged, tokens_col="__toks").select(
         F.lit("unigram").alias("method"), "doc_id",
         F.col("n_tokens").alias("n_units"), F.col("lm_score").alias("score"))
-    bi = bigram_logprob(d).select(
+    bi = bigram_logprob(staged, tokens_col="__toks").select(
         F.lit("bigram").alias("method"), "doc_id",
         F.col("n_bigrams").alias("n_units"), F.col("lm2_score").alias("score"))
-    ds = dsir_importance(d, F.col("lang") == "en").select(
+    ds = dsir_importance(staged, F.col("lang") == "en",
+                         tokens_col="__toks").select(
         F.lit("dsir").alias("method"), "doc_id",
         F.col("n_tokens").alias("n_units"),
         F.col("dsir_logratio").alias("score"))
@@ -3049,7 +3083,12 @@ def token_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.lm import bpe_pair_counts, cooccurrence_pmi
     from ..sources.catalog import fan_out
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    tok = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    # One LAZY staged token column for all three branches (round 12, the
+    # lm_score_suite staging note): single regex evaluation per
+    # projection where PMI references the array many times; deliberately
+    # NOT checkpointed (measured slower — OPTIMIZATION_r12.md).
+    staged = d.select("doc_id", tx.tokens(F.col("text")).alias("__toks"))
+    tok = staged.select("doc_id", F.explode("__toks").alias("token"))
     vocab = (tok.groupBy("token")
                 .agg(F.count(F.lit(1)).alias("tf"),
                      F.countDistinct("doc_id").alias("df"))
@@ -3059,12 +3098,13 @@ def token_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("string").alias("w2"),
                         F.col("tf").cast("long").alias("n1"),
                         F.col("df").cast("long").alias("n2")))
-    bpe = (bpe_pair_counts(d, "text", top_k=100)
+    bpe = (bpe_pair_counts(staged, "text", top_k=100, tokens_col="__toks")
            .select(F.lit("bpe_pair").alias("method"),
                    F.col("a").alias("w1"), F.col("b").alias("w2"),
                    F.col("n_pairs").alias("n1"),
                    F.lit(None).cast("long").alias("n2")))
-    pmi = (cooccurrence_pmi(d, "doc_id", "text", window=2, min_count=3)
+    pmi = (cooccurrence_pmi(staged, "doc_id", "text", window=2, min_count=3,
+                            tokens_col="__toks")
            .select(F.lit("pmi").alias("method"), "w1", "w2",
                    F.col("n_pairs").alias("n1"),
                    F.floor(F.col("pmi") * 1e6).cast("long").alias("n2")))

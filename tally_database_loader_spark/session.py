@@ -86,6 +86,15 @@ def get_spark(app_name: str = "tally_database_loader_spark",
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")
+    # deployment/override escape hatch (round 12): semicolon-separated
+    # `key=value` pairs applied LAST, so a cluster run (or an A/B
+    # experiment) can override any default above without code edits —
+    # e.g. SPARK_GRAFT_EXTRA_CONF='spark.sql.adaptive
+    # .advisoryPartitionSizeInBytes=256m;spark.sql.shuffle.partitions=4096'
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

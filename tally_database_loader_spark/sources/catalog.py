@@ -46,25 +46,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
-    """Widen a narrow scan to the cluster's parallelism before CPU-heavy
-    projections (regex extraction, shingling, hashing).
+# Bytes of (splittable, compressed) input one fan-out task should own.
+# Sized from measured compute density, not core count: the text operators
+# this helper serves do ~100x their storage in per-row compute (regex
+# tokenize + shingle + hash), so 64 KiB of parquet is ~50-100 ms of task
+# compute — comfortably above per-task overhead on both local mode and a
+# cluster, small enough that a corpus saturates any realistic executor
+# count. Env-tunable; the default was swept at sf0.1 (OPTIMIZATION_r12.md).
+_FANOUT_TASK_BYTES = max(1, int(os.environ.get(
+    "SPARK_GRAFT_FANOUT_TASK_BYTES", str(64 * 1024))))
+
+
+def fan_out(df: DataFrame, key: str | None = None,
+            density: float = 1.0) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy projections (regex
+    extraction, shingling, hashing) — to the parallelism the DATA
+    justifies, capped by the cluster's.
 
     Spark sizes scan partitions by input bytes; a compact text/binary
     column whose per-row compute is 100× its storage otherwise pins the
     pipeline to a few cores. One cheap shuffle of the small input buys
     full-width codegen stages downstream — same reasoning at 100 TB, where
     it instead argues for keeping ``maxPartitionBytes`` small on
-    compute-dense columns."""
+    compute-dense columns.
+
+    The target is ``min(defaultParallelism, ceil(bytes · density /
+    _FANOUT_TASK_BYTES))`` rather than ``defaultParallelism`` outright
+    (guide §2.6): sizing purely to core count made a kilobyte-scale input
+    fan into one near-empty task per core, so the same query ran 2-3×
+    SLOWER on 32 cores than on 8 at bench SF (pure task/scheduling
+    overhead) — and said nothing about cluster scale, where the byte-
+    derived count is what keeps tasks usefully sized.
+
+    ``density`` is the caller's per-byte compute multiplier relative to
+    a plain tokenize pass (1.0): stride-1 k-gram explodes do ~k× the
+    work per input byte, SimHash folds 64 conditional sums per shingle —
+    those callers pass density ≈ 8 so their task-byte budget shrinks and
+    the fan widens accordingly (measured: substring/simhash want full
+    width at bench SF while tokenize-and-aggregate paths run fastest at
+    the byte-derived ~10 partitions; both directions confirmed by the
+    two-order sweep in OPTIMIZATION_r12.md)."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    cap = spark.sparkContext.defaultParallelism
+    target = cap
     # plan-side width estimate (optimizer stats — no df.rdd conversion,
     # no job): an input whose scan already splits into >= target
     # partitions passes through untouched, because an explicit
     # repartition(N) is NOT coalesced away by AQE (AQE only rebalances
     # unspecified/REBALANCE shuffles) and would re-shuffle the whole
     # corpus at scale. Stats unavailable -> treat as narrow (the
-    # known-narrow text sources this helper serves).
+    # known-narrow text sources this helper serves) and fan to the
+    # core-count cap, the pre-round-12 behavior.
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats()
                    .sizeInBytes())
@@ -72,9 +104,16 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
         # RDD-backed/Python-datasource inputs must fall through to the
         # widening repartition, not masquerade as infinitely wide
         if size < (1 << 62):
+            work = int(size * max(density, 1e-9))
+            target = min(cap, max(1, -(-work // _FANOUT_TASK_BYTES)))
             mpb = _parse_bytes(spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"))
-            if size // max(1, mpb) >= target and _splittable_scan(df):
+            # estimated natural scan width: ceil(bytes / maxPartitionBytes),
+            # floor 1 — when the scan already splits at least as wide as
+            # the data-derived target, the widening shuffle buys nothing
+            # (and for a one-task input it would ADD an exchange)
+            nat = max(1, -(-size // max(1, mpb)))
+            if nat >= target and _splittable_scan(df):
                 return df
     except Exception:
         pass

@@ -113,10 +113,14 @@ def test_new_gate_plan_shapes(spark):
     scorer joins its vocabulary-sized count table broadcast; nothing
     funnels through a single partition."""
     tp = _plan(spark, "text_profile")
-    # exactly one Exchange: the deliberate fan_out round-robin that widens
+    # at most one Exchange: the deliberate fan_out round-robin that widens
     # the byte-small, compute-dense text scan (SCALE.md §9) — still no
-    # join and no aggregation shuffle in the profile itself
-    assert tp.count("Exchange") == 1 and "roundrobin" in tp.lower()
+    # join and no aggregation shuffle in the profile itself. Since round
+    # 12 fan_out is DATA-derived (guide §2.6): at this test SF the one-
+    # split documents scan already meets the byte-derived width, so the
+    # widening exchange legitimately disappears.
+    nx = tp.count("Exchange")
+    assert nx == 0 or (nx == 1 and "roundrobin" in tp.lower())
     assert "Join" not in tp
     tr = _plan(spark, "temperature_resample")
     # r5: per-group keep-thresholds enter as a broadcast-joined (grp,

@@ -57,3 +57,47 @@ def test_postings_plan_is_partially_aggregated(spark):
     # partial agg before the exchange: two HashAggregates around one shuffle
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_postings_staged_tokens_col_matches_inline(spark):
+    """Round-12 staging: postings over a pre-staged token-array column
+    must return exactly the inline-tokenize result (the tfidf/bm25
+    internals now route through _staged)."""
+    from tally_database_loader_spark.llm.text import tokens
+
+    d = _docs(spark)
+    staged = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    a = {(r["term"], r["doc_id"]): r["tf"]
+         for r in postings(d, "doc_id", "text").collect()}
+    b = {(r["term"], r["doc_id"]): r["tf"]
+         for r in postings(staged, "doc_id", "text",
+                           tokens_col="__toks").collect()}
+    assert a == b
+
+
+def test_lm_scorers_staged_tokens_col_match_inline(spark):
+    """unigram/bigram/dsir with tokens_col= must be value-identical to
+    the inline-tokenize path (lm_score_suite's one-pass staging)."""
+    from tally_database_loader_spark.llm.lm import (bigram_logprob,
+                                                    dsir_importance,
+                                                    unigram_logprob)
+    from tally_database_loader_spark.llm.text import tokens
+
+    d = spark.createDataFrame(
+        [(1, "spark shuffle spark join", "en"),
+         (2, "spark table", "en"),
+         (3, "la la table scan", "es"),
+         (4, "", "en")],
+        "doc_id long, text string, lang string")
+    staged = d.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(unigram_logprob(d)) == rows(
+        unigram_logprob(staged, tokens_col="__toks"))
+    assert rows(bigram_logprob(d)) == rows(
+        bigram_logprob(staged, tokens_col="__toks"))
+    assert rows(dsir_importance(d, F.col("lang") == "en")) == rows(
+        dsir_importance(staged, F.col("lang") == "en",
+                        tokens_col="__toks"))
