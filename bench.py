@@ -339,7 +339,12 @@ def main() -> None:
                 json.dump(record, fh)
         except OSError:
             pass
-    print(json.dumps(record))
+    # compact separators (VERDICT r11 #6): the stored BENCH_r10 record
+    # failed to parse because the driver keeps only a bounded stdout
+    # tail; the contract REQUIRES the per-query map in this line, so the
+    # line stays complete but sheds every cosmetic byte (~8% shorter at
+    # 77 queries). Values are unchanged — comparisons stay valid.
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 
 
