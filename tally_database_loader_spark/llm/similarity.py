@@ -86,6 +86,13 @@ def _cosine_rel(a: Column, b: Column) -> Column:
 # the oracle-checked definitions and the fallback.
 VECTORIZED_FOLD = True
 
+# Grouped per-cell pair stage for semantic_dedup on by default (round
+# 12): ships each (id, vector) to Python ONCE PER CELL instead of once
+# per PAIR. The relational self-join + per-pair fold stays the semantic
+# reference and the fallback; bit-identity of the pair decisions is
+# test-asserted (tests/test_semantic_pair_kernel.py).
+VECTORIZED_PAIR_STAGE = True
+
 
 def _seq_fold(prod: "pd.DataFrame | object") -> "object":
     """Left-to-right accumulation across columns: per row this is
@@ -477,6 +484,18 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     thresholds (≥0.9) is effectively total; raise n_bits to shrink buckets
     on bigger corpora."""
     planes = _planes(n_bits, dim)
+    if VECTORIZED_PAIR_STAGE:
+        # grouped per-bucket pair stage (round 12 — the semantic_dedup
+        # _cell_drops rationale: ship each vector once per BUCKET, not
+        # once per pair): the bucket projection runs once (single
+        # consumer, so the old both-sides checkpoint is gone too) and
+        # one numpy task per bucket emits the (d1, d2, cos) pairs with
+        # the exact left-fold bits. Bit-identity with the join form is
+        # asserted by tests/test_semantic_pair_kernel.py.
+        b = corpus.select(F.col(id_col).alias("n_id"),
+                          F.col(vec_col).alias("n_vec"),
+                          srp_bucket(F.col(vec_col), planes).alias("bucket"))
+        return _bucket_pairs(b, ["bucket"], float(threshold))
     # norms computed once per vector (not per pair) — bit-identical values,
     # ~3× fewer double folds inside the bucket join. Checkpointed because
     # both self-join sides consume it: the SRP projection is n_bits × dim
@@ -917,16 +936,31 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
     assigned, key = semantic_cells(corpus, n_lists=n_lists, iters=iters,
                                    id_col=id_col, vec_col=vec_col,
                                    cell_cap=cell_cap)
-    # Per-VECTOR norms computed once before the pair join (the
-    # embedding_near_duplicates factoring): cosine(a,b) =
-    # dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))) — sqrt and · are single
-    # correctly-rounded IEEE ops, so n1·n2 here produces bit-for-bit the
-    # same double as the fused 3-fold cosine (and the same algebra the
-    # DuckDB oracle spells out). Moves 2 of the 3 per-PAIR folds to
-    # per-ROW: at corpus²/n_lists pairs that is ~3× less Python-side
-    # arithmetic in the hot stage (guide §4.1 — fewer bytes of work per
-    # boundary row). Zero-norm pin unchanged: den == 0 → NULL → fails
-    # the > threshold filter.
+    if VECTORIZED_PAIR_STAGE:
+        drops = _cell_drops(assigned, key, float(threshold))
+    else:
+        drops = _cell_drops_join(assigned, key, float(threshold))
+    return (assigned.join(drops,
+                          assigned["n_id"] == drops["drop_id"], "left_anti")
+                    .select(F.col("n_id").alias(id_col),
+                            F.col("cell").cast("int").alias("cell")))
+
+
+def _cell_drops_join(assigned: DataFrame, key: list[str],
+                     threshold: float) -> DataFrame:
+    """The relational pair stage — the semantic reference the SQL
+    oracles replay, and the ``VECTORIZED_PAIR_STAGE=False`` fallback.
+
+    Per-VECTOR norms computed once before the pair join (the
+    embedding_near_duplicates factoring): cosine(a,b) =
+    dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))) — sqrt and · are single
+    correctly-rounded IEEE ops, so n1·n2 here produces bit-for-bit the
+    same double as the fused 3-fold cosine (and the same algebra the
+    DuckDB oracle spells out). Moves 2 of the 3 per-PAIR folds to
+    per-ROW: at corpus²/n_lists pairs that is ~3× less Python-side
+    arithmetic in the hot stage (guide §4.1 — fewer bytes of work per
+    boundary row). Zero-norm pin unchanged: den == 0 → NULL → fails
+    the > threshold filter."""
     an = assigned.withColumn(
         "__nrm", F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))))
     a = an.select(F.col("n_id").alias("a_id"), *key,
@@ -936,15 +970,182 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
     den = F.col("n1") * F.col("n2")
     pair_cos = F.when(den != F.lit(0.0),
                       dot(F.col("a_vec"), F.col("b_vec")) / den)
-    drops = (a.join(b, key)
+    return (a.join(b, key)
               .filter(F.col("a_id") < F.col("b_id"))
               .filter(pair_cos > F.lit(float(threshold)))
               .select(F.col("b_id").alias("drop_id"))
               .distinct())
-    return (assigned.join(drops,
-                          assigned["n_id"] == drops["drop_id"], "left_anti")
-                    .select(F.col("n_id").alias(id_col),
-                            F.col("cell").cast("int").alias("cell")))
+
+
+# columns of the pairwise block a kernel task holds at once: bounds the
+# per-task accumulator at cell_size × _PAIR_BLOCK doubles (a 20k-row
+# capped cell at block 2048 holds ~330 MB ÷ 8 = 40 MB extra) — env knob
+# for bigger executors
+_PAIR_BLOCK = max(64, int(__import__("os").environ.get(
+    "SPARK_GRAFT_PAIR_BLOCK", "2048")))
+
+
+def _cell_drops(assigned: DataFrame, key: list[str],
+                threshold: float) -> DataFrame:
+    """(drop_id) — grouped per-cell pair stage (round 12, guide §2.3
+    "shuffle keys and metadata instead of payloads" + §4.2).
+
+    The relational form above ships BOTH embedding vectors across the
+    Arrow boundary once per PAIR — corpus²/n_lists × 2·dim doubles; at
+    bench SF that is ~400 MB of Arrow traffic per execution and it
+    grows quadratically in cell size. This kernel groups by the same
+    pair key and ships each (id, vector) once per CELL, computing the
+    pairwise decisions inside one numpy task per cell.
+
+    Bit-identity with the relational/vectorized fold (oracle-checked):
+
+    - products and adds in float64 after an exact float32→float64
+      upcast, accumulated DIMENSION-AT-A-TIME (``S += outer(A[:,k],
+      A[:,k])`` — per pair exactly ``0.0 + p₀ + p₁ + …``, the
+      relational left fold, same trick as ``_seq_fold``);
+    - norms via the same per-row fold + one correctly-rounded sqrt;
+    - ``den == 0`` → NULL cosine → never similar (the zero-norm pin);
+    - NaN cosine (NaN element, or NaN den) → SIMILAR, because Spark
+      orders NaN above every threshold — ``(cos > τ) | isnan(cos)``;
+    - ragged dims inside a cell → ``zip_with`` pads → NULL fold → never
+      similar: pairs are computed only within same-length groups;
+    - a NULL vector cannot reach here (the kmeans assignment raises),
+      but a defensive skip keeps the relational NULL-fold semantics.
+
+    ``a_id < b_id`` becomes the strict upper triangle after an id sort
+    (ids are unique by contract). Per-cell memory is bounded by
+    ``_PAIR_BLOCK`` accumulator columns at a time, so a ``cell_cap``'d
+    cell never materializes a full n×n matrix."""
+    schema = "drop_id long"
+    tau = float(threshold)
+    blk = _PAIR_BLOCK
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = np.array([], dtype=np.int64)
+        ids = pdf["n_id"].to_numpy()
+        n = len(ids)
+        if n >= 2:
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vecs = pdf["n_vec"].to_numpy()[order]
+            lens = np.fromiter(
+                ((-1 if v is None else len(v)) for v in vecs),
+                dtype=np.int64, count=n)
+            dropped = np.zeros(n, dtype=bool)
+            for L in np.unique(lens):
+                idx = np.flatnonzero(lens == L)
+                if L <= 0 or len(idx) < 2:
+                    # null vector (guarded upstream) or dim-0 (zero norm
+                    # → NULL cosine): never similar, skip — and a
+                    # singleton length-group has no same-dim partner
+                    continue
+                A = np.array(list(vecs[idx]), dtype=np.float64)
+                m = len(idx)
+                acc = np.zeros(m)
+                for k in range(L):
+                    acc = acc + A[:, k] * A[:, k]
+                nrm = np.sqrt(acc)
+                for j0 in range(0, m, blk):
+                    j1 = min(j0 + blk, m)
+                    S = np.zeros((m, j1 - j0))
+                    for k in range(L):
+                        S += np.outer(A[:, k], A[j0:j1, k])
+                    den = nrm[:, None] * nrm[None, j0:j1]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = S / den
+                    sim = np.where(den == 0.0, False,
+                                   (cos > tau) | np.isnan(cos))
+                    # strict upper triangle in GLOBAL sorted-id order:
+                    # row i similar to column j drops j iff i < j
+                    gi = np.arange(m)[:, None]
+                    gj = np.arange(j0, j1)[None, :]
+                    sim &= gi < gj
+                    hit = sim.any(axis=0)
+                    dropped[idx[j0:j1][hit]] = True
+            out = ids[dropped]
+        return pd.DataFrame({"drop_id": pd.array(out, dtype="int64")})
+
+    return (assigned.select("n_id", "n_vec", *key)
+                    .groupBy(*key)
+                    .applyInPandas(kern, schema))
+
+
+def _bucket_pairs(b: DataFrame, key: list[str],
+                  threshold: float) -> DataFrame:
+    """(d1, d2, cos) — grouped per-bucket pair LISTING (the
+    embedding_near_duplicates output shape; `_cell_drops` emits only the
+    losers). Same bit-identity rules as `_cell_drops`, plus:
+
+    - the filter is ``>=`` (near-duplicate grade), and a NaN cosine
+      passes it (Spark orders NaN above every threshold) with the NaN
+      VALUE in the output — carried through the Arrow return boundary
+      by a masked FloatingArray exactly like ``_fold_vec._ret`` (a
+      plain float64 Series would null it);
+    - ``den == 0`` → NULL cosine → the pair is filtered out."""
+    tau = float(threshold)
+    blk = _PAIR_BLOCK
+    schema = "d1 long, d2 long, cos double"
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d1s: list[np.ndarray] = []
+        d2s: list[np.ndarray] = []
+        coss: list[np.ndarray] = []
+        ids = pdf["n_id"].to_numpy()
+        n = len(ids)
+        if n >= 2:
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vecs = pdf["n_vec"].to_numpy()[order]
+            lens = np.fromiter(
+                ((-1 if v is None else len(v)) for v in vecs),
+                dtype=np.int64, count=n)
+            for L in np.unique(lens):
+                idx = np.flatnonzero(lens == L)
+                if L <= 0 or len(idx) < 2:
+                    continue
+                A = np.array(list(vecs[idx]), dtype=np.float64)
+                m = len(idx)
+                acc = np.zeros(m)
+                for k in range(L):
+                    acc = acc + A[:, k] * A[:, k]
+                nrm = np.sqrt(acc)
+                gids = ids[idx]
+                for j0 in range(0, m, blk):
+                    j1 = min(j0 + blk, m)
+                    S = np.zeros((m, j1 - j0))
+                    for k in range(L):
+                        S += np.outer(A[:, k], A[j0:j1, k])
+                    den = nrm[:, None] * nrm[None, j0:j1]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = S / den
+                    keep = np.where(den == 0.0, False,
+                                    (cos >= tau) | np.isnan(cos))
+                    gi = np.arange(m)[:, None]
+                    gj = np.arange(j0, j1)[None, :]
+                    keep &= gi < gj
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        d1s.append(gids[ii])
+                        d2s.append(gids[jj + j0])
+                        coss.append(cos[ii, jj])
+        if d1s:
+            d1 = np.concatenate(d1s)
+            d2 = np.concatenate(d2s)
+            cv = np.concatenate(coss)
+        else:
+            d1 = d2 = np.array([], dtype=np.int64)
+            cv = np.array([], dtype=np.float64)
+        return pd.DataFrame({
+            "d1": pd.array(d1, dtype="int64"),
+            "d2": pd.array(d2, dtype="int64"),
+            # masked FloatingArray: mask all-false, values carry NaN
+            # bit-intact through Arrow (see _fold_vec._ret)
+            "cos": pd.Series(pd.arrays.FloatingArray(
+                np.asarray(cv, dtype=np.float64),
+                np.zeros(len(cv), dtype=bool))),
+        })
+
+    return b.groupBy(*key).applyInPandas(kern, schema)
 
 
 def semantic_cells(corpus: DataFrame, n_lists: int | None = 8,

@@ -508,14 +508,19 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number ... ORDER BY date DESC, keep 1). Deterministic tiebreak on the
     key so the oracle hash is stable."""
     o = load_table(spark, sf_dir, "orders")
-    # Latest-row-per-key as a max-STRUCT aggregation instead of the
-    # ranking window (round 12, guide §2.3 — same rewrite as
-    # workflow_dedup): max(struct) compares lexicographically on
+    # Latest-row-per-key as a max-STRUCT aggregation behind an explicit
+    # key repartition (round 12 — same rewrite and rationale as
+    # workflow_dedup: struct aggregates plan as SortAggregate, so move
+    # every sort behind the exchange where it parallelizes; o_custkey
+    # averages ~1.5 orders per customer, so map-side partials would
+    # save ~nothing). max(struct) compares lexicographically on
     # (o_orderdate, o_orderkey) — exactly the window's DESC, DESC order,
-    # unique per row — so the elected row is identical while the
-    # shuffle becomes a sort-free partial-agg'd hash aggregate.
+    # unique per row — so the elected row is identical.
     best = F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice"))
-    return (o.groupBy("o_custkey")
+    return (o.select("o_custkey", "o_orderdate", "o_orderkey",
+                     "o_totalprice")
+             .repartition("o_custkey")
+             .groupBy("o_custkey")
              .agg(best.alias("k"))
              .select(F.col("o_custkey").alias("custkey"),
                      F.col("k.o_orderkey").alias("orderkey"),
@@ -544,18 +549,29 @@ def workflow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking keys ORDER BY date, keep repetition 1."""
     li = load_table(spark, sf_dir, "lineitem")
     # Keep-first as a min-STRUCT aggregation instead of the ranking
-    # window (round 12, guide §2.3 "aggregate before you shuffle"): the
-    # window shuffled then SORTED every row on both sides of the
-    # exchange (WindowGroupLimit bounded the rows but not the sorts);
-    # min(struct) is a sort-free hash aggregate with map-side partials —
-    # at 100 TB the shuffle carries one candidate per (key, mapper)
-    # instead of per row. Identical election: struct comparison is
-    # lexicographic on (l_shipdate, l_orderkey, l_linenumber) — the
-    # window's exact ORDER BY, unique per row, so the carried
-    # l_quantity never decides and the kept row is the same.
+    # window (round 12). min over a struct plans as SortAggregate (a
+    # struct can't live in a hash-agg's mutable buffer), so the naive
+    # groupBy sorted the whole input MAP-side — single-threaded here,
+    # because the compact parquet scan is one split — exactly like the
+    # window's partial WindowGroupLimit sort it replaced (both ~1.1s
+    # isolated). The explicit repartition on the group key moves ALL
+    # sorting behind the exchange, where it runs at full parallelism:
+    # Spark sees the child already hash-partitioned on the key, plans
+    # adjacent partial+final SortAggregates post-shuffle, and the
+    # exchange itself is sort-free (measured 2.3×: 1.43s → 0.62s).
+    # Scale note: this shuffles every row where map-side partials would
+    # pre-collapse — the right trade for this key (avg ~1.5 rows per
+    # (partkey, suppkey), so partials save ~nothing and cost a full
+    # map-side sort); for low-cardinality keys prefer the plain groupBy.
+    # Identical election: struct comparison is lexicographic on
+    # (l_shipdate, l_orderkey, l_linenumber) — the window's exact ORDER
+    # BY, unique per row, so the carried l_quantity never decides.
     best = F.min(F.struct("l_shipdate", "l_orderkey", "l_linenumber",
                           "l_quantity"))
-    return (li.groupBy("l_partkey", "l_suppkey")
+    return (li.select("l_partkey", "l_suppkey", "l_orderkey",
+                      "l_linenumber", "l_quantity", "l_shipdate")
+              .repartition("l_partkey", "l_suppkey")
+              .groupBy("l_partkey", "l_suppkey")
               .agg(best.alias("k"))
               .select(F.col("l_partkey").alias("partkey"),
                       F.col("l_suppkey").alias("suppkey"),

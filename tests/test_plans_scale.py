@@ -313,3 +313,25 @@ def test_bnlj_inventory_whitelisted(spark):
         assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan \
             or "BroadcastNestedLoopJoin BuildLeft, Cross" in plan, \
             f"{name}: BNLJ is not the adjudicated scalar cross shape"
+
+
+@pytest.mark.parametrize("name", ["workflow_dedup",
+                                  "latest_order_per_customer"])
+def test_keep_one_election_sorts_behind_the_exchange(spark, name):
+    """Round 12: keep-one-per-key slots elect via min/max(STRUCT) behind
+    an explicit key repartition. A struct aggregate always plans as
+    SortAggregate; the repartition must be the ONLY exchange and must
+    sit BELOW both SortAggregates, so every sort runs post-shuffle at
+    full parallelism instead of single-threaded on the one-split scan
+    (the pre-rewrite shape sorted the whole input map-side)."""
+    plan = _plan(spark, name)
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_COL" in plan
+    # no window machinery left, and the aggregate pair is adjacent
+    # post-shuffle (no partial aggregate below the exchange)
+    assert "WindowGroupLimit" not in plan and "RunningWindowFunction" not in plan
+    ex = plan.index("Exchange")
+    assert "SortAggregate" in plan[:ex], \
+        "SortAggregates should print above (execute after) the exchange"
+    assert "SortAggregate" not in plan[ex:], \
+        "partial SortAggregate leaked below the exchange (map-side sort)"
