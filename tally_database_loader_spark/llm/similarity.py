@@ -28,6 +28,7 @@ the fallback; bitwise equality of both paths is test-asserted.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -981,8 +982,7 @@ def _cell_drops_join(assigned: DataFrame, key: list[str],
 # per-task accumulator at cell_size × _PAIR_BLOCK doubles (a 20k-row
 # capped cell at block 2048 holds ~330 MB ÷ 8 = 40 MB extra) — env knob
 # for bigger executors
-_PAIR_BLOCK = max(64, int(__import__("os").environ.get(
-    "SPARK_GRAFT_PAIR_BLOCK", "2048")))
+_PAIR_BLOCK = max(64, int(os.environ.get("SPARK_GRAFT_PAIR_BLOCK", "2048")))
 
 
 def _cell_drops(assigned: DataFrame, key: list[str],
