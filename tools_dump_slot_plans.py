@@ -38,6 +38,13 @@ def main() -> None:
         df = plans[slot](spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(mode)
         plan = re.sub(r"#\d+", "#N", plan)
+        # session-dependent ids that would otherwise make two dumps of
+        # an IDENTICAL plan diff non-empty: plan_id, RDD numbers, and
+        # the localCheckpoint call-site frame
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
+        plan = re.sub(r"at localCheckpoint at [^,]*,",
+                      "at localCheckpoint at <site>,", plan)
         path = os.path.join(out_dir, f"{slot}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan.strip() + "\n")
